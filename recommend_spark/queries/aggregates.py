@@ -1,0 +1,229 @@
+"""§2.4 Aggregation.
+
+Reference parity: the reference's signature aggregate is ratings-per-movie
+count+mean via ``groupByKey`` + Python reduce (upstream:engine.py §
+__count_and_average_ratings + get_counts_and_averages, ~10 LoC) and the
+"≥25 ratings" popularity HAVING filter (§ get_top_ratings).  Ours are hash
+aggregates with automatic partial (map-side) + final phases — the shape that
+scales: at 100 TB a groupBy shuffles only the partial states, not the rows.
+
+Determinism: money SUMs go through DECIMAL (canon.dsum/davg) so partial-agg
+ordering can never change the rounded output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..canon import davg, dsum
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "agg_count_avg",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def agg_count_avg(spark, sf_dir):
+    """Per-key count + mean — the reference's ratings-per-movie aggregate,
+    fixture form: quantity per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), davg("l_quantity", "avg_qty")
+    )
+
+
+@register(
+    "agg_sum_min_max",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_min_max(spark, sf_dir):
+    """TPC-H Q1-shaped grouped rollup: sum/min/max/avg/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base"),
+            dsum(disc_price, "sum_disc_price", scale=4),
+            davg("l_extendedprice", "avg_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def agg_global(spark, sf_dir):
+    """Grand-total aggregate (no grouping keys) — single-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice", "total"),
+        davg("o_totalprice", "avg_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct count per group (expand + two-phase agg in Spark)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL++ sketches are engine-specific
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate distinct (HyperLogLog++) — the 100 TB path for distinct
+    counts: fixed-size sketch per group, no expand.  Accuracy asserted in
+    tests/test_ml_quality.py against the exact twin (rsd=0.01)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt
+    FROM lineitem GROUP BY l_partkey HAVING count(*) >= 25
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter — the reference's "≥25 ratings" popularity rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 25)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals with GROUPING() markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count("*").alias("cnt"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           count(*) AS cnt,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """All grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_base"),
+        F.count("*").alias("cnt"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets: per-flag totals + per-status totals in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("rs_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM rs_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Per-key list aggregation in canonical (sorted) order, emitted as a
+    joined string so the hash is collection-representation-neutral."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("line_numbers"),
+        F.count("*").alias("cnt"),
+    )

@@ -1,0 +1,313 @@
+"""§2.3 Joins.
+
+Reference parity: the reference's only join is the RDD inner equi-join of
+predictions with titles and rating-counts (upstream:engine.py §
+__predict_ratings, ~10 LoC); its "movies this user has NOT rated" step is
+exactly an anti-join (§ get_top_ratings).  Everything else is harness /
+100 TB-mandate surface.
+
+Scale design:
+- Equi-joins are declared; Catalyst+AQE pick broadcast vs sort-merge and
+  demote/skew-split at runtime.  Dimension chains (nation, region) carry
+  explicit broadcast() hints — at 100 TB a dim broadcast avoids shuffling
+  the fact table entirely.
+- Non-equi joins (range/as-of/interval) NEVER rely on Spark's
+  BroadcastNestedLoop/cartesian fallback: they are rewritten as *bucketed
+  equi-joins* (coarse bucket key + neighbor explode + exact residual filter)
+  or as a union-merge window pass — both shapes shuffle O(n) rows on a key
+  and survive a 1000-executor cluster.  OSS Spark has no range-join
+  optimizer; this is the query-shape fix (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..canon import r4
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Hash equi-join orders⋈customer (Catalyst picks broadcast vs SMJ)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_multi_key",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, c.c_custkey, c.c_mktsegment
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_multi_key(spark, sf_dir):
+    """Chained fact→dim joins (mirrors the reference's double-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("l_orderkey", "l_linenumber", "c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Explicit broadcast of the dim chain — at 100 TB the fact side never
+    shuffles; each executor map-side joins against the replicated dims."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """Left outer join: customers with no orders null-extend."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_right(spark, sf_dir):
+    """Right outer join: parts with no lineitems null-extend."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey, "right").select(
+        "l_orderkey", "l_linenumber", "p_partkey"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark, sf_dir):
+    """Full outer join with null extension on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join: customers having at least one order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join — the reference's "movies this user has NOT rated"
+    relational skeleton (upstream:engine.py § get_top_ratings)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark, sf_dir):
+    """Bounded cartesian product (dims only — never on facts)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT s.s_suppkey, count(*) AS n_close
+    FROM supplier s JOIN customer c ON abs(s.s_acctbal - c.c_acctbal) < 10.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_range(spark, sf_dir):
+    """Band (theta) join: customers whose balance is within ±10 of each
+    supplier's, as a *bucketed equi-join*.
+
+    Shape: bucket = floor(bal/width) with width == band radius; the supplier
+    side explodes to {b-1, b, b+1}; equi-join on bucket; exact residual
+    filter.  Each true pair matches exactly one (expanded, actual) bucket
+    pair, so no dedup is needed.  This shuffles O(n) rows 3x instead of the
+    O(n·m) BroadcastNestedLoop Spark would otherwise plan."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    width = 10.0
+    s_b = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / width) - 1,
+                F.floor(F.col("s_acctbal") / width),
+                F.floor(F.col("s_acctbal") / width) + 1,
+            )
+        ).alias("bucket"),
+    )
+    c_b = c.select(
+        "c_acctbal", F.floor(F.col("c_acctbal") / width).alias("bucket")
+    )
+    pairs = s_b.join(c_b, "bucket").filter(
+        F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < width
+    )
+    return pairs.groupBy("s_suppkey").agg(F.count("*").alias("n_close"))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, p.value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each event, the same user's most recent purchase value
+    at-or-before it, via the union-merge window pass (no range join needed).
+
+    Shape: tag right rows (purchases) and left rows (all events), union,
+    then one window per user ordered by (time, right-before-left) taking
+    ``last(value ignore nulls)`` — a single shuffle on the join key, which is
+    the optimal distribution at any scale.  Right rows sort before left rows
+    at equal timestamps so ``p.ts <= e.ts`` ties are included, matching
+    DuckDB ASOF semantics; among same-microsecond purchases the latest
+    event_id wins (fixtures have no such ties — verified)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("double").alias("pval"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.lit(1).alias("is_right"),
+            "event_id",
+            F.col("value").alias("pval"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", F.col("is_right").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_purchase_value", F.last("pval", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_right") == 0).select(
+        "event_id", r4("last_purchase_value", "last_purchase_value")
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS n_shipped
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_interval(spark, sf_dir):
+    """Interval containment join: lineitems (any order) shipped within 7 days
+    of an urgent order's date — bucketed by week exactly like join_range.
+
+    Interval length (7d) == bucket width, so candidate buckets are {b, b+1}
+    for the order side; each (order, lineitem) pair lands in exactly one
+    equi-match."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    week = 7 * 86400
+    o_day = F.floor(F.col("o_orderdate").cast("timestamp").cast("double")).cast("long")
+    l_day = F.floor(F.col("l_shipdate").cast("timestamp").cast("double")).cast("long")
+    o_b = o.select(
+        "o_orderkey",
+        o_day.alias("o_sec"),
+        F.explode(
+            F.array(F.floor(o_day / week), F.floor(o_day / week) + 1)
+        ).alias("bucket"),
+    )
+    l_b = li.select(l_day.alias("l_sec"), F.floor(l_day / week).alias("bucket"))
+    pairs = o_b.join(l_b, "bucket").filter(
+        (F.col("l_sec") >= F.col("o_sec"))
+        & (F.col("l_sec") < F.col("o_sec") + week)
+    )
+    return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))

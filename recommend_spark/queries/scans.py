@@ -1,0 +1,175 @@
+"""§2.1 Sources / sinks.
+
+Reference parity: the reference ingests CSV via ``sc.textFile`` + header
+filter + ``split(',')`` (upstream:engine.py § __init__, ~15 LoC) and creates
+inline RDDs with ``sc.parallelize`` (§ add_ratings).  Ours are schema'd
+DataSource reads — columnar, predicate-pushdown-capable, and identical on a
+1000-executor cluster (file listing + splits are distributed).
+
+Round-trip operators (scan_csv / scan_jsonl / scan_orc / sink_parquet)
+materialize fixture data under ``.artifacts/`` inside the repo, re-read it
+through the format under test, and oracle-check against the original parquet
+views — proving the full write+read path, not just the read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from ..canon import r4
+from ..io import load_table
+from ..registry import register
+
+ART = "/root/repo/.artifacts"
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_epoch
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    """Full-table parquet scan with explicit schema binding.
+
+    Timestamps are emitted as epoch seconds (canon rule Q3) so the hash is
+    engine-neutral; everything else is the raw column set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_shipdate").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("ship_epoch"),
+    )
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register("scan_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_csv(spark, sf_dir):
+    """CSV round-trip: write nation as headered CSV, read with explicit schema.
+
+    This is the reference's only ingest path (textFile + header skip + split)
+    re-expressed as a schema'd reader: no inference job, header skipped by the
+    datasource, splits distributed.
+    """
+    path = f"{ART}/scan_csv_nation"
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.csv(path, header=True, schema=_NATION_SCHEMA)
+
+
+_EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def scan_jsonl(spark, sf_dir):
+    """JSON-lines round-trip with explicit schema (no inference pass)."""
+    path = f"{ART}/scan_jsonl_events"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(path)
+    df = spark.read.json(path, schema=_EVENTS_JSON_SCHEMA)
+    return df.select("event_id", "user_id", "event_type", r4("value", "value"))
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def scan_orc(spark, sf_dir):
+    """ORC round-trip (columnar sibling format; DuckDB oracle reads parquet)."""
+    path = f"{ART}/scan_orc_orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "rows_inline",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 101, 4.5), (1, 102, 3.0), (2, 101, 5.0), (2, 103, 2.5), (3, 104, 4.0)
+    ) AS t(user_id, item_id, rating)
+    """,
+)
+def rows_inline(spark, sf_dir):
+    """Inline literal rows — the reference's ``sc.parallelize(ratings)``
+    (upstream:engine.py § add_ratings) as a typed createDataFrame."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("item_id", T.IntegerType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    rows = [(1, 101, 4.5), (1, 102, 3.0), (2, 101, 5.0), (2, 103, 2.5), (3, 104, 4.0)]
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_parquet(spark, sf_dir):
+    """Partitioned parquet sink + re-scan round-trip.
+
+    Writes the aggregate partitioned by l_returnflag (hive-style layout —
+    the 100 TB pattern: partition columns become directories, enabling
+    partition pruning on read), then re-reads and returns the scan.
+    """
+    path = f"{ART}/sink_parquet_agg"
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        r4(F.sum("l_quantity"), "sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    df = spark.read.parquet(path)
+    return df.select("l_returnflag", "l_linestatus", "sum_qty", "cnt")

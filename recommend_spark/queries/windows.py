@@ -1,0 +1,196 @@
+"""§2.5 Window functions.
+
+Reference parity: the reference computes global top-N via ``takeOrdered``
+(upstream:engine.py § get_top_ratings); the per-group generalization is the
+window machinery here.  ``win_topk_per_group`` is written in the exact
+``row_number() <= k`` form Catalyst recognizes and rewrites to
+WindowGroupLimit (per-partition partial top-k before the shuffle — the shape
+that survives 100 TB).
+
+Determinism: every window ORDER BY carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..canon import r4
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "win_rank_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber)
+    """,
+)
+def win_rank_family(spark, sf_dir):
+    """row_number / rank / dense_rank / ntile / percent_rank over one window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w), "pct_rank"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           lag(value, 1, 0.0)  OVER w AS prev_value,
+           lead(value, 1, 0.0) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """Prior/next event value per user with defaults.
+
+    Ordering key is epoch *microseconds* + event_id in BOTH engines: Spark's
+    ts is truncated to micros at load (FIXTURES.md Q1) while DuckDB keeps
+    nanos, so ordering by raw ts could disagree on sub-microsecond ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    return ev.select(
+        "event_id",
+        r4(F.lag("value", 1, 0.0).over(w), "prev_value"),
+        r4(F.lead("value", 1, 0.0).over(w), "next_value"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative sum per customer in order-date order (decimal-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(
+            F.floor(F.col("o_orderdate").cast("timestamp").cast("double")).cast("long"),
+            "o_orderkey",
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(o_totalprice) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    """Sliding 3-row mean per customer (decimal-exact numerator)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(
+            F.floor(F.col("o_orderdate").cast("timestamp").cast("double")).cast("long"),
+            "o_orderkey",
+        )
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("o_totalprice").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Per-user trailing-1-hour event-value sum via a RANGE frame on epoch
+    seconds (Spark range frames are numeric — cast identically in DuckDB).
+    Equal-second peers are all included by RANGE semantics in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.floor(F.col("ts").cast("double")).cast("long"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+    ) <= 3
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 lineitems per order — the reference's recommendation shape,
+    per-group.  Written as row_number()<=k so Catalyst plans WindowGroupLimit
+    (partial top-k before the shuffle; asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with the configs every operator depends on.
+
+Scale notes (100 TB design): the same settings apply on a real cluster —
+AQE handles runtime coalescing + skew joins, shuffle partitions should be
+sized ~2-3x total cores with partition sizes of 128-512 MB (AQE's
+``advisoryPartitionSizeInBytes`` takes over at runtime).  Locally we pin 32
+shuffle partitions to match ``local[32]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are safe (and required) to set at runtime on *any* session,
+#: including one the test driver created for us.  All are runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 hard-rejects by
+    # default; read it as long and convert in the loader (FIXTURES.md Q1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Determinism: oracle comparisons assume UTC (FIXTURES.md Q3).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; loader fallbacks still apply
+    return spark
+
+
+def get_spark(app_name: str = "recommend_spark") -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster the same confs
+    apply unchanged (master comes from spark-submit).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)
