@@ -2,11 +2,15 @@
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
     projection,
+    scalar_fns,
     scans,
     setops,
+    similarity,
     sorts,
+    text,
     windows,
 )
 

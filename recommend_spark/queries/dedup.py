@@ -1,0 +1,271 @@
+"""§2.9b Deduplication operators (LLM-data-pipeline mandate).
+
+Five dedup families, each with the shape that survives 100 TB:
+
+- exact           content-hash groupBy (one shuffle on the hash)
+- near (Jaccard)  EXACT similarity join via prefix filtering (PPJoin-style:
+                  rare-token prefixes bound candidates losslessly), then
+                  exact rescore — no quadratic cross join
+- near (MinHash)  MinHashLSH banding (rows-only; recall-tested vs the exact
+                  twin)
+- SimHash         deterministic 24-bit simhash + Hamming pairs (engine-
+                  neutral polynomial token hashes, so it IS oracle-checkable)
+- embedding       cosine near-dup pairs over unit-norm vectors
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..io import load_table
+from ..registry import register
+
+_SQL_TOKS = "list_distinct(string_split(lower(text), ' '))"
+_JACCARD_TAU = 0.8
+
+
+def _TOKS():
+    # lazy: Column construction requires an active SparkContext
+    return F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup keyed on sha256(text), keeping the min doc_id —
+    deterministic keeper choice (bare dropDuplicates keeps an arbitrary
+    row and is banned).  Fixtures have zero exact dups (verified), so the
+    result is the identity set — still a full value-hash check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _jaccard_pairs_exact(docs):
+    """EXACT Jaccard-similar pairs (J >= tau) via prefix filtering.
+
+    Theory: with tokens in a canonical global order (ascending document
+    frequency, then token), two sets with J >= tau must share a token within
+    each one's prefix of length n - ceil(tau*n) + 1.  So candidates =
+    prefix-token self-join, which at 100 TB shuffles on rare tokens only —
+    the frequent-token pair explosion never happens.
+    """
+    d = docs.select("doc_id", _TOKS().alias("toks")).withColumn(
+        "nt", F.size("toks")
+    )
+    tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    ranked = (
+        tok.join(freq, "w")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("freq", "w")
+            ),
+        )
+        .filter(F.col("r") <= F.col("nt") - F.ceil(_JACCARD_TAU * F.col("nt")) + 1)
+        .select("doc_id", "w")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
+                  F.col("nt").alias("na"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+                  F.col("nt").alias("nb"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS n_common,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, jaccard FROM pairs WHERE jaccard >= {_JACCARD_TAU}
+    """,
+)
+def dedup_near_jaccard(spark, sf_dir):
+    """Exact near-duplicate pairs with token-set Jaccard >= 0.8.
+
+    Spark side uses lossless prefix filtering (no cross join); the DuckDB
+    oracle does the quadratic join — same result set by the prefix lemma."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_pairs_exact(docs)
+
+
+@register("dedup_near_minhash")  # rows-only: LSH banding is engine-specific
+def dedup_near_minhash(spark, sf_dir):
+    """MinHashLSH banding → candidate pairs → exact Jaccard rescore.
+
+    The 100 TB path: O(n · bands) hashing plus a bucket-key shuffle; recall
+    vs the exact twin asserted in tests/test_ml_quality.py."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _TOKS().alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(d)
+    vecs = cv.transform(d)
+    lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - _JACCARD_TAU, "dist")
+    out = (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("dist")).alias("jaccard_est"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return out
+
+
+_SIMHASH_BITS = 24
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), th AS (
+      SELECT w,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(w)),
+                   i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 2147483647) AS h
+      FROM (SELECT DISTINCT w FROM tok)
+    ), bits AS (
+      SELECT t.doc_id, b.bit,
+             SUM(CASE WHEN (th.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok t JOIN th ON t.w = th.w
+      CROSS JOIN (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b
+      GROUP BY t.doc_id, b.bit
+    ), sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: engine-neutral polynomial char hashes per distinct
+    token → signed bit votes → 24-bit signature → Hamming<=3 pairs.
+
+    Fully deterministic in both engines, so unlike typical simhash this one
+    carries a value-hash oracle.  At scale the pair step would use the
+    standard bit-block banding (split signature into 4 blocks, equi-join on
+    block value) — same lossless-candidate trick as the Jaccard prefix
+    filter; at fixture scale the direct self-join is fine."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
+    # substring with a dynamic (lambda-bound) index needs the SQL expr form
+    th = tok.select("w").distinct().withColumn(
+        "h",
+        F.expr(
+            "aggregate(sequence(1, length(w)), 0L, "
+            "(a, i) -> pmod(a * 131 + CAST(ascii(substring(w, i, 1)) AS BIGINT), 2147483647L))"
+        ),
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        tok.join(F.broadcast(th), "w")
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sh = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SQL_DOT = """
+  list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, 64),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+    (x, y) -> x + y)
+"""
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_DOT} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT} >= 0.9
+    """,
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.9 (unit-norm ⇒ cosine = dot).
+
+    Both engines left-fold the products in index order, so the double
+    accumulation is bit-identical and the threshold cut is deterministic.
+    Scale path: the same dot-product under LSH bucketing (sim_ann_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= 0.9)
+        .select("vec_a", "vec_b", "cosine")
+    )

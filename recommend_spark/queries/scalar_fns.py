@@ -1,0 +1,261 @@
+"""§2.8 Scalar function packs — one composite query per family.
+
+All expressions stay inside Catalyst/whole-stage-codegen (no Python UDFs);
+the UDF surface lives in udfs.py by design.  Each family query covers every
+function in its SURVEY row at once — the oracle hash checks all columns.
+
+Dialect-parity notes learned by probing:
+- Spark ``regexp_replace`` is global; DuckDB needs the ``'g'`` flag.
+- Spark ``weekday()`` (0=Mon) == DuckDB ``isodow - 1``.
+- Transcendentals (ln/log10/sqrt/pow) are bit-identical between JVM libm and
+  DuckDB's on these inputs (verified by the exact-parity test).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..canon import epoch_s
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)  AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 5) AS name_head,
+           trim(concat(' ', p_name, ' ')) AS name_trim,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           len(string_split(p_name, ' ')) AS n_words,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           lpad(p_brand, 10, '*') AS brand_pad,
+           instr(p_name, 'e') AS e_pos
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    """String family: lower/upper/substring/trim/concat/concat_ws/length/
+    split/regexp_extract/regexp_replace/lpad/instr."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad("p_brand", 10, "*").alias("brand_pad"),
+        F.instr("p_name", "e").alias("e_pos"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate)   AS o_day,
+           isodow(o_orderdate) - 1 AS o_weekday,
+           CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+           CAST(floor(epoch(o_orderdate + INTERVAL 3 DAY)) AS BIGINT) AS plus3d,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark, sf_dir):
+    """Date family: year/month/day/weekday/date_trunc/datediff/interval-add/
+    last_day (timestamps emitted as epoch seconds or ISO strings)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.weekday(d).alias("o_weekday"),
+        epoch_s(F.date_trunc("month", d), "month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_98"
+        ),
+        epoch_s(d + F.expr("INTERVAL 3 DAYS"), "plus3d"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_discount AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS disc_pct,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)  AS qty_ceil7,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+           sqrt(l_quantity) AS qty_sqrt,
+           pow(l_quantity, 2) AS qty_sq,
+           CAST(CAST(ln(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS qty_ln,
+           CAST(CAST(log10(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS qty_log10,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+           CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    """Math family: round(decimal-exact)/abs/ceil/floor/sqrt/pow/ln/log10/
+    pmod/sign + integral cast.  Rounding happens in DECIMAL (engines disagree
+    on double rounding); pmod is spelled ((a%b)+b)%b in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("disc_pct"),
+        F.abs(q - 25.0).alias("qty_dev"),
+        F.ceil(q / 7.0).alias("qty_ceil7"),
+        F.floor(q / 7.0).alias("qty_floor7"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.pow(q, 2).alias("qty_sq"),
+        # ln/log10 differ by 1 ulp between JVM and DuckDB libm; round via
+        # DECIMAL(18,6) in both engines (boundary margin verified >=7e-4).
+        F.log(q).cast("decimal(18,6)").cast("double").alias("qty_ln"),
+        F.log10(q).cast("decimal(18,6)").cast("double").alias("qty_log10"),
+        F.pmod(F.col("l_orderkey"), 7).alias("key_mod7"),
+        F.signum(q - 25.0).cast("long").alias("qty_sign"),
+        q.cast("long").alias("qty_int"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 35 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           least(l_extendedprice, 10000.0)    AS price_capped,
+           greatest(l_quantity, 5.0)          AS qty_floor5,
+           CASE WHEN l_tax IS NOT NULL THEN l_tax ELSE 0.0 END AS tax_nvl2
+    FROM lineitem
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    """Conditional family: CASE WHEN / coalesce / nullif / least / greatest /
+    nvl2 (spelled as CASE in the oracle — DuckDB has no nvl2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q < 10, "low").when(q < 35, "mid").otherwise("high").alias("qty_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.least("l_extendedprice", F.lit(10000.0)).alias("price_capped"),
+        F.greatest("l_quantity", F.lit(5.0)).alias("qty_floor5"),
+        F.nvl2("l_tax", F.col("l_tax"), F.lit(0.0)).alias("tax_nvl2"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(embedding[2] AS DOUBLE) AS e2,
+           CAST(embedding[3] AS DOUBLE) AS e3,
+           list_reduce(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS sq_norm,
+           CAST(list_max(embedding) AS DOUBLE) AS e_max,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array family via Catalyst higher-order functions (no Python): size /
+    element_at / aggregate / transform / filter / array_max.  Floats are cast
+    to double inside the lambdas (FIXTURES.md Q5); both engines left-fold, so
+    the accumulation is bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def sq(x):
+        return x.cast("double") * x.cast("double")
+
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.element_at(emb, 1).cast("double").alias("e1"),
+        F.element_at(emb, 2).cast("double").alias("e2"),
+        F.element_at(emb, 3).cast("double").alias("e3"),
+        F.aggregate(emb, F.lit(0.0), lambda a, x: a + sq(x)).alias("sq_norm"),
+        F.array_max(emb).cast("double").alias("e_max"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS m_type,
+           value      AS m_value,
+           'bucket,type' AS m_keys,
+           2 AS m_size
+    FROM events
+    """,
+)
+def fn_map(spark, sf_dir):
+    """Map family: create_map / element_at / map_keys / size.  The map is
+    built and consumed on the Spark side; the oracle checks the extracted
+    scalars (DuckDB MAP literals canonicalize differently — SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type").cast("string"),
+        F.lit("bucket"), F.when(F.col("value") >= 50, "hi").otherwise("lo"),
+    )
+    mv = F.create_map(F.lit("v"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(mv, "v").alias("m_value"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("m_keys"),
+        F.size(m).cast("int").alias("m_size"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_schema,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    """JSON family: get_json_object (path extraction) + from_json (schema'd
+    parse) + missing-path null semantics, on events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").alias("k_schema"),
+        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+    )

@@ -1,0 +1,242 @@
+"""§2.9c Similarity search + multimodal operators (LLM-data-pipeline mandate).
+
+- sim_cosine_topk   exact brute-force top-k (the baseline + the oracle)
+- sim_ann_lsh       random-projection LSH ANN (the scale path; recall-tested)
+- sim_ivf_topk      IVF-style: coarse quantizer (per-label centroids) → probe
+                    one cell (the other scale path; recall-tested)
+- mm_embed_join     multimodal join + per-label centroid (full 64-dim)
+- mm_binary_meta    binary-column plumbing: encode → byte length / hashing
+- mm_image_pipeline rows-only mapInPandas decode pipeline with a stubbed
+                    codec (real Spark plumbing, deterministic fake decode)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..io import load_table
+from ..registry import register
+
+_SQL_DOT_QC = """
+  list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, 64),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+    (x, y) -> x + y)
+"""
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_DOT_QC} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id
+    ) <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the first 10 query vectors
+    (unit-norm ⇒ cosine ≡ dot).  Brute force is the correctness baseline;
+    at 100 TB the same ranking runs behind sim_ann_lsh / sim_ivf_topk.
+    Bit-exact across engines because both left-fold the dot product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qe"), F.col("ce")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@register("sim_ann_lsh")  # rows-only: LSH buckets are engine-specific
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-projection (bucketed) LSH — hashes are
+    data-independent so indexing is a narrow map; recall@5 vs the exact twin
+    asserted in tests/test_ml_quality.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    q = e.filter(F.col("vec_id") < 10)
+    # distance threshold 2.0 covers the whole unit sphere => candidates only
+    # bounded by the hash buckets; rescore + rank exactly like the twin
+    pairs = model.approxSimilarityJoin(q, e, 2.0, "dist").select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cosine_est"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_est").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine_est")
+    )
+
+
+@register("sim_ivf_topk")  # rows-only: centroid assignment is float-order sensitive
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells = per-label centroids (the fixture's label
+    is the trained quantizer stand-in); each query probes its nearest cell
+    only, then exact-ranks within it.  At 100 TB: centroids broadcast,
+    candidates shuffle on cell id only (nprobe controls recall)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.getField("c")).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # assign each query to its best cell (centroids are tiny -> broadcast)
+    qc = q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell"))).withColumn(
+        "score", _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
+    best = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1).select(
+        "query_id", "qe", "cell"
+    )
+    cand = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = best.join(cand, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine", _dot("qe", "ce"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "mm_embed_join",
+    oracle="""
+    WITH j AS (
+      SELECT d.lang, e.label, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), pos AS (
+      SELECT lang, label,
+             unnest(embedding) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM j
+    )
+    SELECT lang, label, pos,
+           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS centroid,
+           COUNT(*) AS n
+    FROM pos GROUP BY lang, label, pos
+    """,
+)
+def mm_embed_join(spark, sf_dir):
+    """Multimodal join (documents ⋈ embeddings by id) + full per-(lang,label)
+    centroid via posexplode.  Component sums go through DECIMAL(18,6) so the
+    grouped float accumulation is order-independent (canon discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("lang", "label", "embedding")
+    pos = j.select("lang", "label", F.posexplode("embedding").alias("pos", "x"))
+    return pos.groupBy("lang", "label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("centroid"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_hash,
+           lang
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark, sf_dir):
+    """Opaque-binary-column plumbing: text → utf8 bytes (stand-in for
+    image/audio payloads) with typed metadata alongside.  Byte lengths and
+    content hashes computed on the binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.sha2("text", 256).alias("content_hash"),
+        "lang",
+    )
+
+
+@register("mm_image_pipeline")  # rows-only: decode stub (no codec libs here)
+def mm_image_pipeline(spark, sf_dir):
+    """Multimodal decode pipeline over binary payloads via mapInPandas.
+
+    The Spark plumbing is real: binary column in, Arrow batches through
+    Python, typed struct-ish schema out, partition-parallel.  The codec is a
+    deterministic fake (no image libs in this container): 'decode' derives
+    width/height from the payload bytes.  Swap `_fake_decode` for a real
+    PIL/libvips call in production — the operator shape is unchanged."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            try:
+                raise NotImplementedError("no image codec in this environment")
+            except NotImplementedError:
+                decoded = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_px": [d[0] * d[1] for d in decoded],
+                }
+            )
+            yield out
+
+    def _fake_decode(payload: bytes):
+        w = 16 + (len(payload) % 64)
+        h = 16 + (payload[0] % 64 if len(payload) else 0)
+        return (w, h)
+
+    return docs.mapInPandas(
+        decode_batch, schema="doc_id long, width int, height int, n_px int"
+    )

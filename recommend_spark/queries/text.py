@@ -1,0 +1,309 @@
+"""§2.9a Text-analysis operators (LLM-data-pipeline mandate).
+
+All pure-Catalyst: explode/split/higher-order lambdas/windows — no Python in
+the hot path.  At 100 TB these shapes scale because every step is either a
+narrow map over documents or a shuffle keyed on token/doc_id with map-side
+partial aggregation.
+
+Determinism notes: token arrays keep document order (fingerprint) or are
+explicitly sorted; ln() goes through DECIMAL(18,6) (cross-libm 1-ulp);
+ratios are single IEEE divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..io import load_table
+from ..registry import register
+
+_SQL_TOKS = "string_split(lower(text), ' ')"
+
+
+def _TOKS():
+    """Lowercase whitespace tokenization (lazy: needs an active session)."""
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _tokens(docs):
+    """(doc_id, pos, w) exploded token stream."""
+    return docs.select(
+        "doc_id", F.posexplode(_TOKS()).alias("pos", "w")
+    ).filter(F.col("w") != "")
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle=f"""
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+    WHERE w != '' GROUP BY w
+    """,
+)
+def text_tokenize_wordcount(spark, sf_dir):
+    """Corpus word frequency: lowercase → split → explode → count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_stats_per_lang",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           sum(length(text)) AS total_chars,
+           min(length(text)) AS min_chars,
+           max(length(text)) AS max_chars,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats_per_lang(spark, sf_dir):
+    """Per-(lang, source) document count and char-length stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ln).alias("total_chars"),
+        F.min(ln).alias("min_chars"),
+        F.max(ln).alias("max_chars"),
+        (F.sum(ln).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_ngram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKS}) AS w,
+             unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+      FROM documents
+    ), bi AS (
+      SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw FROM tok
+    )
+    SELECT concat(w, ' ', nw) AS bigram, count(*) AS cnt
+    FROM bi WHERE nw IS NOT NULL GROUP BY 1
+    """,
+)
+def text_ngram(spark, sf_dir):
+    """Bigram counts via posexplode + lead() — the window formulation works
+    identically for any n and never materializes per-doc n-gram arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    tok = _tokens(docs).withColumn("nw", F.lead("w").over(w))
+    return (
+        tok.filter(F.col("nw").isNotNull())
+        .select(F.concat_ws(" ", "w", "nw").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_tfidf_sql",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok WHERE w != '' GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, tf.w AS term, tf,
+           CAST(tf AS DOUBLE) *
+             CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+             AS score
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+    """,
+)
+def text_tfidf_sql(spark, sf_dir):
+    """Exact TF-IDF, top-5 terms per doc: token explode → tf agg → df agg →
+    broadcast-join idf → window top-k.  The scalable twin of text_tfidf_ml
+    (closed-form, so it carries the value-hash oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs).drop("pos")
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    idf = F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * idf.cast("decimal(18,6)").cast("double"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", F.col("w").alias("term"), "tf", "score")
+    )
+
+
+@register("text_tfidf_ml")  # rows-only: hash-bucketed by design
+def text_tfidf_ml(spark, sf_dir):
+    """HashingTF + IDF pipeline — the fixed-width hashed variant for 100 TB
+    (no global vocabulary build).  Compared to text_tfidf_sql in
+    tests/test_ml_quality.py; not oracle-matchable (hash buckets)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    tok = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    tf = HashingTF(
+        inputCol="words", outputCol="tf", numFeatures=1 << 14
+    ).transform(tok)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = model.transform(tf)
+    # emit stable scalars (vector norms), not the raw vector type
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("nnz"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x).alias("sq_norm"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKS},
+                 w -> CAST(ascii(w) + length(w) AS BIGINT))),
+             (a, x) -> (a * 131 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: left-fold polynomial rolling
+    hash over the token stream (mod 1e9+7, overflow-free in BIGINT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            _TOKS(),
+            F.lit(0).cast("long"),
+            lambda a, w: F.pmod(
+                a * 131 + (F.ascii(w) + F.length(w)).cast("long"),
+                F.lit(1000000007).cast("long"),
+            ),
+        ).alias("fingerprint"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS n_stop,
+           CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS DOUBLE)
+             / len(toks) AS stop_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring signals: token/char/BPE-ish counts, stopword ratio,
+    type-token ratio, chars-per-token.  All single-pass narrow maps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _TOKS()
+    stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+        stop.alias("n_stop"),
+        (stop.cast("double") / n_tok).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("uniq_ratio"),
+        (F.length("text").cast("double") / n_tok).alias("chars_per_token"),
+    )
+
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und"),
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "y"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def _marker_sql(lang):
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter({_SQL_TOKS}, w -> w IN ({words})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_marker_sql('de')} AS s_de,
+           {_marker_sql('en')} AS s_en,
+           {_marker_sql('es')} AS s_es,
+           {_marker_sql('fr')} AS s_fr,
+           CASE WHEN {_marker_sql('de')} >= {_marker_sql('en')}
+                 AND {_marker_sql('de')} >= {_marker_sql('es')}
+                 AND {_marker_sql('de')} >= {_marker_sql('fr')} THEN 'de'
+                WHEN {_marker_sql('en')} >= {_marker_sql('es')}
+                 AND {_marker_sql('en')} >= {_marker_sql('fr')} THEN 'en'
+                WHEN {_marker_sql('es')} >= {_marker_sql('fr')} THEN 'es'
+                ELSE 'fr' END AS predicted
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-token language-ID heuristic with a deterministic argmax
+    (alphabetical tie-break).  The fixture corpus shares one vocabulary
+    across langs, so this demonstrates the operator, not classifier skill."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.size(F.filter(_TOKS(), lambda w: w.isin(*words)))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["de"] >= scores["en"])
+            & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"]),
+            "de",
+        )
+        .when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]), "en")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        scores["de"].alias("s_de"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        pred.alias("predicted"),
+    )
