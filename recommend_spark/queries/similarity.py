@@ -123,7 +123,9 @@ def sim_ivf_topk(spark, sf_dir):
         "score", _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
     )
     wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
-    best = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") == 1).select(
+    # nprobe=3: probe the 3 closest cells (recall/cost knob; fixtures are
+    # random vectors, so cells carry little signal — see quality gate)
+    best = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 3).select(
         "query_id", "qe", "cell"
     )
     cand = load_table(spark, sf_dir, "embeddings").select(

@@ -1,0 +1,256 @@
+"""§2.11 Structured Streaming over events.
+
+Every queries() entry here executes a REAL streaming graph (file replay in
+8 micro-batches via recommend_spark.streaming.replay, availableNow trigger,
+real state stores).  The SQL-expressible ones carry a batch-semantics DuckDB
+oracle — the driver's hash check therefore proves streaming == batch, which
+is the Structured Streaming correctness contract.  Late-data/watermark
+behaviors that are micro-batch-timing dependent are rows-only and asserted
+under controlled replab orders in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..canon import dsum
+from ..registry import register
+from ..streaming.replay import run_stream
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """10-minute tumbling window count/sum per event_type, executed as a
+    streaming aggregation (complete mode) and hash-checked against the
+    batch epoch-bucket oracle."""
+
+    def build(stream):
+        return stream.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+
+    out = run_stream(spark, sf_dir, "rs_stream_tumbling", build)
+    return out.select(
+        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b, value FROM events
+    ), windows AS (
+      SELECT b AS window_start, value FROM buckets
+      UNION ALL
+      SELECT b - 300 AS window_start, value FROM buckets
+    )
+    SELECT window_start, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM windows GROUP BY window_start
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """10-minute window sliding every 5 minutes (each event lands in two
+    windows); oracle = two shifted bucketings UNION ALL."""
+
+    def build(stream):
+        return stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w")
+        ).agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+
+    out = run_stream(spark, sf_dir, "rs_stream_sliding", build)
+    return out.select(
+        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             epoch_us(ts) AS us, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sessions AS (
+      SELECT user_id, us, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(min(us) // 1000000 AS BIGINT) AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark, sf_dir):
+    """30-minute-gap session windows per user via session_window() — the
+    dynamic-gap state-store operator.  Oracle = gaps-and-islands SQL
+    (lag + cumulative new-session markers) at microsecond grain."""
+
+    def build(stream):
+        return stream.withWatermark("ts", "10 seconds").groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n_events"))
+
+    out = run_stream(spark, sf_dir, "rs_stream_session", build, output_mode="complete")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.floor(F.col("w.start").cast("double")).cast("long").alias("session_start"),
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Exactly-once by event_id within the stream (dropDuplicates with
+    watermarked state), then a per-type count.  event_id is unique in the
+    fixture, so the streaming result must equal the plain batch aggregate —
+    which is exactly what the oracle checks."""
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    return run_stream(spark, sf_dir, "rs_stream_dedup", build)
+
+
+@register("stream_watermark_late")  # rows-only: append-mode emission depends
+def stream_watermark_late(spark, sf_dir):  # on micro-batch watermark timing
+    """15-minute watermark + tumbling count in APPEND mode: only windows the
+    watermark has closed are emitted, so the result is a strict prefix of the
+    batch twin (asserted, with injected late chunks, in tests)."""
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "15 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    out = run_stream(
+        spark, sf_dir, "rs_stream_watermark_late", build, output_mode="append"
+    )
+    return out.select(
+        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        "cnt",
+    )
+
+
+@register(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark, sf_dir):
+    """Custom stateful operator: per-user running count via
+    applyInPandasWithState (explicit GroupState across micro-batches).
+    Each batch emits the updated total; the final (max) emission per user
+    must equal the batch count — the oracle checks exactly that."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = run_stream(
+        spark, sf_dir, "rs_stream_stateful", build, output_mode="update"
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "stream_sink_parquet",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_sink_parquet(spark, sf_dir):
+    """foreachBatch -> idempotent parquet sink: each micro-batch appends to a
+    batch_id=... directory (re-delivery overwrites the same directory, the
+    standard exactly-once file-sink recipe).  The re-read of the sink must
+    aggregate to the batch truth — which the oracle checks."""
+    import shutil
+    from pathlib import Path
+
+    from ..streaming.replay import ART, materialize_chunks
+
+    out_dir = ART / "stream_sink_parquet"
+    chk = ART / "chk_stream_sink_parquet"
+    for p in (out_dir, chk):
+        if p.exists():
+            shutil.rmtree(p)
+    src = materialize_chunks(spark, sf_dir)
+
+    def sink_batch(batch_df, batch_id: int):
+        (
+            batch_df.write.mode("overwrite").parquet(
+                str(out_dir / f"batch_id={batch_id}")
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.option("recursiveFileLookup", "true").parquet(str(out_dir))
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), dsum("value", "sum_value")
+    )

@@ -1,0 +1,212 @@
+"""§2.12 UDF / UDAF / UDTF surface.
+
+Policy: every built-in-expressible query in this engine avoids UDFs (they
+break whole-stage codegen and re-enter Python); these operators exist to
+prove the extension surface works, Arrow-batched where possible.
+
+Oracle determinism for Python-side float math: money values are exact
+multiples of 0.01, so UDFs convert to integer cents (exact int64 sums) and
+replicate the oracle's IEEE op sequence exactly — see each docstring.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "udf_scalar_py",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_scalar_py(spark, sf_dir):
+    """Row-at-a-time Python UDF (the slow path, kept off hot queries).
+    Per-row IEEE arithmetic matches the SQL twin bit-for-bit."""
+
+    @udf("double")
+    def net(price, discount):
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_scalar_pandas(spark, sf_dir):
+    """Same function as udf_scalar_py but Arrow-vectorized (numpy float64
+    elementwise == IEEE scalar ops) — the 10-100x faster Python path."""
+
+    @pandas_udf("double")
+    def net(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDF: quantity-weighted mean price per part.
+
+    Exactness: price*qty and qty are exact multiples of 0.01 → sum in integer
+    cents (int64, no overflow at this scale), then one double division —
+    bit-identical to the DECIMAL oracle."""
+
+    @pandas_udf("double")
+    def wavg(pq: pd.Series, q: pd.Series) -> float:
+        pq_cents = (pq * 100).round().astype("int64").sum()
+        q_cents = (q * 100).round().astype("int64").sum()
+        return (pq_cents / 100.0) / (q_cents / 100.0)
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "pq", F.col("l_extendedprice") * F.col("l_quantity")
+    )
+    return li.groupBy("l_partkey").agg(wavg("pq", "l_quantity").alias("wavg_price"))
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey,
+             count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sx2
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           CASE WHEN s.n > 1
+                 AND (s.sx2 - s.n * (s.sx / s.n) * (s.sx / s.n)) / (s.n - 1) > 0
+                THEN (l.l_extendedprice - s.sx / s.n)
+                     / sqrt((s.sx2 - s.n * (s.sx / s.n) * (s.sx / s.n)) / (s.n - 1))
+                END AS z_price
+    FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+    """,
+)
+def udtf_grouped_map(spark, sf_dir):
+    """applyInPandas per-group transform: z-score of price within part.
+
+    The UDF computes mean/std from exact integer-cent sums and replicates
+    the oracle's float op sequence (sx/n, (sx2 - n*m*m)/(n-1), sqrt) so the
+    z-scores match bit-for-bit; degenerate groups (n==1 or zero variance)
+    emit NULL in both engines."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        n = len(pdf)
+        sx = cents.sum() / 100.0
+        sx2 = (cents.astype(object) * cents.astype(object)).sum() / 10000.0
+        out = pdf[["l_orderkey", "l_linenumber", "l_partkey"]].copy()
+        if n > 1:
+            m = sx / n
+            var = (sx2 - n * m * m) / (n - 1)
+            if var > 0:
+                out["z_price"] = (pdf["l_extendedprice"] - m) / np.sqrt(var)
+                return out
+        out["z_price"] = np.nan
+        return out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    return li.groupBy("l_partkey").applyInPandas(
+        zscore,
+        "l_orderkey long, l_linenumber int, l_partkey long, z_price double",
+    )
+
+
+@register(
+    "udtf_map_partitions",
+    oracle="""
+    SELECT o_orderkey, 'base' AS component, o_totalprice AS amount FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'fee' AS component, o_totalprice * 0.05 AS amount FROM orders
+    """,
+)
+def udtf_map_partitions(spark, sf_dir):
+    """mapInPandas 1->N row expansion (order -> base + fee components),
+    Arrow-batched; numpy vectorized * is IEEE so amounts match the oracle."""
+
+    def expand(batches):
+        for pdf in batches:
+            base = pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "component": "base",
+                    "amount": pdf["o_totalprice"],
+                }
+            )
+            fee = pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "component": "fee",
+                    "amount": pdf["o_totalprice"] * 0.05,
+                }
+            )
+            yield pd.concat([base, fee])
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.mapInPandas(expand, "o_orderkey long, component string, amount double")
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(toks[(i * 10 + 1):((i + 1) * 10)], ' ') AS chunk
+    FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS g(i)
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (Spark >=3.5 @udtf) exploding each document into 10-token
+    chunks via a LATERAL join — the row-generating extension point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = text.lower().split(" ")
+            for i in range(0, (len(toks) + 9) // 10):
+                yield doc_id, i, " ".join(toks[i * 10 : (i + 1) * 10])
+
+    spark.udtf.register("rs_chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("rs_docs_udtf")
+    return spark.sql(
+        "SELECT c.* FROM rs_docs_udtf, LATERAL rs_chunk_doc(doc_id, text) c"
+    )

@@ -1,0 +1,96 @@
+"""Deterministic streaming replay harness.
+
+Materializes the ``events`` fixture as N time-ordered parquet chunks, then
+runs a caller-supplied streaming graph over them with ``maxFilesPerTrigger=1``
+and an ``availableNow`` trigger — a real micro-batch execution with N
+batches, deterministic batch boundaries, and real state-store semantics.
+
+At production scale the same graph reads a file/Kafka source continuously;
+nothing in the query changes — availableNow vs processingTime is a trigger
+swap.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W
+
+from ..io import load_table
+
+ART = Path("/root/repo/.artifacts")
+N_CHUNKS = 8
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def materialize_chunks(spark: SparkSession, sf_dir: str, shuffled: bool = False) -> str:
+    """Write events as N_CHUNKS parquet files in ts order (or a deterministic
+    out-of-order permutation for late-data tests).  Sequential writes give
+    monotone mod-times, which fixes the FileStreamSource replay order."""
+    tag = Path(sf_dir).name + ("_shuffled" if shuffled else "")
+    root = ART / f"stream_src_{tag}"
+    done = root / "_DONE"
+    if done.exists():
+        return str(root)
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+    ev = load_table(spark, sf_dir, "events")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(N_CHUNKS).over(W.orderBy("ts", "event_id")) - 1
+    ).cache()
+    order = list(range(N_CHUNKS))
+    if shuffled:
+        # deterministic permutation: late chunks interleaved
+        order = [0, 2, 1, 4, 3, 6, 5, 7]
+    for i, c in enumerate(order):
+        (
+            chunked.filter(F.col("chunk") == c)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(root / f"chunk_{i:02d}"))
+        )
+    chunked.unpersist()
+    done.touch()
+    return str(root)
+
+
+def run_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+    output_mode: str = "complete",
+    shuffled: bool = False,
+) -> DataFrame:
+    """Replay events through ``build(stream_df) -> DataFrame`` and return the
+    final memory-sink table (a fresh checkpoint every run -> repeatable)."""
+    src = materialize_chunks(spark, sf_dir, shuffled=shuffled)
+    chk = ART / f"chk_{name}"
+    if chk.exists():
+        shutil.rmtree(chk)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

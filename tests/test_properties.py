@@ -1,0 +1,68 @@
+"""Property-based algebraic tests (hypothesis) on small generated frames —
+SURVEY §5.4: join/set-op identities and 3-valued-logic edge cases that the
+fixture data can't reach (nulls, empties, duplicates)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+    ),
+    max_size=12,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data or [(0, None)], "k int, v int").limit(
+        len(data)
+    )
+
+
+@given(a=rows, b=rows)
+@settings(**_SETTINGS)
+def test_semi_plus_anti_partition_left(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    semi = da.join(db, "k", "left_semi").count()
+    anti = da.join(db, "k", "left_anti").count()
+    assert semi + anti == da.count()
+
+
+@given(a=rows, b=rows)
+@settings(**_SETTINGS)
+def test_union_all_counts_add(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionByName(db).count() == da.count() + db.count()
+
+
+@given(a=rows, b=rows)
+@settings(**_SETTINGS)
+def test_except_all_multiplicity(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    # |A exceptAll B| == sum over rows max(mult_A - mult_B, 0)
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    expect = sum(max(c - cb.get(r, 0), 0) for r, c in ca.items())
+    assert da.exceptAll(db).count() == expect
+
+
+@given(a=rows)
+@settings(**_SETTINGS)
+def test_null_comparison_three_valued(spark, a):
+    da = _df(spark, a)
+    n_null = sum(1 for _, v in a if v is None)
+    eq = da.filter(F.col("v") == 0).count()
+    ne = da.filter(F.col("v") != 0).count()
+    # rows with NULL v satisfy neither predicate
+    assert eq + ne == len(a) - n_null
