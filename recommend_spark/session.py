@@ -23,6 +23,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Right-size shuffles for this container (local[32]); without it a
+    # driver-owned session runs every shuffle/state-store stage at the 200
+    # default.  On a real cluster the deployment sets this (2-3x cores) and
+    # AQE coalesces to ~advisoryPartitionSizeInBytes at runtime.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 

@@ -76,6 +76,12 @@ def run_stream(
     chk = ART / f"chk_{name}"
     if chk.exists():
         shutil.rmtree(chk)
+    # State-store width is pinned at first checkpoint; at fixture scale each
+    # micro-batch is small, so fewer state partitions means fewer
+    # task-launch + state-commit overheads per batch (8 batches × width).
+    # On a real cluster size this to peak key cardinality instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -83,14 +89,17 @@ def run_stream(
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(chk))
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(chk))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
