@@ -305,9 +305,19 @@ def join_interval(spark, sf_dir):
             F.array(F.floor(o_day / week), F.floor(o_day / week) + 1)
         ).alias("bucket"),
     )
-    l_b = li.select(l_day.alias("l_sec"), F.floor(l_day / week).alias("bucket"))
-    pairs = o_b.join(l_b, "bucket").filter(
+    # Pre-aggregate the big side to (day, count) BEFORE the non-equi join:
+    # the join input shrinks from |lineitem| rows to #distinct ship-days
+    # (a few thousand regardless of SF), and the day table broadcasts.
+    l_days = (
+        li.select(l_day.alias("l_sec"))
+        .groupBy("l_sec")
+        .agg(F.count("*").alias("day_cnt"))
+        .withColumn("bucket", F.floor(F.col("l_sec") / week))
+    )
+    pairs = o_b.join(F.broadcast(l_days), "bucket").filter(
         (F.col("l_sec") >= F.col("o_sec"))
         & (F.col("l_sec") < F.col("o_sec") + week)
     )
-    return pairs.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+    return pairs.groupBy("o_orderkey").agg(
+        F.sum("day_cnt").alias("n_shipped")
+    )

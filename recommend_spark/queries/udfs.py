@@ -120,31 +120,49 @@ def udtf_grouped_map(spark, sf_dir):
     The UDF computes mean/std from exact integer-cent sums and replicates
     the oracle's float op sequence (sx/n, (sx2 - n*m*m)/(n-1), sqrt) so the
     z-scores match bit-for-bit; degenerate groups (n==1 or zero variance)
-    emit NULL in both engines."""
+    emit NULL in both engines.
+
+    Scale shape: grouping directly on l_partkey hands applyInPandas ~20k
+    tiny groups (one Python call each — pure overhead).  Instead we group
+    on a 64-way hash bucket of the key and do the per-key math vectorized
+    inside each pandas batch: same semantics, 64 UDF invocations, and the
+    bucket count scales with executor count rather than key cardinality."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # int64 cents are exact: |price| < ~1e7 cents, squares < 1e14,
+        # per-key sums stay far below 2^63 at any plausible group size.
         cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
-        n = len(pdf)
-        sx = cents.sum() / 100.0
-        sx2 = (cents.astype(object) * cents.astype(object)).sum() / 10000.0
-        out = pdf[["l_orderkey", "l_linenumber", "l_partkey"]].copy()
-        if n > 1:
-            m = sx / n
+        g = pdf.assign(_c=cents, _c2=cents * cents).groupby(
+            "l_partkey", sort=False
+        )
+        stats = g.agg(n=("_c", "size"), sc=("_c", "sum"), sc2=("_c2", "sum"))
+        sx = stats["sc"].to_numpy() / 100.0
+        sx2 = stats["sc2"].to_numpy() / 10000.0
+        n = stats["n"].to_numpy().astype(np.float64)
+        m = sx / n
+        with np.errstate(invalid="ignore", divide="ignore"):
             var = (sx2 - n * m * m) / (n - 1)
-            if var > 0:
-                out["z_price"] = (pdf["l_extendedprice"] - m) / np.sqrt(var)
-                return out
-        out["z_price"] = np.nan
-        return out
+        sd = np.sqrt(np.where(var > 0, var, np.nan))
+        m = np.where(n > 1, m, np.nan)
+        lookup = pd.DataFrame(
+            {"l_partkey": stats.index, "_m": m, "_sd": sd}
+        )
+        out = pdf.merge(lookup, on="l_partkey", how="left")
+        out["z_price"] = (out["l_extendedprice"] - out["_m"]) / out["_sd"]
+        return out[["l_orderkey", "l_linenumber", "l_partkey", "z_price"]]
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
-    return li.groupBy("l_partkey").applyInPandas(
-        zscore,
-        "l_orderkey long, l_linenumber int, l_partkey long, z_price double",
+    return (
+        li.withColumn("bucket", F.pmod(F.col("l_partkey"), F.lit(64)))
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: zscore(pdf),
+            "l_orderkey long, l_linenumber int, l_partkey long, z_price double",
+        )
     )
 
 
