@@ -227,3 +227,66 @@ def agg_collect_sorted(spark, sf_dir):
         ).alias("line_numbers"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "agg_quantile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                    THEN l_quantity END) AS median_qty,
+           MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN l_quantity END) AS p90_qty
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_quantile_disc(spark, sf_dir):
+    """Exact discrete quantiles (lower median, p90) per group, computed as
+    "the element at rank r" via row_number — no interpolation, so the result
+    is an actual data value and hash-matches across engines (continuous
+    quantiles interpolate with engine-specific float op order; the scalable
+    sketch variant is agg_approx_quantile).  One shuffle on the group key;
+    the rank filter is a window over already-partitioned data."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number()
+        .over(w.orderBy("l_quantity", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = F.floor((F.col("n") + 1) / 2.0).cast("long")
+    p90 = F.ceil(0.9 * F.col("n")).cast("long")
+    return r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == med, F.col("l_quantity"))).alias(
+            "median_qty"
+        ),
+        F.min(F.when(F.col("rn") == p90, F.col("l_quantity"))).alias(
+            "p90_qty"
+        ),
+    )
+
+
+@register("agg_approx_quantile")  # rows-only: t-digest/KLL sketches are engine-specific
+def agg_approx_quantile(spark, sf_dir):
+    """Approximate percentiles — the 100 TB quantile path: a fixed-size
+    sketch per group (mergeable across partitions, no sort, no expand).
+    Accuracy vs the exact twin (agg_quantile_disc) asserted in
+    tests/test_ml_quality.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_approx"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
+    )

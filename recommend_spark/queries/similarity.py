@@ -242,3 +242,110 @@ def mm_image_pipeline(spark, sf_dir):
     return docs.mapInPandas(
         decode_batch, schema="doc_id long, width int, height int, n_px int"
     )
+
+
+@register("mm_audio_pipeline")  # rows-only: decode stub (no audio libs here)
+def mm_audio_pipeline(spark, sf_dir):
+    """Multimodal audio pipeline: binary payload → PCM decode → per-window
+    RMS feature frames (1→N row expansion) via mapInPandas.
+
+    The Spark plumbing is real — binary column in, Arrow batches through
+    Python, one output row per 1024-sample analysis window, partition-
+    parallel with no shuffle.  The codec is a deterministic fake (no
+    soundfile/ffmpeg in this container): 'decode' reinterprets payload
+    bytes as int8 samples.  Swap `_fake_pcm` for a real decoder in
+    production — schema, batching, and expansion shape are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    WIN = 1024
+
+    def _fake_pcm(payload: bytes) -> "np.ndarray":
+        # deterministic stand-in for an audio codec: bytes -> int8 samples,
+        # tiled to at least 2 windows so the 1->N expansion is exercised
+        raw = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+        reps = max(1, int(np.ceil(2 * WIN / max(len(raw), 1))))
+        return np.tile(raw, reps)
+
+    def frames(batches):
+        for pdf in batches:
+            try:
+                raise NotImplementedError("no audio codec in this environment")
+            except NotImplementedError:
+                decoded = [_fake_pcm(p) for p in pdf["payload"]]
+            ids, idxs, rms, n_samp = [], [], [], []
+            for doc_id, pcm in zip(pdf["doc_id"], decoded):
+                n_win = len(pcm) // WIN
+                for i in range(n_win):
+                    w = pcm[i * WIN : (i + 1) * WIN]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    rms.append(float(np.sqrt(np.mean(w * w))))
+                    n_samp.append(len(pcm))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "rms": rms,
+                    "n_samples": n_samp,
+                }
+            )
+
+    return docs.mapInPandas(
+        frames, schema="doc_id long, frame_idx int, rms double, n_samples long"
+    )
+
+
+@register("mm_video_frames")  # rows-only: decode stub (no video libs here)
+def mm_video_frames(spark, sf_dir):
+    """Multimodal video pipeline: binary payload → container probe → sample
+    every k-th frame (1→N expansion) via mapInPandas.
+
+    Deterministic fake container (no ffmpeg here): frame count and per-frame
+    hashes derive from the payload bytes; sampling keeps every 5th frame.
+    The production swap is the decode call only — the Spark side (binary in,
+    typed frame rows out, narrow map, no shuffle) is the real design: at
+    100 TB frame extraction is embarrassingly parallel and the expensive
+    decode runs once per partition batch, Arrow both ways."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    STRIDE = 5
+
+    def sample(batches):
+        for pdf in batches:
+            try:
+                raise NotImplementedError("no video codec in this environment")
+            except NotImplementedError:
+                pass
+            ids, fidx, ts, fh = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 10 + (len(payload) % 90)  # fake probe: 10..99
+                for i in range(0, n_frames, STRIDE):
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    ts.append(i * 40)  # 25 fps -> 40 ms per frame
+                    fh.append(
+                        hashlib.sha256(
+                            payload + i.to_bytes(4, "big")
+                        ).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "ts_ms": ts,
+                    "frame_hash": fh,
+                }
+            )
+
+    return docs.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, ts_ms long, frame_hash string"
+    )

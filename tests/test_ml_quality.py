@@ -100,3 +100,36 @@ def test_tfidf_ml_agrees_on_nnz(spark):
     }
     for d, n in exact.items():
         assert ml[d] <= n and ml[d] >= n - 3, (d, ml[d], n)
+
+
+def test_approx_quantile_within_tolerance(spark, ddb):
+    approx = {
+        r["l_returnflag"]: (r["median_approx"], r["p90_approx"])
+        for r in QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["median_qty"], r["p90_qty"])
+        for r in QUERIES["agg_quantile_disc"](spark, SF_DIR).collect()
+    }
+    for k, (em, ep) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - em) <= max(1.0, 0.02 * em), (k, am, em)
+        assert abs(ap - ep) <= max(1.0, 0.02 * ep), (k, ap, ep)
+
+
+def test_mm_audio_video_stub_shapes(spark):
+    audio = QUERIES["mm_audio_pipeline"](spark, SF_DIR)
+    assert [f.name for f in audio.schema.fields] == [
+        "doc_id", "frame_idx", "rms", "n_samples",
+    ]
+    a = audio.limit(2000).collect()
+    assert len(a) > 0 and all(r["rms"] >= 0 for r in a)
+    # 1->N expansion: at least one doc yields multiple frames
+    from collections import Counter
+    assert max(Counter(r["doc_id"] for r in a).values()) >= 2
+
+    video = QUERIES["mm_video_frames"](spark, SF_DIR)
+    v = video.limit(2000).collect()
+    assert len(v) > 0
+    assert all(r["frame_idx"] % 5 == 0 and r["ts_ms"] == r["frame_idx"] * 40 for r in v)
+    assert all(len(r["frame_hash"]) == 16 for r in v)
