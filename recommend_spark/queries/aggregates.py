@@ -290,3 +290,40 @@ def agg_approx_quantile(spark, sf_dir):
         F.percentile_approx("l_quantity", 0.5, 10000).alias("median_approx"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_approx"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+    FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Per-group mode (most frequent value), smallest-value tie-break.
+
+    Two-level shape that scales: count per (group, value) — map-side
+    partial agg does the heavy lifting — then a rank-1 window over the
+    tiny distinct-value set.  Never collects values into memory per group."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_n"),
+        )
+    )

@@ -50,9 +50,11 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _jaccard_pairs_exact(docs):
+def _jaccard_pairs_exact(docs, toks_expr=None):
     """EXACT Jaccard-similar pairs (J >= tau): prefix-filtered candidates,
-    bitmask-hybrid rescore.
+    bitmask-hybrid rescore.  ``toks_expr`` selects the set representation
+    (default: distinct lowercase word tokens; dedup_ngram_jaccard passes
+    word-bigram shingles) — the whole prefix/mask pipeline is set-agnostic.
 
     Candidates — prefix filtering: with tokens in a canonical global order
     (ascending document frequency, then token), two sets with J >= tau must
@@ -69,7 +71,9 @@ def _jaccard_pairs_exact(docs):
     (tiny vocabulary — the fixture has 31 words) collapse entirely into the
     mask and rescore at ~5 machine ops per pair.
     """
-    d = docs.select("doc_id", _TOKS().alias("toks")).withColumn(
+    if toks_expr is None:
+        toks_expr = _TOKS()
+    d = docs.select("doc_id", toks_expr.alias("toks")).withColumn(
         "nt", F.size("toks")
     )
     tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))
@@ -339,3 +343,48 @@ def dedup_embed_cosine(spark, sf_dir):
     return e.mapInPandas(
         block_pairs, "vec_a long, vec_b long, cosine double"
     )
+
+
+_SQL_SHINGLES = """
+  list_distinct(
+    list_transform(
+      generate_series(1, len(string_split(lower(text), ' ')) - 1),
+      i -> string_split(lower(text), ' ')[i] || ' '
+           || string_split(lower(text), ' ')[i + 1]))
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS toks FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS n_common,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    )
+    SELECT doc_a, doc_b, n_common, jaccard FROM pairs WHERE jaccard >= {_JACCARD_TAU}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram (word-bigram shingle) Jaccard near-dup pairs, J >= 0.8.
+
+    Order-sensitive dedup: two docs with the same words in a different
+    order share few bigrams, so this catches reorderings that token-set
+    Jaccard (dedup_near_jaccard) over-matches.  Reuses the same
+    prefix-filter + bitmask rescore pipeline over the shingle sets; the
+    oracle does the quadratic join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.slice(t, 1, F.size(t) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+        )
+    )
+    return _jaccard_pairs_exact(docs, toks_expr=shingles)

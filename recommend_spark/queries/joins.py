@@ -321,3 +321,44 @@ def join_interval(spark, sf_dir):
     return pairs.groupBy("o_orderkey").agg(
         F.sum("day_cnt").alias("n_shipped")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant join: manual salting, the recipe for hot keys that
+    AQE's skew splitting can't reach (e.g. a single tenant holding 30% of
+    rows in a shuffle join).
+
+    The big (fact) side salts each row into one of 8 subkeys using a value
+    NOT correlated with the join key; the small (dim) side is exploded 8x
+    so every (key, salt) bucket finds its match.  Each hot key's rows now
+    spread over 8 reducers instead of one.  Result is provably identical
+    to the plain join — which is exactly what the oracle checks."""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(n_salt))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    j = o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        "inner",
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

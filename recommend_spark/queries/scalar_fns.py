@@ -259,3 +259,29 @@ def fn_json(spark, sf_dir):
         F.from_json("props", "k INT").getField("k").alias("k_schema"),
         F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
     )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           base64(encode(p_name)) AS b64,
+           length(md5(p_name)) AS md5_len
+    FROM part
+    """,
+)
+def fn_hash(spark, sf_dir):
+    """Hashing/encoding pack: md5, sha256, base64 — the content-addressing
+    primitives behind dedup_exact and sink idempotency keys.  Hex/byte
+    output verified identical across engines (engine-native hash()/xxhash
+    are deliberately excluded: they differ by design)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.base64(F.encode("p_name", "UTF-8")).alias("b64"),
+        F.length(F.md5("p_name")).alias("md5_len"),
+    )

@@ -173,3 +173,29 @@ def sink_parquet(spark, sf_dir):
     agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     df = spark.read.parquet(path)
     return df.select("l_returnflag", "l_linestatus", "sum_qty", "cnt")
+
+
+@register(
+    "scan_partitioned_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def scan_partitioned_prune(spark, sf_dir):
+    """Partition pruning end-to-end: write orders hive-partitioned by
+    priority, read back with a partition predicate.  The filter resolves
+    against directory names — pruned partitions are never opened (the
+    100 TB layout: date/tenant partition columns cut scans by orders of
+    magnitude before any row is read; plan assertion in tests/test_plans).
+    """
+    path = f"{ART}/orders_by_priority"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )

@@ -194,3 +194,39 @@ def win_topk_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_extendedprice) OVER w AS first_price,
+           last_value(l_extendedprice) OVER w AS last_price,
+           nth_value(l_extendedprice, 2) OVER w AS second_price
+    FROM lineitem
+    WINDOW w AS (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first/last/nth value over an explicit full-partition frame.
+
+    The UNBOUNDED..UNBOUNDED frame matters: the default frame stops at
+    CURRENT ROW, which silently turns last_value into "running last" —
+    a classic cross-engine divergence this query pins down.  Ordered by
+    (l_linenumber, l_extendedprice) — unique within an order in this
+    fixture (l_linenumber alone is NOT) — so results are deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+    )

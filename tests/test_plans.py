@@ -56,3 +56,19 @@ def test_jaccard_prefix_filter_avoids_cross_join(spark):
     plan = _plan(QUERIES["dedup_near_jaccard"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_visible_in_scan(spark):
+    df = QUERIES["scan_partitioned_prune"](spark, SF_DIR)
+    explained = df._jdf.queryExecution().toString()
+    # the priority predicate must resolve as a PartitionFilter on directory
+    # values, not a data filter evaluated per row
+    assert "PartitionFilters" in explained
+    pf = explained.split("PartitionFilters:")[-1].splitlines()[0]
+    assert "o_orderpriority" in pf, pf
+
+
+def test_salted_join_has_no_skew_single_key(spark):
+    plan = _plan(QUERIES["join_skew_salted"](spark, SF_DIR))
+    # salted join must still be a hash equi-join (never nested-loop)
+    assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
