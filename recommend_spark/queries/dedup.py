@@ -380,11 +380,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     prefix-filter + bitmask rescore pipeline over the shingle sets; the
     oracle does the quadratic join."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.col("text")), " ")
+    # Materialize the token array BEFORE building shingles: an element_at
+    # on the raw split() expression inside a transform lambda re-evaluates
+    # the split per element (O(n^2) per document).  zip_with over two
+    # slices of the stored array is one O(n) pass.
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
     shingles = F.array_distinct(
-        F.transform(
-            F.slice(t, 1, F.size(t) - 1),
-            lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
     )
-    return _jaccard_pairs_exact(docs, toks_expr=shingles)
+    return _jaccard_pairs_exact(t, toks_expr=shingles)

@@ -307,3 +307,61 @@ def text_langid(spark, sf_dir):
         scores["fr"].alias("s_fr"),
         pred.alias("predicted"),
     )
+
+
+@register(
+    "pipeline_corpus_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             len(list_filter({_SQL_TOKS}, w -> w != '')) AS n_tok,
+             length(text) AS n_chars,
+             sha256(text) AS h
+      FROM documents
+    ), k AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM t
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_tok
+    FROM k
+    WHERE rn = 1 AND n_tok >= 10
+    GROUP BY lang, source
+    """,
+)
+def pipeline_corpus_stats(spark, sf_dir):
+    """End-to-end corpus-cleaning pipeline (the LLM training-data prep
+    composition): tokenize → quality gate (>= 10 tokens) → exact dedup
+    keeping the min doc_id per content hash → per-(lang, source) corpus
+    stats.  One narrow map + one 16-byte-hash window + one partial-agg
+    shuffle — every stage is a shape that holds at 100 TB (the near-dup
+    and multimodal stages are their own operators; this query is the
+    relational spine they plug into)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_TOKS(), lambda w: w != "")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.sha2("text", 256).alias("h"),
+    )
+    k = t.withColumn(
+        "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    )
+    return (
+        k.filter((F.col("rn") == 1) & (F.col("n_tok") >= 10))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (
+                F.sum("n_chars").cast("double") / F.sum("n_tok")
+            ).alias("chars_per_tok"),
+        )
+    )
