@@ -62,73 +62,128 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
     the candidate self-join shuffles on rare tokens only.  A length filter
     (J >= tau ⇒ tau·max(na,nb) <= min(na,nb)) prunes further at join time.
 
-    Rescore — frequent-token bitmask + rare-token array hybrid: the 64
-    globally most frequent tokens map to bits of a LONG, so each pair's
-    intersection is bit_count(maskA & maskB) plus an array_intersect over
-    only the *rare* remainder.  Frequent tokens are exactly the ones that
-    make candidate lists long, so the O(1) popcount carries the bulk of the
-    work at any scale; rare arrays stay short by Zipf.  Degenerate corpora
-    (tiny vocabulary — the fixture has 31 words) collapse entirely into the
-    mask and rescore at ~5 machine ops per pair.
+    Rescore — frequent-token bitmask + rare-token array hybrid with
+    ADAPTIVE width: the most frequent tokens map to bits of 1..16 LONGs
+    (width picked from the observed vocabulary size, AQE-style), so each
+    pair's intersection is a few bit_count(maskA & maskB) ops plus an
+    array_intersect over only the *rare* remainder.  Small vocabularies
+    (word tokens; shingles of a templated corpus) collapse entirely into
+    the mask — empty rare arrays, pure-popcount rescore; web-scale
+    vocabularies keep the top-1024 hybrid, where Zipf keeps rare arrays
+    short.
     """
     if toks_expr is None:
         toks_expr = _TOKS()
-    d = docs.select("doc_id", toks_expr.alias("toks")).withColumn(
-        "nt", F.size("toks")
+    # Persist the tokenized form: freq/ranked/sig/prefix all fan out from
+    # it, and without a persist every consumer re-runs text -> token-array
+    # over the corpus (the single most expensive narrow map here).  At
+    # 100 TB the equivalent move is materializing the tokenized corpus to
+    # parquet once and running all dedup passes from it.
+    d = (
+        docs.select("doc_id", toks_expr.alias("toks"))
+        .withColumn("nt", F.size("toks"))
+        .persist()
     )
     tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))
-    freq = tok.groupBy("w").agg(F.count("*").alias("freq"))
-    # the 64 globally most frequent tokens get bitmask slots; limit-then-rank
-    # keeps the window on 64 rows (never a full-vocab single-task sort)
-    top64 = (
+    freq = tok.groupBy("w").agg(F.count("*").alias("freq")).persist()
+    # Adaptive mask width (driver-side, AQE-style): the most frequent
+    # tokens get bitmask slots, up to 16 longs = 1024 bits.  A small
+    # vocabulary (word tokens; shingles of a templated corpus) collapses
+    # ENTIRELY into the mask — rare arrays empty, rescore = pure popcount;
+    # a web-scale vocabulary keeps the top-1024 hybrid.  One tiny count()
+    # job buys the right plan shape.
+    import math as _math
+
+    n_vocab = freq.count()
+    n_slots = min(16, max(1, _math.ceil(min(n_vocab, 1024) / 64)))
+    top_bits = n_slots * 64
+    # limit-then-rank keeps the window on <= 1024 rows (never a
+    # full-vocab single-task sort)
+    topn = (
         freq.orderBy(F.col("freq").desc(), "w")
-        .limit(64)
+        .limit(top_bits)
         .withColumn(
             "bit", F.row_number().over(W.orderBy(F.col("freq").desc(), "w")) - 1
         )
         .select("w", "bit")
     )
-    vocab = freq.join(F.broadcast(top64), "w", "left")
+    vocab = freq.join(F.broadcast(topn), "w", "left")
     ranked = tok.join(vocab, "w").withColumn(
         "r",
         F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "w")),
     )
-    sig = ranked.groupBy("doc_id", "nt").agg(
+    mask_aggs = [
         F.coalesce(
             F.bit_or(
-                F.when(F.col("bit").isNotNull(), F.expr("shiftleft(1L, bit)"))
+                F.when(
+                    F.floor(F.col("bit") / 64) == s,
+                    F.expr("shiftleft(1L, CAST(bit % 64 AS INT))"),
+                )
             ),
             F.lit(0).cast("long"),
-        ).alias("mask"),
+        ).alias(f"mask{s}")
+        for s in range(n_slots)
+    ]
+    sig = ranked.groupBy("doc_id", "nt").agg(
+        *mask_aggs,
         F.sort_array(
             F.collect_list(F.when(F.col("bit").isNull(), F.col("w")))
         ).alias("rare"),
     )
     prefix = ranked.filter(
         F.col("r") <= F.col("nt") - F.ceil(_JACCARD_TAU * F.col("nt")) + 1
-    ).select("doc_id", "nt", "w")
+    ).select("doc_id", "nt", "r", "w")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (lossless): tokens are ranked in one global
+    # canonical order, so a pair matching token w at prefix positions
+    # (ra, rb) can share at most min(na-ra, nb-rb)+1 tokens; J >= tau
+    # needs overlap >= tau/(1+tau)*(na+nb).  For a qualifying pair the
+    # bound holds at its first shared prefix token, so filtering each
+    # match keeps every true pair while dropping candidates that only
+    # touch deep in their prefixes.
+    overlap_ub = (
+        F.least(
+            F.col("a.nt") - F.col("a.r"), F.col("b.nt") - F.col("b.r")
+        )
+        + 1
+    )
+    overlap_req = F.ceil(
+        (_JACCARD_TAU / (1.0 + _JACCARD_TAU))
+        * (F.col("a.nt") + F.col("b.nt"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.nt") * _JACCARD_TAU <= F.col("b.nt"))
-            & (F.col("b.nt") * _JACCARD_TAU <= F.col("a.nt")),
+            & (F.col("b.nt") * _JACCARD_TAU <= F.col("a.nt"))
+            & (overlap_ub >= overlap_req),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"),
-                    F.col("rare").alias("rare_a"), F.col("nt").alias("na"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mask").alias("mask_b"),
-                    F.col("rare").alias("rare_b"), F.col("nt").alias("nb"))
-    inter = (
-        F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
-        + F.size(F.array_intersect("rare_a", "rare_b"))
-    ).cast("int")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rare").alias("rare_a"),
+        F.col("nt").alias("na"),
+        *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rare").alias("rare_b"),
+        F.col("nt").alias("nb"),
+        *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
+    )
+    popcnt = sum(
+        F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
+        for s in range(n_slots)
+    )
+    inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast(
+        "int"
+    )
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
