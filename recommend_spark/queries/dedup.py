@@ -130,6 +130,47 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
             F.collect_list(F.when(F.col("bit").isNull(), F.col("w")))
         ).alias("rare"),
     )
+    # Degenerate-vocabulary fast path: when the whole vocabulary fits in
+    # the mask (rare arrays empty) AND the signature table is broadcast-
+    # sized, prefix filtering cannot discriminate (every token is
+    # frequent) — the candidate join materializes near-all-pairs anyway,
+    # paying shuffle + distinct for nothing.  Instead broadcast the
+    # signatures and popcount-join all pairs map-side: zero shuffle,
+    # ~5 codegen ops per pair.  Web-scale corpora (vocab > mask bits, or
+    # too many docs to broadcast) always take the prefix path below.
+    if n_vocab <= top_bits:
+        n_docs = d.count()
+        if n_docs <= 20_000:
+            sa0 = sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("nt").alias("na"),
+                *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
+            )
+            sb0 = sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("nt").alias("nb"),
+                *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
+            )
+            pc = sum(
+                F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
+                for s in range(n_slots)
+            )
+            return (
+                sa0.join(
+                    F.broadcast(sb0),
+                    (F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("na") * _JACCARD_TAU <= F.col("nb"))
+                    & (F.col("nb") * _JACCARD_TAU <= F.col("na")),
+                )
+                .withColumn("n_common", pc.cast("int"))
+                .withColumn(
+                    "jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                )
+                .filter(F.col("jaccard") >= _JACCARD_TAU)
+                .select("doc_a", "doc_b", "n_common", "jaccard")
+            )
     prefix = ranked.filter(
         F.col("r") <= F.col("nt") - F.ceil(_JACCARD_TAU * F.col("nt")) + 1
     ).select("doc_id", "nt", "r", "w")

@@ -349,3 +349,77 @@ def mm_video_frames(spark, sf_dir):
     return docs.mapInPandas(
         sample, schema="doc_id long, frame_idx int, ts_ms long, frame_hash string"
     )
+
+
+_SQL_DOT_AB = """
+  list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, 64),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+    (x, y) -> x + y)
+"""
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_DOT_AB} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id
+    ) <= 5
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Full kNN self-join: exact top-5 neighbors for EVERY vector.
+
+    Block-kernel layout: the candidate matrix (N×64 float64) ships to every
+    task; each Arrow batch of query rows computes its cosine block as 64
+    index-ordered outer-product accumulations (bit-identical to the
+    oracle's left fold) and keeps only its per-query top-5 — computed
+    exactly inside the batch because the batch sees ALL candidates.  Zero
+    shuffle: k rows per query come straight off the map.  At 100 TB the
+    candidate side is the IVF/LSH bucket (sim_ivf_topk / sim_ann_lsh);
+    this operator is their exact baseline and shares the kernel with
+    dedup_embed_cosine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    K = 5
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    b_ids = np.asarray(t["vec_id"])
+    b_mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+    def knn_blocks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            for k in range(b_mat.shape[1]):
+                acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
+            # exclude self, then top-K by (cosine DESC, neighbor_id ASC):
+            # lexsort is stable, last key primary
+            self_mask = a_ids[:, None] == b_ids[None, :]
+            acc_m = np.where(self_mask, -np.inf, acc)
+            order = np.lexsort(
+                (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
+            )[:, :K]
+            rows_q = np.repeat(a_ids, K)
+            rows_n = b_ids[order].ravel()
+            rows_c = np.take_along_axis(acc_m, order, axis=1).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q,
+                    "neighbor_id": rows_n,
+                    "cosine": rows_c,
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInPandas(
+        knn_blocks, "query_id long, neighbor_id long, cosine double"
+    )

@@ -365,3 +365,57 @@ def pipeline_corpus_stats(spark, sf_dir):
             ).alias("chars_per_tok"),
         )
     )
+
+
+@register(
+    "pipeline_events_features",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS e,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS pe
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           SUM(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)
+             AS n_sessions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(DISTINCT event_type) AS n_types
+    FROM o GROUP BY user_id
+    """,
+)
+def pipeline_events_features(spark, sf_dir):
+    """Per-user feature extraction from the event stream — the behavioral
+    half of a training-data pipeline: event counts, session counts
+    (30-minute-gap sessionization via gaps-and-islands), exact value
+    totals, event-type diversity.  One window shuffle on user_id reused by
+    the aggregate (same key), decimal-summed values.  The streaming twin
+    of the sessionization step is stream_session."""
+    from pyspark.sql import Window as W
+
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        "ts",
+        "event_id",
+        epoch_s("ts", "e"),
+    ).withColumn("pe", F.lag("e").over(w))
+    return o.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("pe").isNull() | (F.col("e") - F.col("pe") > 1800), 1
+            ).otherwise(0)
+        ).alias("n_sessions"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
