@@ -385,3 +385,74 @@ def agg_unpivot(spark, sf_dir):
         "metric",
         "val",
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sx2,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sy2
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS cov_qp,
+           ((sxy - sx * sy / n) / (n - 1))
+             / sqrt(((sx2 - sx * sx / n) / (n - 1))
+                    * ((sy2 - sy * sy / n) / (n - 1))) AS corr_qp
+    FROM s
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Sample covariance + Pearson correlation per group, hash-stable.
+
+    Built-in corr()/covar_samp() accumulate doubles in partition order and
+    never match across engines; this computes the five moments from exact
+    integer-cent sums (order-independent, one double conversion at the
+    end) and then applies one fixed float op sequence — same partial-agg
+    shuffle shape as any groupBy, bit-identical everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # integer cents FIRST (exact), products and sums in integer/decimal
+    # space, ONE double conversion at the end: a double->DECIMAL cast of a
+    # fractional product rounds halfway cases differently across engines,
+    # so fractional values must never touch a decimal cast directly.
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.sum("xc").cast("double") / 100.0).alias("sx"),
+        (F.sum("yc").cast("double") / 100.0).alias("sy"),
+        (
+            F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sxy"),
+        (
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sx2"),
+        (
+            F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    varx = (sx2 - sx * sx / n) / (n - 1)
+    vary = (sy2 - sy * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        cov.alias("cov_qp"),
+        (cov / F.sqrt(varx * vary)).alias("corr_qp"),
+    )

@@ -172,3 +172,45 @@ def rec_add_ratings(spark, sf_dir):
         .groupBy("user_id", "item_id")
         .agg(dsum("strength", "strength"))
     )
+
+
+@register(
+    "rec_popularity_topk",
+    oracle="""
+    WITH m AS (
+      SELECT l.l_partkey AS item,
+             count(DISTINCT o.o_custkey) AS n_users,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS strength
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_partkey
+    )
+    SELECT item, n_users, strength FROM m
+    WHERE n_users >= 5
+    ORDER BY strength DESC, item
+    LIMIT 10
+    """,
+)
+def rec_popularity_topk(spark, sf_dir):
+    """Popularity baseline: top-10 items by total interaction strength with
+    a minimum-audience gate — the reference's ">= 25 ratings" popularity
+    rule as a standalone recommender (the fallback every ALS deployment
+    serves to cold-start users).  Partial-agg shuffle + TakeOrderedAndProject;
+    total order (strength DESC, item) before the limit."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_users"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("strength"),
+        )
+    )
+    return (
+        m.filter(F.col("n_users") >= 5)
+        .orderBy(F.col("strength").desc(), "item")
+        .limit(10)
+    )
