@@ -362,3 +362,50 @@ def join_skew_salted(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) fact-fact join — the 100 TB layout that makes
+    the orders⋈lineitem shuffle disappear: both sides are written
+    bucketed+sorted on the join key (8 buckets here; thousands at scale),
+    so the sort-merge join reads matching buckets directly with NO
+    Exchange on either side (plan-asserted in tests/test_plans.py).
+    Tables are path-pinned under .artifacts/ (external tables in the
+    session catalog); the bucketed write itself is the one-time layout
+    cost that every subsequent join amortizes."""
+    from .scans import ART
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    for df, name, key in ((o, "orders", "o_orderkey"), (li, "lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS rs_bucketed_{name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{ART}/bucketed_{name}")
+            .mode("overwrite")
+            .saveAsTable(f"rs_bucketed_{name}")
+        )
+    ob = spark.table("rs_bucketed_orders")
+    lb = spark.table("rs_bucketed_lineitem")
+    j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

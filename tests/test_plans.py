@@ -72,3 +72,11 @@ def test_salted_join_has_no_skew_single_key(spark):
     plan = _plan(QUERIES["join_skew_salted"](spark, SF_DIR))
     # salted join must still be a hash equi-join (never nested-loop)
     assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    df = QUERIES["join_bucketed"](spark, SF_DIR)
+    plan = _plan(df)
+    # bucketed scan provides the join distribution: no shuffle below the join
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
