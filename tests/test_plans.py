@@ -52,10 +52,15 @@ def test_no_cartesian_in_bucketed_range_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, qid
 
 
-def test_jaccard_prefix_filter_avoids_cross_join(spark):
+def test_jaccard_join_never_unbounded_cartesian(spark):
+    # Two legitimate plans: the prefix-filter path (equi-join on rare
+    # tokens, no nested loop at all) or the degenerate-vocabulary fast
+    # path (BroadcastNestedLoopJoin over a guarded broadcast-sized
+    # signature table).  An unbounded CartesianProduct is never acceptable.
     plan = _plan(QUERIES["dedup_near_jaccard"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastExchange" in plan, plan[:3000]
 
 
 def test_partition_pruning_visible_in_scan(spark):
