@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     joins,
     projection,
     recommender,
+    sampling,
     scalar_fns,
     scans,
     setops,
@@ -13,6 +14,7 @@ from . import (  # noqa: F401
     sorts,
     streaming,
     text,
+    tpch,
     udfs,
     windows,
 )

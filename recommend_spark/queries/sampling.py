@@ -1,0 +1,77 @@
+"""Deterministic sampling / dataset-split operators (post-survey addition).
+
+A training-data pipeline needs reproducible splits: the same row must land
+in the same split on every run, on any cluster size, with no shuffle and no
+coordination.  Random `df.sample()` can't give that across engines (RNG
+streams are engine- and partitioning-specific), so these operators derive
+the split from a *content hash of the key*: bucket = first 6 hex digits of
+md5(key) mod 100.  That is engine-neutral (md5 is md5 everywhere), stable
+under repartitioning, and embarrassingly parallel — the 100 TB plan is a
+map-only scan, zero shuffles.
+
+At real scale you would swap md5 for xxhash64 (Spark-side only, ~10×
+faster); md5 is used here because the DuckDB oracle must reproduce the
+bucket bit-for-bit (SURVEY.md §5.3 determinism discipline).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def _bucket(key_col: str):
+    """Engine-neutral hash bucket in [0,100): first 6 md5 hex digits mod 100."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def _sql_bucket(key_expr: str) -> str:
+    return f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 6) AS BIGINT) % 100"
+
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN {_sql_bucket('o_orderkey')} < 80 THEN 'train'
+                WHEN {_sql_bucket('o_orderkey')} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM orders
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    md5(o_orderkey).  Map-only: no shuffle, no RNG state, identical on
+    1 or 1000 executors — the reproducible-split primitive every training
+    pipeline needs."""
+    o = load_table(spark, sf_dir, "orders")
+    b = _bucket("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_sql_bucket('doc_id')} < 25
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic ~25% per-stratum sample of the corpus.  Because the
+    hash is uniform and independent of `lang`, filtering bucket<25 samples
+    every stratum at the same rate without a per-group pass — contrast
+    `df.sampleBy`, which needs per-key fractions and an RNG.  Map-only at
+    any scale; the rate is exact in expectation and verified per-lang in
+    tests/test_ml_quality.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_bucket("doc_id") < 25).select("doc_id", "lang", "source")
