@@ -79,6 +79,36 @@ def test_salted_join_has_no_skew_single_key(spark):
     assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q6_predicates_reach_scan(spark):
+    # the whole point of Q6: all three predicates must prune at the parquet
+    # scan, not filter post-read
+    explained = QUERIES["tpch_q6"](spark, SF_DIR)._jdf.queryExecution().toString()
+    pushed = explained.split("PushedFilters:")[-1].splitlines()[0]
+    assert "l_shipdate" in pushed, pushed
+    assert "l_discount" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_tpch_dims_broadcast_no_cartesian(spark):
+    for qid in ("tpch_q3", "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q19"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+        assert "BroadcastHashJoin" in plan, qid
+
+
+def test_tpch_topk_plans_take_ordered(spark):
+    for qid in ("tpch_q3", "tpch_q10", "tpch_q18"):
+        assert "TakeOrderedAndProject" in _plan(QUERIES[qid](spark, SF_DIR)), qid
+
+
+def test_hash_split_is_map_only(spark):
+    # deterministic sampling must stay embarrassingly parallel: no Exchange
+    for qid in ("sample_hash_split", "sample_stratified"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{qid}: {plan[:2000]}"
+
+
 def test_bucketed_join_has_no_exchange(spark):
     df = QUERIES["join_bucketed"](spark, SF_DIR)
     plan = _plan(df)
