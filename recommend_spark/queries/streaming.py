@@ -202,6 +202,40 @@ def stream_stateful_count(spark, sf_dir):
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: each micro-batch of events joins the
+    static customer dim (stateless — no stream state, the static side is
+    re-resolvable per batch), then a streaming aggregate per market segment.
+    This is THE production enrichment shape: at 100 TB/day the dim broadcasts
+    and the join adds zero shuffle to the stream; only the tiny per-segment
+    aggregate keeps state."""
+    from ..io import load_table
+
+    cust = None
+
+    def build(stream):
+        nonlocal cust
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        return (
+            stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+        )
+
+    return run_stream(spark, sf_dir, "rs_stream_static_join", build)
+
+
+@register(
     "stream_sink_parquet",
     oracle="""
     SELECT event_type, count(*) AS cnt,
