@@ -174,6 +174,97 @@ def rec_add_ratings(spark, sf_dir):
     )
 
 
+def foldin_factors(spark, ratings, model, user_pred):
+    """Solve fold-in factors for the users selected by ``user_pred`` against
+    the frozen item factors of ``model`` (implicit-ALS normal equations with
+    the Gram trick).  Returns DataFrame(user_id int, factor array<double>).
+    Shared by the als_foldin query and its quality gate."""
+    import numpy as np
+    import pandas as pd
+
+    k = model.rank
+    alpha, lam = 1.0, _ALS_PARAMS["regParam"]
+    itf = model.itemFactors  # id:int, features:array<float>
+
+    def gram_parts(batches):
+        for pdf in batches:
+            if len(pdf):
+                Y = np.stack(pdf["features"].to_numpy()).astype("float64")
+                yield pd.DataFrame({"g": [(Y.T @ Y).ravel().tolist()]})
+
+    parts = itf.mapInPandas(gram_parts, "g array<double>").collect()
+    yty = np.sum([np.array(r.g) for r in parts], axis=0).reshape(k, k)
+
+    joined = (
+        ratings.filter(user_pred)
+        .join(itf.withColumnRenamed("id", "item_id"), "item_id")
+        .select("user_id", "strength", "features")
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        Y = np.stack(pdf["features"].to_numpy()).astype("float64")
+        r = pdf["strength"].to_numpy().astype("float64")
+        n_u = len(r)
+        A = yty + (Y.T * (alpha * r)) @ Y + lam * n_u * np.eye(k)
+        b = Y.T @ (1.0 + alpha * r)
+        x = np.linalg.solve(A, b)
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "factor": [x.tolist()]}
+        )
+
+    return joined.groupBy("user_id").applyInPandas(
+        solve, "user_id int, factor array<double>"
+    )
+
+
+@register("als_foldin")  # rows-only: factor values are ML-internal
+def als_foldin(spark, sf_dir):
+    """Incremental fold-in of users WITHOUT retraining — the fix for the
+    reference's biggest wart (upstream:engine.py § add_ratings does a full
+    ALS retrain on every POST; SURVEY.md §3.1 E3).
+
+    Math (implicit ALS, Hu-Koren-Volinsky): with item factors Y frozen, a
+    user's factor is the ridge solution
+        x_u = (YtY + Y_u^T diag(a*r_u) Y_u + lam*n_u*I)^-1  Y_u^T (1 + a*r_u)
+    using the Gram trick: the O(#items) term YtY is computed ONCE as a
+    rank x rank matrix (distributed partial Grams via mapInPandas, summed on
+    the driver — 64 doubles per partition), so each fold-in touches only the
+    items that user interacted with.  Per-user solves run distributed via
+    applyInPandas (an 8x8 system each).  At 100 TB this is the production
+    serve path: nightly full retrain, per-minute fold-in of new users.
+
+    Quality gate (tests/test_ml_quality.py): folding in a TRAINED user's own
+    interactions must reproduce their trained factor (cosine ~ 1)."""
+    ratings, model = _fit_als(spark, sf_dir)
+    itf = model.itemFactors
+    # fold in the first 10 users' interactions as if they were new arrivals
+    factors = foldin_factors(spark, ratings, model, F.col("user_id") < 10)
+
+    # score folded users against all items; top-5 unseen each
+    scored = factors.join(
+        itf.select(
+            F.col("id").alias("item_id"),
+            F.col("features").cast("array<double>").alias("y"),
+        )
+    ).select(
+        "user_id",
+        "item_id",
+        F.aggregate(
+            F.zip_with("factor", "y", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    seen = ratings.select("user_id", "item_id")
+    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    return (
+        scored.join(seen, ["user_id", "item_id"], "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "item_id", F.col("score").cast("double").alias("score"))
+    )
+
+
 @register(
     "rec_popularity_topk",
     oracle="""

@@ -133,3 +133,33 @@ def test_mm_audio_video_stub_shapes(spark):
     assert len(v) > 0
     assert all(r["frame_idx"] % 5 == 0 and r["ts_ms"] == r["frame_idx"] * 40 for r in v)
     assert all(len(r["frame_hash"]) == 16 for r in v)
+
+
+def test_als_foldin_reproduces_trained_factors(spark):
+    """Folding a trained user's own interactions into the frozen item factors
+    must land on (approximately) that user's trained factor — the normal
+    equations the trainer itself converged on."""
+    import numpy as np
+
+    from recommend_spark.queries.recommender import _fit_als, foldin_factors
+
+    ratings, model = _fit_als(spark, SF_DIR)
+    folded = {
+        r.user_id: np.array(r.factor)
+        for r in foldin_factors(
+            spark, ratings, model, F.col("user_id") < 10
+        ).collect()
+    }
+    trained = {
+        r.id: np.array(r.features, dtype="float64")
+        for r in model.userFactors.filter(F.col("id") < 10).collect()
+    }
+    assert set(folded) == set(trained)
+    cosines = [
+        float(
+            folded[u] @ trained[u]
+            / (np.linalg.norm(folded[u]) * np.linalg.norm(trained[u]))
+        )
+        for u in folded
+    ]
+    assert min(cosines) > 0.95, cosines
