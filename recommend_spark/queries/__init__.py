@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     setops,
     similarity,
     sorts,
+    sql_api,
     streaming,
     text,
     tpch,

@@ -491,3 +491,87 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     return _jaccard_pairs_exact(t, toks_expr=shingles)
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= {_JACCARD_TAU}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc_id
+    )
+    SELECT doc_id, min(lab) AS cluster_id,
+           CAST(doc_id = min(lab) AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph (token-set Jaccard >= 0.8), each doc labeled with the MIN
+    doc_id of its component — the "keep one representative per duplicate
+    cluster" primitive of corpus cleaning (pairs alone under-delete when
+    A~B and B~C but A!~C).
+
+    Spark side: min-label propagation to fixpoint — per round, every node
+    takes the min of its own and its neighbors' labels (one join + one
+    groupBy per round; rounds = graph diameter, which for near-dup clusters
+    is tiny).  Converged labels are a unique fixpoint, hence hash-stable.
+    At 100 TB-scale graphs you would swap the loop body for the
+    alternating large/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce"), which converge in O(log n) rounds on the
+    same join primitive; the per-round dataflow shape is identical.
+    The DuckDB oracle computes the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_exact(docs).select("doc_a", "doc_b")
+    # localCheckpoint (not just persist): each round's plan would otherwise
+    # embed the whole similarity-join pipeline PLUS every prior round —
+    # lineage grows without bound and the driver OOMs just *printing* the
+    # plan.  Truncating lineage per round keeps the plan O(1) in rounds;
+    # same move a 100 TB run needs (checkpoint to cluster storage there).
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    lab = docs.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    while True:
+        nbr = (
+            edges.join(lab, edges.dst == lab.doc_id)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_lab = (
+            lab.join(nbr, lab.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select(
+        "doc_id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lab")).alias("is_keeper"),
+    )
