@@ -285,3 +285,42 @@ def fn_hash(spark, sf_dir):
         F.base64(F.encode("p_name", "UTF-8")).alias("b64"),
         F.length(F.md5("p_name")).alias("md5_len"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT p_partkey,
+           struct_pack(brand := p_brand, sz := p_size).brand AS s_brand,
+           struct_pack(brand := p_brand, sz := p_size).sz + 1 AS s_size_plus,
+           list_value(struct_pack(t := p_type, rp := p_retailprice),
+                      struct_pack(t := upper(p_type), rp := p_retailprice * 2))[2].t
+             AS arr_struct_t,
+           list_value(struct_pack(t := p_type, rp := p_retailprice),
+                      struct_pack(t := upper(p_type), rp := p_retailprice * 2))[2].rp
+             AS arr_struct_rp
+    FROM part
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """Struct / nested-type pack: named-struct construction, field access,
+    arithmetic on struct fields, and element_at into an array of structs —
+    the column plumbing typed multimodal metadata rides on (mm_binary_meta
+    stores codec/shape info exactly this way).  All Catalyst built-ins;
+    nested access prunes to the touched fields at the scan."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    arr = F.array(
+        F.struct(F.col("p_type").alias("t"), F.col("p_retailprice").alias("rp")),
+        F.struct(
+            F.upper("p_type").alias("t"),
+            (F.col("p_retailprice") * 2).alias("rp"),
+        ),
+    )
+    return p.select(
+        "p_partkey",
+        s.getField("brand").alias("s_brand"),
+        (s.getField("sz") + 1).alias("s_size_plus"),
+        F.element_at(arr, 2).getField("t").alias("arr_struct_t"),
+        F.element_at(arr, 2).getField("rp").alias("arr_struct_rp"),
+    )
