@@ -456,3 +456,63 @@ def agg_corr(spark, sf_dir):
         cov.alias("cov_qp"),
         (cov / F.sqrt(varx * vary)).alias("corr_qp"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 48 HOURS
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 48 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Conversion-funnel analysis: users who viewed, then clicked within
+    48 h of their first view, then purchased within 48 h of that first
+    qualifying click — the classic ordered-sequence product-analytics
+    operator.  Each stage is an equi-join on user_id with a residual time
+    predicate plus a min-aggregate: shuffles on user_id only, stage results
+    shrink monotonically, and the per-user event history never needs to be
+    collected or sorted whole (contrast sessionize-then-scan approaches)."""
+    ev = load_table(spark, sf_dir, "events")
+    hours48 = F.expr("INTERVAL 48 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hours48))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hours48))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )

@@ -419,3 +419,72 @@ def pipeline_events_features(spark, sf_dir):
         .alias("total_value"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             len({_SQL_TOKS}) AS n_tok,
+             len(list_distinct({_SQL_TOKS})) * 1.0 / len({_SQL_TOKS}) AS uniq_ratio
+      FROM documents
+    ), gated AS (
+      SELECT * FROM t WHERE n_tok >= 12 AND uniq_ratio > 0.55
+    ), keep AS (
+      SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM gated
+    ), split AS (
+      SELECT lang, n_tok,
+             CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keep WHERE rn = 1
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / count(*) AS avg_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """End-to-end training-data preparation in ONE declarative plan:
+    quality gate (length + type-token ratio) → exact dedup keeper →
+    deterministic md5-bucket train/val/test split → per-(split, lang)
+    token accounting.  This is the composed shape of the LLM-pipeline
+    mandate: every stage is a narrow map or one keyed shuffle, no stage
+    materializes the corpus twice, and the split is reproducible on any
+    cluster (see sample_hash_split).  Token sums are exact integers; the
+    average is one IEEE division — hash-stable with no rounding."""
+    from .sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tok.alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("uniq_ratio"),
+    ).filter((F.col("n_tok") >= 12) & (F.col("uniq_ratio") > 0.55))
+    keep = (
+        gated.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    b = _bucket("doc_id")
+    split = keep.select(
+        "lang",
+        "n_tok",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
