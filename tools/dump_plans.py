@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for headline queries.
+
+Run from the repo root: ``python tools/dump_plans.py``.  Each plan's
+interesting property is noted above its block; the same properties are
+asserted mechanically in tests/test_plans.py — this file exists so a human
+can read the plans without running Spark.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from recommend_spark.queries import QUERIES  # noqa: E402
+from recommend_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+HEADLINE = {
+    "tpch_q6": "all three predicates pushed to the parquet scan; single partial+final agg",
+    "tpch_q3": "broadcast dims, pushed date filters, TakeOrderedAndProject top-10",
+    "join_broadcast": "dim chain broadcast: fact side never shuffles",
+    "join_bucketed": "co-located bucketed SMJ: zero Exchange below the join",
+    "win_topk_per_group": "rank-filter recognized as WindowGroupLimit (partial top-k before shuffle)",
+    "sample_hash_split": "deterministic split is map-only: no Exchange anywhere",
+    "agg_count_avg": "hash aggregate with map-side partial aggregation",
+    "sim_knn_join": "zero-shuffle block kernel for exact kNN",
+}
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — physical plans of headline queries (sf0.01, AQE on)",
+        "",
+        "Regenerate: `python tools/dump_plans.py` (this file is its output).",
+        "What to look for per plan is noted above each block; the same",
+        "properties are asserted mechanically in `tests/test_plans.py`.",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for qid, note in HEADLINE.items():
+        df = QUERIES[qid](spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        out.append(f"## {qid}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
+        "\n".join(out)
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
