@@ -516,3 +516,50 @@ def events_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "agg_stddev_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS s1,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s2
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) AS var_samp,
+           sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS stddev_samp
+    FROM m
+    """,
+)
+def agg_stddev_exact(spark, sf_dir):
+    """Hash-stable per-group variance/stddev: built-in stddev_samp is
+    summation-order dependent (Welford partials merge in shuffle order), so
+    this computes EXACT integer-cent moments — associative, order-free —
+    then derives the statistics with one fixed IEEE expression both engines
+    evaluate identically (the agg_corr recipe: one double conversion at the
+    end, never a fractional-decimal cast).  Same two-phase hash-agg shuffle
+    as any grouped sum — the general recipe for deterministic second-order
+    statistics at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", xc.alias("xc"))
+    m = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.sum("xc").cast("double") / 100.0).alias("s1"),
+        (
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("s2"),
+    )
+    var = (
+        F.col("s2") - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    ) / (F.col("n") - 1)
+    return m.select(
+        "l_returnflag", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    )

@@ -423,3 +423,42 @@ def sim_knn_join(spark, sf_dir):
     return e.mapInPandas(
         knn_blocks, "query_id long, neighbor_id long, cosine double"
     )
+
+
+@register(
+    "mm_embed_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS maxabs
+      FROM embeddings
+    )
+    SELECT e.vec_id, m.label,
+           m.maxabs / 127 AS scale,
+           list_transform(e.embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / m.maxabs)
+                                    AS INT)) AS qvec
+    FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+    """,
+)
+def mm_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    vector-infrastructure op that shrinks an ANN index 4× (float32 → int8).
+    Per vector: scale = max|x| / 127, q_i = floor(x_i · 127 / max|x|).
+    floor (not round) by spec: round()'s half-way rule differs across
+    engines, floor does not.  Map-only — each vector quantizes
+    independently, no shuffle at any scale; floats are cast to double
+    before arithmetic so both engines run the same IEEE ops (FIXTURES.md
+    Q5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    return emb.select(
+        "vec_id",
+        "label",
+        (maxabs / 127).alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.floor(xd(x) * 127 / maxabs).cast("int")
+        ).alias("qvec"),
+    )

@@ -230,3 +230,64 @@ def win_first_last(spark, sf_dir):
         F.last("l_extendedprice").over(w).alias("last_price"),
         F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sess AS (
+      SELECT *, CAST(SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM marked
+    )
+    SELECT event_id, user_id, session_idx,
+           CAST(row_number() OVER (
+             PARTITION BY user_id, session_idx ORDER BY us, event_id
+           ) AS INT) AS session_seq
+    FROM sess
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    """Per-event session assignment (gaps-and-islands): a new session starts
+    after a >30-minute silence; each event gets (session_idx, session_seq).
+    This is the batch sessionizer behind per-session features — one
+    partition-by-user shuffle, two window passes, integer-microsecond gap
+    math so both engines compare exact integers (never float seconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(w2).cast("long")
+    )
+    w3 = W.partitionBy("user_id", "session_idx").orderBy("us", "event_id")
+    return sess.select(
+        "event_id",
+        "user_id",
+        "session_idx",
+        F.row_number().over(w3).alias("session_seq"),
+    )
