@@ -199,3 +199,89 @@ def scan_partitioned_prune(spark, sf_dir):
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: two parquet batches written with different
+    column sets (the second adds o_orderpriority), unified by
+    mergeSchema=true — rows from the old batch surface the new column as
+    NULL.  This is the data-lake reality of any long-lived 100 TB table:
+    schemas widen over time and the scan must reconcile footers per file,
+    never rewrite history.  Batches are path-pinned per sf_dir and
+    immutable once written."""
+    from pathlib import Path
+
+    root = Path(ART) / f"schema_evo_{Path(sf_dir).name}"
+    if not (root / "_DONE").exists():
+        o = load_table(spark, sf_dir, "orders")
+        # "old" batch: even keys, original narrow schema
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(str(root / "data" / "batch=0"))
+        # "new" batch: odd keys, widened schema
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(str(root / "data" / "batch=1"))
+        (root / "_DONE").touch()
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(root / "data"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH incoming AS (
+      SELECT * FROM (VALUES
+        (1, 99999.99, 'UPSERTED'), (2, 88888.88, 'UPSERTED'),
+        (900000001, 11111.11, 'INSERTED')
+      ) AS t(o_orderkey, o_totalprice, o_orderstatus)
+    ), merged AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM incoming
+      UNION ALL
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+      FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM merged
+    """,
+)
+def sink_merge_upsert(spark, sf_dir):
+    """Key-based MERGE (upsert) into a parquet-backed table, no Delta/
+    Iceberg required: incoming rows replace base rows on o_orderkey,
+    unmatched keys insert.  Plan shape = broadcast anti-join of the (small)
+    incoming set against the base + union — the base table shuffles
+    nothing.  The merged state is written and re-read (a genuine sink
+    round-trip), and the oracle checks the post-merge table contents.
+    At 100 TB the identical plan writes only the partitions whose keys
+    appear in `incoming` (dynamic partition overwrite)."""
+    from pathlib import Path
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, 99999.99, "UPSERTED"),
+            (2, 88888.88, "UPSERTED"),
+            (900000001, 11111.11, "INSERTED"),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    merged = incoming.unionByName(
+        base.join(F.broadcast(incoming.select("o_orderkey")), "o_orderkey", "left_anti")
+    )
+    out = Path(ART) / f"merge_upsert_{Path(sf_dir).name}"
+    merged.write.mode("overwrite").parquet(str(out))
+    return spark.read.parquet(str(out))
