@@ -434,3 +434,55 @@ def join_bucketed(spark, sf_dir):
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES
+        ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'mid'),
+        ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low')
+      ) AS t(priority, tier)
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority, d.tier
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.priority
+    WHERE d.tier = 'high'
+    """,
+)
+def join_partition_pruned(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is hive-partitioned on the
+    join key; the dim side's `tier = 'high'` filter is turned into a runtime
+    subquery on the fact's PARTITION column, so non-qualifying partitions
+    are never opened even though the qualifying set is only known at run
+    time.  This is the star-schema scan-killer at 100 TB (static pruning
+    can't help — the predicate is on the dim).  Plan-asserted in
+    tests/test_plans.py (`dynamicpruning` in PartitionFilters)."""
+    from pathlib import Path
+
+    from .scans import ART
+
+    root = Path(ART) / f"orders_by_priority_{Path(sf_dir).name}"
+    if not (root / "_DONE").exists():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            str(root / "data")
+        )
+        (root / "_DONE").touch()
+    fact = spark.read.parquet(str(root / "data"))
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "mid"),
+            ("4-NOT SPECIFIED", "low"), ("5-LOW", "low"),
+        ],
+        "priority string, tier string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("tier") == "high")),
+            fact.o_orderpriority == F.col("priority"),
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "tier")
+    )

@@ -288,3 +288,81 @@ def stream_sink_parquet(spark, sf_dir):
     return sunk.groupBy("event_type").agg(
         F.count("*").alias("cnt"), dsum("value", "sum_value")
     )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert_latest(spark, sf_dir):
+    """CDC-style streaming materialization: maintain a latest-event-per-user
+    table via foreachBatch MERGE — per micro-batch, the incoming rows are
+    merged into the parquet state table keyed on user_id, keeping the row
+    with the max (ts, event_id).  Write-stage-then-rename keeps each merge
+    atomic (at production scale a Delta/Iceberg MERGE replaces the rename).
+    Because last-writer-wins under a TOTAL order, the final table equals
+    the batch latest-per-key query regardless of micro-batch boundaries —
+    which is exactly what the oracle checks."""
+    import shutil
+    from pathlib import Path
+
+    from ..streaming.replay import ART, EVENTS_SCHEMA, materialize_chunks
+
+    state = ART / "stream_upsert_latest"
+    chk = ART / "chk_stream_upsert_latest"
+    for p in (state, chk):
+        if p.exists():
+            shutil.rmtree(p)
+    src = materialize_chunks(spark, sf_dir)
+
+    cols = ["user_id", "event_id", "ts", "value"]
+
+    def merge_batch(batch_df, batch_id: int):
+        batch = batch_df.select(*cols)
+        cur = state / "cur"
+        if cur.exists():
+            batch = batch.unionByName(spark.read.parquet(str(cur)))
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = state / f"tmp_{batch_id}"
+        latest.write.mode("overwrite").parquet(str(tmp))
+        if cur.exists():
+            shutil.rmtree(cur)
+        tmp.rename(cur)
+
+    from pyspark.sql import Window as W  # noqa: F811  (local import for clarity)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(state / "cur")).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

@@ -102,6 +102,13 @@ def test_tpch_topk_plans_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(QUERIES[qid](spark, SF_DIR)), qid
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    # the dim-side filter must become a runtime subquery on the fact's
+    # partition column — partitions are pruned at execution, not parse time
+    explained = QUERIES["join_partition_pruned"](spark, SF_DIR)._jdf.queryExecution().toString()
+    assert "dynamicpruning" in explained, explained[-3000:]
+
+
 def test_hash_split_is_map_only(spark):
     # deterministic sampling must stay embarrassingly parallel: no Exchange
     for qid in ("sample_hash_split", "sample_stratified"):
