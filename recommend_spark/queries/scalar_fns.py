@@ -324,3 +324,33 @@ def fn_struct(spark, sf_dir):
         F.element_at(arr, 2).getField("t").alias("arr_struct_t"),
         F.element_at(arr, 2).getField("rp").alias("arr_struct_rp"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 12 AS b_and,
+           p_size | 5 AS b_or,
+           xor(p_size, 7) AS b_xor,
+           p_size << 2 AS b_shl,
+           p_size >> 1 AS b_shr,
+           bit_count(CAST(p_size AS BIGINT)) AS b_pop
+    FROM part
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise pack: and/or/xor, shifts, popcount — the primitives under
+    bitmask bucketing, bloom membership, and the dedup pipeline's own
+    popcount rescore.  Pure codegen'd integer ops."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        s.bitwiseAND(12).alias("b_and"),
+        s.bitwiseOR(5).alias("b_or"),
+        s.bitwiseXOR(7).alias("b_xor"),
+        F.shiftleft(s, 2).alias("b_shl"),
+        F.shiftright(s, 1).alias("b_shr"),
+        F.bit_count(s.cast("long")).alias("b_pop"),
+    )

@@ -291,3 +291,54 @@ def win_sessionize(spark, sf_dir):
         "session_idx",
         F.row_number().over(w3).alias("session_seq"),
     )
+
+
+@register(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), g AS (
+      SELECT user_id, d,
+             CAST(d - (row_number() OVER (PARTITION BY user_id ORDER BY d))
+                  * INTERVAL 1 DAY AS DATE) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS len,
+             strftime(min(d), '%Y-%m-%d') AS streak_start
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY len DESC, streak_start
+      ) AS rn FROM runs
+    ) WHERE rn = 1
+    """,
+)
+def win_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands date variant: distinct active days, island key =
+    day − row_number (consecutive days share it), per-island length, then
+    top-1 per user with a deterministic tie-break (earliest streak).
+    Two keyed shuffles (distinct, island groupBy) + one WindowGroupLimit
+    pass — no per-user history ever assembles in one place."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    g = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
+    )

@@ -66,3 +66,39 @@ def test_null_comparison_three_valued(spark, a):
     ne = da.filter(F.col("v") != 0).count()
     # rows with NULL v satisfy neither predicate
     assert eq + ne == len(a) - n_null
+
+
+def test_hash_split_stable_under_repartition(spark):
+    """Split membership must be a pure function of the key: recomputing the
+    assignment on an arbitrarily repartitioned input may not move a single
+    row between splits."""
+    from recommend_spark.io import load_table
+    from tests.conftest import SF_DIR
+    from recommend_spark.queries.sampling import _bucket
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    a = {r.o_orderkey: r.b for r in o.select("o_orderkey", _bucket("o_orderkey").alias("b")).collect()}
+    b = {
+        r.o_orderkey: r.b
+        for r in o.repartition(7, "o_orderkey")
+        .select("o_orderkey", _bucket("o_orderkey").alias("b"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_hash_split_fractions_near_nominal(spark):
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    counts = {
+        r.split: r.n
+        for r in QUERIES["sample_hash_split"](spark, SF_DIR)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.80) < 0.05
+    assert abs(counts["val"] / total - 0.10) < 0.05
+    assert abs(counts["test"] / total - 0.10) < 0.05
