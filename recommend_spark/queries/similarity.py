@@ -462,3 +462,26 @@ def mm_embed_quantize(spark, sf_dir):
             "embedding", lambda x: F.floor(xd(x) * 127 / maxabs).cast("int")
         ).alias("qvec"),
     )
+
+
+@register("mm_embed_kmeans")  # rows-only: centroid values are ML-internal
+def mm_embed_kmeans(spark, sf_dir):
+    """K-means clustering of the embedding column (k=10, fixed seed) — the
+    coarse quantizer that IVF indexing (sim_ivf_topk), dataset curation
+    (cluster-balanced sampling), and near-dup blocking all build on.
+    ml.clustering.KMeans runs Lloyd's iterations as joint map-side
+    assignment + reduce-side centroid means — each iteration is one
+    partial-agg shuffle of k×dim floats, never the points.  Emits
+    (vec_id, label, cluster) assignments; the cluster↔label agreement
+    quality gate lives in tests/test_ml_quality.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=20).fit(vecs)
+    return model.transform(vecs).select(
+        "vec_id", "label", F.col("prediction").alias("cluster")
+    )

@@ -163,3 +163,39 @@ def test_als_foldin_reproduces_trained_factors(spark):
         for u in folded
     ]
     assert min(cosines) > 0.95, cosines
+
+
+def test_kmeans_quality_and_determinism(spark):
+    """The fixture's labels carry NO geometric signal (within-label cosine ==
+    cross-label cosine == 0, verified), so purity is not a meaningful gate.
+    What must hold: k distinct non-degenerate clusters, a deterministic
+    seeded assignment, and a k-means objective meaningfully below the
+    single-centroid baseline (total variance)."""
+    import numpy as np
+
+    rows = QUERIES["mm_embed_kmeans"](spark, SF_DIR).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    assert len(sizes) == 10
+    assert min(sizes.values()) >= 5, sizes  # no collapsed clusters
+
+    rows2 = QUERIES["mm_embed_kmeans"](spark, SF_DIR).collect()
+    assert {(r.vec_id, r.cluster) for r in rows} == {
+        (r.vec_id, r.cluster) for r in rows2
+    }
+
+    from recommend_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    X = np.stack([np.array(r.embedding) for r in emb])
+    baseline = ((X - X.mean(axis=0)) ** 2).sum()
+    by_cluster = {}
+    cl = {r.vec_id: r.cluster for r in rows}
+    for r in emb:
+        by_cluster.setdefault(cl[r.vec_id], []).append(np.array(r.embedding))
+    cost = sum(
+        ((np.stack(v) - np.stack(v).mean(axis=0)) ** 2).sum()
+        for v in by_cluster.values()
+    )
+    assert cost < 0.97 * baseline, (cost, baseline)
