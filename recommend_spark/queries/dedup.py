@@ -66,7 +66,10 @@ def _pairs_artifact(spark, sf_dir, variant, build):
 
     from .scans import ART
 
-    root = Path(ART) / f"jaccard_pairs_{variant}_{Path(sf_dir).name}"
+    # bump when the pair pipeline's semantics change: stale artifacts from
+    # an older code version must never serve a newer engine
+    version = "v1"
+    root = Path(ART) / f"jaccard_pairs_{version}_{variant}_{Path(sf_dir).name}"
     if not (root / "_DONE").exists():
         build().write.mode("overwrite").parquet(str(root / "data"))
         (root / "_DONE").touch()
