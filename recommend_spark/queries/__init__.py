@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     joins,
     projection,

@@ -1,0 +1,132 @@
+"""Event-analytics operators (post-survey §2.13 additions).
+
+Product-analytics shapes every event pipeline ships alongside funnels and
+sessionization (events_funnel / win_sessionize): cohort retention and
+statistical anomaly flagging over daily volumes.  Both are pure Catalyst
+built-ins, two shuffles each, and both follow the exact-integer-moment
+discipline of agg_stddev_exact so the doubles they emit are bit-identical
+across engines (SURVEY.md §5.3).
+
+Scale notes (100 TB): both queries aggregate events down to tiny keyed
+summaries before any join — cohort retention shuffles once on user_id (the
+natural events partitioning key) then once on the ~|weeks|² matrix;
+anomaly detection reduces to |event_type| × |days| rows before the
+per-type moment join, which is broadcast-sized at any corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), sizes AS (
+      SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cw, a.w) // 7 AS INT) AS week_no,
+           count(DISTINCT a.user_id) AS n_active,
+           CAST(count(DISTINCT a.user_id) AS DOUBLE) / any_value(s.cohort_size)
+             AS retention
+    FROM active a JOIN cohort c USING (user_id) JOIN sizes s ON c.cw = s.cw
+    GROUP BY c.cw, date_diff('day', c.cw, a.w) // 7
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    per week-offset of later activity, with the retained fraction.
+
+    Classic product-analytics query: first a per-user min(ts) (one shuffle on
+    user_id), then distinct (user, week) activity, then a count-distinct per
+    (cohort, offset) cell.  The retained fraction is n_active / cohort_size —
+    a single IEEE division of two exact integers, so it hash-matches without
+    rounding.  Week truncation is ISO-Monday in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    return (
+        active.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cw")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_no"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            (
+                F.countDistinct("user_id").cast("double")
+                / F.first("cohort_size")
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS dday, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS q
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           strftime(d.dday, '%Y-%m-%d') AS eday,
+           d.cnt,
+           (d.cnt - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt((m.n * m.q - m.s * m.s) / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+             AS zscore
+    FROM d JOIN m USING (event_type)
+    WHERE (d.cnt - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt((m.n * m.q - m.s * m.s) / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+          > 1.5
+    """,
+)
+def events_anomaly_days(spark, sf_dir):
+    """Volume-anomaly days: per event type, flag days whose event count sits
+    more than 1.5 sample standard deviations above that type's daily mean.
+
+    The moments (n, Σc, Σc²) are exact BIGINT sums of integer counts — the
+    agg_stddev_exact trick — so mean, variance, and the z-score are each one
+    correctly-rounded IEEE op from exact integers and hash-match bit-for-bit
+    (no round(), per canon.ident's finding).  Plan: daily pre-aggregation
+    (partial+final), then a broadcast join of the ~|event_type| moment rows
+    back onto the daily grid — no second full shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("dday")
+    ).agg(F.count("*").alias("cnt"))
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+    )
+    z = (F.col("cnt") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.col("zscore") > 1.5)
+        .select(
+            "event_type",
+            F.date_format("dday", "yyyy-MM-dd").alias("eday"),
+            "cnt",
+            "zscore",
+        )
+    )

@@ -266,6 +266,90 @@ def als_foldin(spark, sf_dir):
 
 
 @register(
+    "rec_item_item",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), n AS (
+      SELECT i, count(*) AS n_users FROM b GROUP BY i
+    ), p AS (
+      SELECT a.i AS item_a, b2.i AS item_b, count(*) AS cooc
+      FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT item_a, item_b, cooc FROM p
+      UNION ALL
+      SELECT item_b, item_a, cooc FROM p
+    ), scored AS (
+      SELECT s.item_a, s.item_b, s.cooc,
+             s.cooc / sqrt(CAST(na.n_users * nb.n_users AS DOUBLE)) AS cos_sim
+      FROM sym s
+      JOIN n na ON s.item_a = na.i
+      JOIN n nb ON s.item_b = nb.i
+      WHERE s.cooc >= 3
+    )
+    SELECT item_a, item_b, cooc, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY item_a ORDER BY cos_sim DESC, item_b) <= 5
+    """,
+)
+def rec_item_item(spark, sf_dir):
+    """Item-item collaborative filtering: cosine similarity over the binary
+    user-item co-occurrence matrix, top-5 neighbors per item — the classic
+    memory-based recommender (the serving-side complement to ALS: neighbor
+    lists are precomputed batch-side and looked up at request time, which is
+    what the reference's predictAll+join pipeline approximates).
+
+    cos(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) — all three terms exact
+    integers, so the one division + sqrt is bit-deterministic (no rounding).
+    Plan: distinct baskets (one shuffle on user), per-user pair expansion via
+    self-join on user (AQE handles basket skew), count shuffle on the pair,
+    then the top-k window.  At 100 TB the standard guards apply: cap basket
+    length (drop hyper-active users, who add quadratic pairs but no signal)
+    and min-count prune (cooc >= 3 here) before scoring; both are the
+    published item-CF production recipe."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n = b.groupBy("i").agg(F.count("*").alias("n_users"))
+    a2, b2 = b.alias("a"), b.alias("b2")
+    p = (
+        a2.join(b2, (F.col("a.u") == F.col("b2.u")) & (F.col("a.i") < F.col("b2.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b2.i").alias("item_b"))
+        .agg(F.count("*").alias("cooc"))
+    )
+    sym = p.unionByName(
+        p.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "cooc",
+        )
+    )
+    na = n.select(F.col("i").alias("item_a"), F.col("n_users").alias("na"))
+    nb = n.select(F.col("i").alias("item_b"), F.col("n_users").alias("nb"))
+    scored = (
+        sym.filter(F.col("cooc") >= 3)
+        .join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .withColumn(
+            "cos_sim",
+            F.col("cooc") / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+    )
+    w = W.partitionBy("item_a").orderBy(F.col("cos_sim").desc(), "item_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("item_a", "item_b", "cooc", "cos_sim")
+    )
+
+
+@register(
     "rec_popularity_topk",
     oracle="""
     WITH m AS (

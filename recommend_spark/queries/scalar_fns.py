@@ -354,3 +354,56 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(s, 1).alias("b_shr"),
         F.bit_count(s.cast("long")).alias("b_pop"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+               || '?lang=' || lang || '&v=' || (doc_id % 7) || '#top' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(url, '://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS upath,
+           regexp_extract(url, '[?]([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS q_lang
+    FROM u
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL parsing pack: scheme/host/path/query/fragment/param extraction
+    from URLs synthesized off the documents table (crawl pipelines spend a
+    lot of cycles here — canonicalizing source URLs before dedup).
+
+    Implemented with RE2-safe regexes (no lookaround/backrefs) so the same
+    patterns run in Spark's Java regex and DuckDB's RE2 with identical
+    results.  Spark's builtin ``parse_url()`` is the production alternative;
+    the regex form is used so the oracle reproduces it bit-for-bit.  All
+    codegen'd row-local string ops — map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#top"),
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"://[^/?#]+(/[^?#]*)", 1).alias("upath"),
+        F.regexp_extract("url", r"[?]([^#]*)", 1).alias("query"),
+        F.regexp_extract("url", r"#(.*)$", 1).alias("fragment"),
+        F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("q_lang"),
+    )
