@@ -486,3 +486,108 @@ def join_partition_pruned(spark, sf_dir):
         )
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "tier")
     )
+
+
+_BLOOM_M = 4096  # bits (64 longs); |keys| ~ m/13 at sf0.01 -> ~1% FP with k=3
+_BLOOM_K = 3
+
+
+@register(
+    "join_bloom_filter",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), j AS (
+      SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j
+    ), setbits AS (
+      SELECT CAST('0x' || substring(
+               md5(CAST(k AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+             % {_BLOOM_M} AS bitpos
+      FROM keys CROSS JOIN j
+    ), slots AS (
+      SELECT bitpos // 32 AS slot,
+             bit_or(CAST(1 AS BIGINT) << CAST(bitpos % 32 AS INT)) AS bits
+      FROM setbits GROUP BY bitpos // 32
+    ), probe AS (
+      SELECT o_orderkey, o_custkey,
+             CAST('0x' || substring(
+               md5(CAST(o_custkey AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+             % {_BLOOM_M} AS bitpos
+      FROM orders CROSS JOIN j
+    ), hit AS (
+      SELECT p.o_orderkey, p.o_custkey
+      FROM probe p JOIN slots s ON p.bitpos // 32 = s.slot
+      WHERE (s.bits >> CAST(p.bitpos % 32 AS INT)) & 1 = 1
+      GROUP BY p.o_orderkey, p.o_custkey
+      HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT h.o_orderkey, (kk.k IS NOT NULL) AS is_member
+    FROM hit h LEFT JOIN (SELECT DISTINCT k FROM keys) kk ON h.o_custkey = kk.k
+    """,
+)
+def join_bloom_filter(spark, sf_dir):
+    """Bloom-filter pre-join: hash the build side's keys (BUILDING-segment
+    customers) into a 4096-bit / k=3 bloom filter, then pass
+    only the orders whose custkey clears every bit — the runtime-filter
+    pattern Spark itself applies as InBloomFilter/DPP, built explicitly
+    from engine-neutral md5 bits so the oracle reproduces it.
+
+    The filter compresses an arbitrary build side into 128 BIGINT slots (32 bits
+    each — shifts capped below 32 because DuckDB rejects 1<<63 on BIGINT) that
+    broadcast to every task; at 100 TB this is what lets a selective dim
+    predicate prune a fact scan WITHOUT shuffling the fact on the join key
+    (the surviving ~1% then takes the real join).  The emitted is_member
+    flag distinguishes true members from bloom false positives — the FP
+    rate is the quality gate in tests."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    jj = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def bitpos(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key_col.cast("string"),
+                            F.lit("#"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    slots = (
+        keys.crossJoin(F.broadcast(jj))
+        .select(bitpos(F.col("k")).alias("bitpos"))
+        .groupBy(F.expr("bitpos DIV 32").alias("slot"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(bitpos % 32 AS INT))")
+            ).alias("bits")
+        )
+    )
+    probe = o.crossJoin(F.broadcast(jj)).select(
+        "o_orderkey", "o_custkey", bitpos(F.col("o_custkey")).alias("bitpos")
+    )
+    hit = (
+        probe.join(F.broadcast(slots), F.expr("bitpos DIV 32") == F.col("slot"))
+        .filter(F.expr("(shiftright(bits, CAST(bitpos % 32 AS INT)) & 1) = 1"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == _BLOOM_K)
+    )
+    kk = keys.distinct().withColumnRenamed("k", "kk")
+    return (
+        hit.join(F.broadcast(kk), hit.o_custkey == F.col("kk"), "left")
+        .select("o_orderkey", F.col("kk").isNotNull().alias("is_member"))
+    )

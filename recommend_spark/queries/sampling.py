@@ -75,3 +75,33 @@ def sample_stratified(spark, sf_dir):
     tests/test_ml_quality.py."""
     d = load_table(spark, sf_dir, "documents")
     return d.filter(_bucket("doc_id") < 25).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           least(1.0, o_totalprice / 400000.0) AS keep_prob
+    FROM orders
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) / 4294967296.0
+          < least(1.0, o_totalprice / 400000.0)
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample: each order survives with
+    probability proportional to its value (importance sampling for training
+    mixes — upweight rare high-value rows without an RNG).  The uniform
+    draw is md5(key)'s first 32 bits / 2^32 — engine-neutral, repartition-
+    stable, map-only; the same hash-as-uniform trick as sample_hash_split
+    with a per-row threshold instead of a global one."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    p = F.least(F.lit(1.0), F.col("o_totalprice") / 400000.0)
+    return o.filter(u < p).select(
+        "o_orderkey", "o_totalprice", p.alias("keep_prob")
+    )

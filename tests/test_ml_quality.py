@@ -199,3 +199,34 @@ def test_kmeans_quality_and_determinism(spark):
         for v in by_cluster.values()
     )
     assert cost < 0.97 * baseline, (cost, baseline)
+
+
+def test_minhash_banded_recall_vs_exact(spark):
+    """The SQL-expressible banding (8 bands x 2 rows) must recover nearly
+    every exact J>=0.8 pair; theory says 99.97% at the threshold."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_near_jaccard"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_banded"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain J>=0.8 pairs"
+    recall = len(exact & banded) / len(exact)
+    assert recall >= 0.98, f"banded minhash recall {recall:.3f} < 0.98"
+    # rescore keeps banding precision at 1.0: no pair below threshold
+    assert banded <= exact or all(
+        p in exact for p in banded
+    ), "rescored banded pairs must all be true J>=0.8 pairs"
+
+
+def test_bloom_filter_fp_rate(spark):
+    """k=3 / 4096-bit bloom at the fixture load factor must stay under ~5%
+    false positives while passing every true member (no false negatives)."""
+    rows = QUERIES["join_bloom_filter"](spark, SF_DIR).collect()
+    n_pass = len(rows)
+    n_member = sum(1 for r in rows if r["is_member"])
+    assert n_member > 0, "bloom must pass the true members"
+    fp_rate = (n_pass - n_member) / max(1, n_pass)
+    assert fp_rate < 0.05, f"bloom FP rate {fp_rate:.3f} too high"
