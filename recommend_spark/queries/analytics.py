@@ -130,3 +130,55 @@ def events_anomaly_days(spark, sf_dir):
             "zscore",
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n_trans
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), tot AS (
+      SELECT from_type, sum(n_trans) AS n_from FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_trans,
+           CAST(c.n_trans AS DOUBLE) / tot.n_from AS prob
+    FROM c JOIN tot USING (from_type)
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral-model fixture under
+    next-event prediction and funnel-drop analysis.
+
+    lead() over (user, ts, event_id) orders each user's timeline with a
+    total tie-break; transition counts are exact ints and the row
+    probability is one IEEE division, so it hash-matches unrounded.  One
+    shuffle on user_id (the window), then a tiny |types|^2 aggregate —
+    constant-size state at any event volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    c = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    tot = c.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .withColumn(
+            "prob", F.col("n_trans").cast("double") / F.col("n_from")
+        )
+        .select("from_type", "to_type", "n_trans", "prob")
+    )

@@ -85,35 +85,25 @@ def _word_pairs_cached(spark, sf_dir):
     )
 
 
-def _jaccard_pairs_exact(docs, toks_expr=None):
-    """EXACT Jaccard-similar pairs (J >= tau): prefix-filtered candidates,
-    bitmask-hybrid rescore.  ``toks_expr`` selects the set representation
-    (default: distinct lowercase word tokens; dedup_ngram_jaccard passes
-    word-bigram shingles) — the whole prefix/mask pipeline is set-agnostic.
+def _token_sigs(docs, toks_expr):
+    """Tokenized corpus + compact rescore signatures, shared by the exact
+    prefix pipeline (_jaccard_pairs_exact) and the banded rescore
+    (dedup_minhash_banded).
 
-    Candidates — prefix filtering: with tokens in a canonical global order
-    (ascending document frequency, then token), two sets with J >= tau must
-    share a token within each one's prefix of length n - ceil(tau*n) + 1, so
-    the candidate self-join shuffles on rare tokens only.  A length filter
-    (J >= tau ⇒ tau·max(na,nb) <= min(na,nb)) prunes further at join time.
+    Persists the tokenized form: freq/ranked/sig/prefix all fan out from
+    it, and without a persist every consumer re-runs text -> token-array
+    over the corpus (the single most expensive narrow map here).  At
+    100 TB the equivalent move is materializing the tokenized corpus to
+    parquet once and running all dedup passes from it.
 
-    Rescore — frequent-token bitmask + rare-token array hybrid with
-    ADAPTIVE width: the most frequent tokens map to bits of 1..16 LONGs
-    (width picked from the observed vocabulary size, AQE-style), so each
-    pair's intersection is a few bit_count(maskA & maskB) ops plus an
-    array_intersect over only the *rare* remainder.  Small vocabularies
-    (word tokens; shingles of a templated corpus) collapse entirely into
-    the mask — empty rare arrays, pure-popcount rescore; web-scale
-    vocabularies keep the top-1024 hybrid, where Zipf keeps rare arrays
-    short.
-    """
-    if toks_expr is None:
-        toks_expr = _TOKS()
-    # Persist the tokenized form: freq/ranked/sig/prefix all fan out from
-    # it, and without a persist every consumer re-runs text -> token-array
-    # over the corpus (the single most expensive narrow map here).  At
-    # 100 TB the equivalent move is materializing the tokenized corpus to
-    # parquet once and running all dedup passes from it.
+    Mask width is adaptive (driver-side, AQE-style): the most frequent
+    tokens get bitmask slots, up to 16 longs = 1024 bits.  A small
+    vocabulary (word tokens; shingles of a templated corpus) collapses
+    ENTIRELY into the mask — rare arrays empty, rescore = pure popcount;
+    a web-scale vocabulary keeps the top-1024 hybrid.  One tiny count()
+    job buys the right plan shape."""
+    import math as _math
+
     d = (
         docs.select("doc_id", toks_expr.alias("toks"))
         .withColumn("nt", F.size("toks"))
@@ -121,14 +111,6 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
     )
     tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))
     freq = tok.groupBy("w").agg(F.count("*").alias("freq")).persist()
-    # Adaptive mask width (driver-side, AQE-style): the most frequent
-    # tokens get bitmask slots, up to 16 longs = 1024 bits.  A small
-    # vocabulary (word tokens; shingles of a templated corpus) collapses
-    # ENTIRELY into the mask — rare arrays empty, rescore = pure popcount;
-    # a web-scale vocabulary keeps the top-1024 hybrid.  One tiny count()
-    # job buys the right plan shape.
-    import math as _math
-
     n_vocab = freq.count()
     n_slots = min(16, max(1, _math.ceil(min(n_vocab, 1024) / 64)))
     top_bits = n_slots * 64
@@ -165,6 +147,46 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
             F.collect_list(F.when(F.col("bit").isNull(), F.col("w")))
         ).alias("rare"),
     )
+    return dict(
+        d=d,
+        tok=tok,
+        freq=freq,
+        n_vocab=n_vocab,
+        n_slots=n_slots,
+        top_bits=top_bits,
+        ranked=ranked,
+        sig=sig,
+    )
+
+
+def _jaccard_pairs_exact(docs, toks_expr=None):
+    """EXACT Jaccard-similar pairs (J >= tau): prefix-filtered candidates,
+    bitmask-hybrid rescore.  ``toks_expr`` selects the set representation
+    (default: distinct lowercase word tokens; dedup_ngram_jaccard passes
+    word-bigram shingles) — the whole prefix/mask pipeline is set-agnostic.
+
+    Candidates — prefix filtering: with tokens in a canonical global order
+    (ascending document frequency, then token), two sets with J >= tau must
+    share a token within each one's prefix of length n - ceil(tau*n) + 1, so
+    the candidate self-join shuffles on rare tokens only.  A length filter
+    (J >= tau ⇒ tau·max(na,nb) <= min(na,nb)) prunes further at join time.
+
+    Rescore — frequent-token bitmask + rare-token array hybrid with
+    ADAPTIVE width: the most frequent tokens map to bits of 1..16 LONGs
+    (width picked from the observed vocabulary size, AQE-style), so each
+    pair's intersection is a few bit_count(maskA & maskB) ops plus an
+    array_intersect over only the *rare* remainder.  Small vocabularies
+    (word tokens; shingles of a templated corpus) collapse entirely into
+    the mask — empty rare arrays, pure-popcount rescore; web-scale
+    vocabularies keep the top-1024 hybrid, where Zipf keeps rare arrays
+    short.
+    """
+    if toks_expr is None:
+        toks_expr = _TOKS()
+    parts = _token_sigs(docs, toks_expr)
+    d, tok, freq = parts["d"], parts["tok"], parts["freq"]
+    n_vocab, n_slots = parts["n_vocab"], parts["n_slots"]
+    top_bits, ranked, sig = parts["top_bits"], parts["ranked"], parts["sig"]
     # Degenerate-vocabulary fast path: when the whole vocabulary fits in
     # the mask (rare arrays empty) AND the signature table is broadcast-
     # sized, prefix filtering cannot discriminate (every token is
@@ -709,7 +731,24 @@ def dedup_minhash_banded(spark, sf_dir):
     risk; AQE splits them, and the standard production guard (drop band
     keys with > B members, deduping those via exact-hash instead) is noted
     for 100 TB.  Recall at the J=0.8 threshold is 1-(1-J^2)^8 = 0.9997,
-    measured against dedup_near_jaccard in tests/test_ml_quality.py."""
+    measured against dedup_near_jaccard in tests/test_ml_quality.py.
+
+    Rescore shape: this corpus is boilerplate-heavy (true near-dup cliques
+    of thousands of docs), so band buckets emit tens of millions of
+    duplicated candidates at bench scale.  Rescoring joins the broadcast
+    bitmask signatures (_token_sigs) — a map-side popcount per candidate,
+    no token arrays in flight — then filters to J >= tau BEFORE the
+    distinct, so the only shuffle after banding carries true pairs (3M at
+    sf0.1), not the 49M raw candidates.  Pairs are memoized per corpus via
+    the shared parquet artifact, like the exact pipeline's."""
+
+    def build():
+        return _minhash_banded_pairs(spark, sf_dir)
+
+    return _pairs_artifact(spark, sf_dir, "minhash_band", build)
+
+
+def _minhash_banded_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
     th = tok.select("w").distinct().withColumn(
@@ -742,35 +781,46 @@ def dedup_minhash_banded(spark, sf_dir):
         ).alias("band_key")
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    d = docs.select("doc_id", _TOKS().alias("toks"))
-    da = d.select(
+    cand = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    # rescore against BROADCAST compact signatures: popcount masks + rare
+    # residual, identical math to the exact pipeline's rescore — no token
+    # arrays in flight, and the J >= tau filter runs map-side BEFORE the
+    # one distinct shuffle, so only true pairs (plus their <= 8x band
+    # duplication) ever shuffle.
+    parts = _token_sigs(docs, _TOKS())
+    sig, n_slots = parts["sig"], parts["n_slots"]
+    sa = sig.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.size(F.col("toks")).alias("na"),
+        F.col("rare").alias("rare_a"),
+        F.col("nt").alias("na"),
+        *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
     )
-    db = d.select(
+    sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.size(F.col("toks")).alias("nb"),
+        F.col("rare").alias("rare_b"),
+        F.col("nt").alias("nb"),
+        *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    popcnt = sum(
+        F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
+        for s in range(n_slots)
+    )
+    inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast("int")
     return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_common", inter)
         .withColumn(
             "jaccard",
-            inter.cast("double") / (F.col("na") + F.col("nb") - inter),
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )

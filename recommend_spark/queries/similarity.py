@@ -485,3 +485,74 @@ def mm_embed_kmeans(spark, sf_dir):
     return model.transform(vecs).select(
         "vec_id", "label", F.col("prediction").alias("cluster")
     )
+
+
+@register("mm_embed_pca")  # rows-only: eigenvector values are ML-internal
+def mm_embed_pca(spark, sf_dir):
+    """Distributed PCA over the embedding column: project every vector onto
+    the top-8 principal components — the dimensionality-reduction step under
+    embedding visualization, compact ANN indexes, and whitening.
+
+    Same Gram-trick shape as als_foldin: ONE distributed pass accumulates
+    per-partition moments (n, Σx, ΣxxT — 64 + 4096 doubles per partition)
+    via mapInPandas; the driver eigendecomposes the 64×64 covariance (O(d³),
+    micro); projection is a second map-only pass with the basis broadcast in
+    the closure.  Nothing but the tiny moment rows ever moves — the layout
+    that works unchanged at 10^9 vectors.  Partial moments are summed on the
+    driver in a sorted order and eigenvector signs are fixed (largest-|x|
+    coordinate positive), so repeat runs emit identical projections; the
+    orthonormality / variance-ordering / reconstruction gates live in
+    tests/test_ml_quality.py."""
+    import numpy as np
+    import pandas as pd
+
+    dim, k = 64, 8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def moments(batches):
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf):
+                X = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+                n += X.shape[0]
+                s += X.sum(axis=0)
+                g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = sorted(
+        emb.select("embedding")
+        .mapInPandas(moments, "n long, s array<double>, g array<double>")
+        .collect(),
+        key=lambda r: (r.n, r.s[0]),
+    )
+    n = sum(r.n for r in parts)
+    s = np.sum([np.array(r.s) for r in parts], axis=0)
+    g = np.sum([np.array(r.g).reshape(dim, dim) for r in parts], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    basis = evecs[:, ::-1][:, :k].copy()
+    for j in range(k):  # deterministic sign convention
+        i = int(np.argmax(np.abs(basis[:, j])))
+        if basis[i, j] < 0:
+            basis[:, j] = -basis[:, j]
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+                P = (X - mu) @ basis
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "label": pdf["label"],
+                        "pc": [row.tolist() for row in P],
+                    }
+                )
+
+    return emb.mapInPandas(project, "vec_id long, label int, pc array<double>")

@@ -366,3 +366,67 @@ def stream_upsert_latest(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS v_sec,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_sec
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval self-join: every purchase joined to the views
+    by the same user in the preceding hour — attribution, the canonical
+    stream-stream shape.
+
+    Both sides carry a watermark (2 h) and the join condition bounds event
+    time on both ends, so Spark's symmetric hash join can evict state: each
+    side buffers only ~1 h of rows per key at any moment, regardless of
+    stream length — THE property that makes this run forever at 100 TB/day.
+    Inner-join emission needs no watermark to fire (rows emit when the
+    match arrives); the watermark only caps state, so the availableNow
+    drain is complete and equals the batch interval join the oracle runs."""
+    from ..canon import epoch_s
+
+    def build(stream):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        purch = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        j = views.join(
+            purch,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        return j.select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            epoch_s("v_ts", "v_sec"),
+            epoch_s("p_ts", "p_sec"),
+        )
+
+    return run_stream(
+        spark, sf_dir, "rs_stream_stream_join", build, output_mode="append"
+    )

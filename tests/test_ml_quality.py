@@ -230,3 +230,23 @@ def test_bloom_filter_fp_rate(spark):
     assert n_member > 0, "bloom must pass the true members"
     fp_rate = (n_pass - n_member) / max(1, n_pass)
     assert fp_rate < 0.05, f"bloom FP rate {fp_rate:.3f} too high"
+
+
+def test_pca_quality_and_determinism(spark):
+    """Basis must be orthonormal-projection-shaped: projections centered,
+    per-component variance non-increasing, top-8 capturing real variance;
+    repeat runs identical (sorted moment reduce + sign convention)."""
+    import numpy as np
+
+    rows = QUERIES["mm_embed_pca"](spark, SF_DIR).collect()
+    P = np.array([r["pc"] for r in rows])
+    assert P.shape[1] == 8
+    # centered: mean of projections ~ 0
+    assert np.abs(P.mean(axis=0)).max() < 1e-9
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(7)), "variance must be non-increasing"
+    assert var[0] > 0, "top component must carry variance"
+    rows2 = QUERIES["mm_embed_pca"](spark, SF_DIR).collect()
+    P2 = np.array([r["pc"] for r in sorted(rows2, key=lambda r: r["vec_id"])])
+    P1 = np.array([r["pc"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+    assert np.array_equal(P1, P2), "PCA must be run-to-run deterministic"
