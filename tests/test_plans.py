@@ -122,3 +122,25 @@ def test_bucketed_join_has_no_exchange(spark):
     # bucketed scan provides the join distribution: no shuffle below the join
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
+
+
+def test_bloom_and_analytics_broadcast_small_sides(spark):
+    """The bloom slot table and the per-type moment table must broadcast —
+    no fact-side shuffle for the tiny summary joins."""
+    for qid in ("join_bloom_filter", "events_anomaly_days",
+                "events_transition_matrix"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (qid, plan[:2000])
+        assert "CartesianProduct" not in plan, qid
+
+
+def test_item_item_no_cartesian_and_broadcast_counts(spark):
+    plan = _plan(QUERIES["rec_item_item"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_weighted_sample_is_map_only(spark):
+    plan = _plan(QUERIES["sample_weighted"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:2000]
