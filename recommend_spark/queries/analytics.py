@@ -182,3 +182,102 @@ def events_transition_matrix(spark, sf_dir):
         )
         .select("from_type", "to_type", "n_trans", "prob")
     )
+
+
+@register(
+    "agg_pareto_front",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS item,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT item, revenue,
+             SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+               ORDER BY revenue DESC, item
+               ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS total_rev
+      FROM rev
+    )
+    SELECT item, revenue,
+           CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS cum_share
+    FROM cum
+    WHERE CAST(cum_rev AS DOUBLE) - revenue < 0.8 * CAST(total_rev AS DOUBLE)
+    """,
+)
+def agg_pareto_front(spark, sf_dir):
+    """Pareto (ABC) analysis: the smallest set of items covering 80% of
+    revenue — rank items by revenue, keep rows until the cumulative share
+    crosses the threshold (a row stays if the share BEFORE it is < 0.8).
+
+    Determinism: per-row revenue is an exact DECIMAL(18,4) sum emitted as
+    double; the running and grand totals re-enter DECIMAL for the window
+    sums (exact, order-free), and shares are single IEEE divisions.  Scale:
+    the global-order window runs over the POST-AGGREGATION item table
+    (|parts|, not |lineitem|) — at 100 TB that is still millions of rows,
+    so the production variant first computes the threshold from the total
+    (one scalar) and range-partitions by revenue; the fixture-scale plan
+    keeps the single sorted partition."""
+    from pyspark.sql import Window as W
+
+    from ..canon import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+            scale=4,
+        )
+    )
+    rev_dec = F.col("revenue").cast("decimal(18,4)")
+    w_cum = W.orderBy(F.col("revenue").desc(), "item").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = rev.select(
+        "item",
+        "revenue",
+        F.sum(rev_dec).over(w_cum).alias("cum_rev"),
+        F.sum(rev_dec).over(w_all).alias("total_rev"),
+    )
+    return cum.filter(
+        F.col("cum_rev").cast("double") - F.col("revenue")
+        < 0.8 * F.col("total_rev").cast("double")
+    ).select(
+        "item",
+        "revenue",
+        (
+            F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bucket_lo,
+           count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type (width 50): the
+    distribution-sketch primitive under dashboards and drift monitors.
+    floor-bucketing (never round — engines disagree on halfway cases),
+    exact decimal mass per bucket.  One partial+final aggregate; bucket
+    cardinality is bounded by range/width, independent of row count."""
+    from ..canon import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 50.0).cast("long")
+    return ev.groupBy(
+        "event_type",
+        b.alias("bucket"),
+        (b * 50.0).alias("bucket_lo"),
+    ).agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))

@@ -488,3 +488,46 @@ def pipeline_training_corpus(spark, sf_dir):
         F.sum("n_tok").alias("total_tokens"),
         (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_stopword_discovery",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT w, count(*) AS df,
+           CAST(count(*) AS DOUBLE) / any_value(n.n_docs) AS df_ratio
+    FROM tok CROSS JOIN n
+    GROUP BY w
+    HAVING CAST(count(*) AS DOUBLE) / any_value(n.n_docs) > 0.5
+    """,
+)
+def text_stopword_discovery(spark, sf_dir):
+    """Corpus-driven stopword discovery: tokens present in more than half
+    of all documents (document frequency ratio > 0.5).  Corpus-specific
+    stopword lists beat fixed ones for cleaning scraped data — boilerplate
+    tokens differ per source.  df counts are exact ints; the ratio is one
+    IEEE division.  One explode + one aggregate; the doc count joins as a
+    broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("w"),
+    ).distinct()
+    return (
+        tok.crossJoin(F.broadcast(n))
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("df"),
+            (F.count("*").cast("double") / F.first("n_docs")).alias(
+                "df_ratio"
+            ),
+        )
+        .filter(F.col("df_ratio") > 0.5)
+    )

@@ -342,3 +342,38 @@ def win_streak(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
     )
+
+
+@register(
+    "win_dist_share",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           cume_dist() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_extendedprice, l_linenumber) AS cd,
+           CAST(l_extendedprice AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share
+    FROM lineitem
+    """,
+)
+def win_dist_share(spark, sf_dir):
+    """Distribution windows: cume_dist (fraction of partition at or below
+    this line's price — exact k/n division) and ratio-to-report
+    (line price / exact decimal order total).  Completes the rank family
+    (win_rank_family) with the two value-distribution forms; same single
+    shuffle on the partition key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    wp = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.cume_dist().over(w).alias("cd"),
+        (
+            F.col("l_extendedprice").cast("double")
+            / F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .over(wp)
+            .cast("double")
+        ).alias("price_share"),
+    )
