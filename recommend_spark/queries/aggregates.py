@@ -563,3 +563,75 @@ def agg_stddev_exact(spark, sf_dir):
     return m.select(
         "l_returnflag", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
     )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           o_totalprice AS top_price,
+           o_orderkey AS top_order
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """Arg-max as ONE aggregate: each customer's most expensive order via
+    max(struct(price, key)) — struct comparison is lexicographic, so the
+    orderkey rides along as both tie-break and payload.  This is the
+    shuffle-cheap alternative to the window form the oracle uses (same
+    semantics): a partial+final hash aggregate instead of a full partition
+    sort — at 100 TB the difference between one combine-enabled shuffle of
+    |groups| rows and sorting every row of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.max(F.struct("o_totalprice", "o_orderkey")).alias("m")
+    return (
+        o.groupBy("o_custkey")
+        .agg(m)
+        .select(
+            "o_custkey",
+            F.col("m.o_totalprice").alias("top_price"),
+            F.col("m.o_orderkey").alias("top_order"),
+        )
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_total,
+           count(*) FILTER (o_totalprice > 150000) AS n_big,
+           count(DISTINCT o_custkey) FILTER (o_totalprice > 150000)
+             AS n_big_customers,
+           CAST(count(*) FILTER (o_totalprice > 150000) AS DOUBLE) / count(*)
+             AS big_share,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (o_totalprice > 150000) AS DOUBLE) AS sum_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Filtered aggregates (SQL FILTER clause semantics): conditional
+    counts, conditional count-distinct, a derived share, and a conditional
+    exact-decimal sum, all in one partial+final hash aggregate — the
+    sum(CASE WHEN) idiom every reporting pipeline leans on, with the same
+    single-shuffle plan as an unconditional aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.countDistinct(F.when(big, F.col("o_custkey"))).alias(
+            "n_big_customers"
+        ),
+        (F.count(F.when(big, 1)).cast("double") / F.count("*")).alias(
+            "big_share"
+        ),
+        F.sum(F.when(big, F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sum_big"),
+    )

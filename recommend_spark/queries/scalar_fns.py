@@ -407,3 +407,40 @@ def fn_url(spark, sf_dir):
         F.regexp_extract("url", r"#(.*)$", 1).alias("fragment"),
         F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("q_lang"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s-%07d', p_brand, p_partkey) AS part_code,
+           printf('%x', p_partkey) AS key_hex,
+           repeat(p_type, 2) AS type_twice,
+           reverse(p_brand) AS brand_rev,
+           translate(p_brand, '#', '_') AS brand_tr,
+           ascii(p_name) AS first_cp,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
+    FROM part
+    """,
+)
+def fn_format(spark, sf_dir):
+    """Formatting pack: printf-style templating (C format strings evaluate
+    identically in JVM String.format and DuckDB printf for %s/%d/%x —
+    floats deliberately excluded: %.2f rounding is half-up vs half-even
+    across engines), repeat/reverse/translate, codepoint <-> char.
+    Map-only codegen'd string ops."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s-%07d", F.col("p_brand"), F.col("p_partkey")).alias(
+            "part_code"
+        ),
+        F.format_string("%x", F.col("p_partkey")).alias("key_hex"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(F.col("p_brand"), "#", "_").alias("brand_tr"),
+        F.ascii(F.col("p_name")).alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias(
+            "letter"
+        ),
+    )

@@ -531,3 +531,55 @@ def text_stopword_discovery(spark, sf_dir):
         )
         .filter(F.col("df_ratio") > 0.5)
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' at '
+               || lower(replace(c_name, ' ', '.')) || '@example.com or +1-555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS txt
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(txt, '([a-z0-9.#]+@[a-z0-9.-]+)', 1) AS email_found,
+           regexp_extract(txt, '([+][0-9-]{4,})', 1) AS phone_found,
+           regexp_replace(
+             regexp_replace(txt, '[a-z0-9.#]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+             '[+][0-9-]{4,}', '[PHONE]', 'g') AS scrubbed
+    FROM raw
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: find email/phone spans and replace them
+    with type tags — the compliance pass every LLM training pipeline runs
+    before tokenization.  The PII here is synthesized onto customer rows
+    (fixtures carry none), which also makes the expected redactions exact.
+    RE2-safe patterns shared verbatim with the oracle ('#' appears inside
+    fixture customer names, hence its presence in the local-part class);
+    map-only at any scale — this is the shape where Spark's codegen'd
+    regexp_replace beats a Python UDF ~100x."""
+    c = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", " ", ".")),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    raw = c.select("c_custkey", txt.alias("txt"))
+    return raw.select(
+        "c_custkey",
+        F.regexp_extract("txt", r"([a-z0-9.#]+@[a-z0-9.-]+)", 1).alias(
+            "email_found"
+        ),
+        F.regexp_extract("txt", r"([+][0-9-]{4,})", 1).alias("phone_found"),
+        F.regexp_replace(
+            F.regexp_replace("txt", r"[a-z0-9.#]+@[a-z0-9.-]+", "[EMAIL]"),
+            r"[+][0-9-]{4,}",
+            "[PHONE]",
+        ).alias("scrubbed"),
+    )
