@@ -1,0 +1,148 @@
+"""Serving layer — functional parity with the reference's web service.
+
+The reference (upstream:app.py / upstream:server.py) exposes three HTTP
+routes over a long-lived engine object:
+
+  GET  /<user_id>/ratings/top/<count>   -> top-N unseen recommendations
+  GET  /<user_id>/ratings/<item_id>     -> predicted score for one item
+  POST /<user_id>/ratings               -> append ratings, retrain, reserve
+
+This module is the engine-side equivalent, built entirely from the
+registered operators (§2.10): a ``RecommendationService`` holds the
+trained artifacts for a corpus and answers the three calls.  No HTTP
+framework is bundled (the container has none; any of Flask/FastAPI would
+wrap these three methods 1:1) — the point is that every semantic the
+reference serves is reachable through this engine.
+
+The reference's biggest wart is fixed here, not reproduced: its POST
+retrains ALS from scratch on every write (upstream:engine.py §
+add_ratings — minutes of latency per rating).  ``add_ratings`` instead
+folds the affected users in against frozen item factors (als_foldin's
+Gram-trick solve, O(rank² · interactions-of-user) per write) and defers
+full retrain to an explicit ``retrain()`` — the production cadence:
+per-write fold-in, nightly refit.
+
+Scale: the served artifacts (item factors: |items| × rank floats;
+popularity gate: |items| rows) broadcast; per-request work never scans
+the interaction matrix except for the requesting user's rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries.recommender import _ALS_PARAMS, _ratings, foldin_factors
+
+MIN_AUDIENCE = 25  # the reference's ">= 25 ratings" popularity rule
+
+
+class RecommendationService:
+    """Long-lived per-corpus serving object (the reference's
+    RecommendationEngine, DataFrame-native)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._ratings = _ratings(spark, sf_dir).cache()
+        self._extra_rows: list[tuple[int, int, float]] = []
+        self._folded: DataFrame | None = None
+        self._fit()
+
+    # -- training ---------------------------------------------------------
+
+    def _fit(self) -> None:
+        from pyspark.ml.recommendation import ALS
+
+        self.model = ALS(**_ALS_PARAMS).fit(self._ratings)
+        self._item_factors = self.model.itemFactors.select(
+            F.col("id").alias("item_id"),
+            F.col("features").cast("array<double>").alias("y"),
+        ).cache()
+        self._popular = (
+            self._ratings.groupBy("item_id")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .filter(F.col("n_users") >= MIN_AUDIENCE)
+            .select("item_id")
+            .cache()
+        )
+
+    def retrain(self) -> None:
+        """Full refit over base + appended ratings (the nightly path)."""
+        self._ratings = self._current_ratings().cache()
+        self._folded = None
+        self._fit()
+
+    # -- state ------------------------------------------------------------
+
+    def _current_ratings(self) -> DataFrame:
+        base = self._ratings
+        if not self._extra_rows:
+            return base
+        extra = self.spark.createDataFrame(
+            self._extra_rows, "user_id int, item_id int, strength double"
+        )
+        return (
+            base.unionByName(extra)
+            .groupBy("user_id", "item_id")
+            .agg(F.sum("strength").alias("strength"))
+        )
+
+    def _user_factors(self, user_ids: list[int]) -> DataFrame:
+        """Fold-in factors for the given users over CURRENT ratings —
+        serves users created/updated after the last retrain."""
+        return foldin_factors(
+            self.spark,
+            self._current_ratings(),
+            self.model,
+            F.col("user_id").isin(user_ids),
+        )
+
+    def _scores(self, user_ids: list[int]) -> DataFrame:
+        uf = self._user_factors(user_ids)
+        return uf.join(self._item_factors).select(
+            "user_id",
+            "item_id",
+            F.aggregate(
+                F.zip_with("factor", "y", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+
+    # -- the three reference endpoints ------------------------------------
+
+    def top_ratings(self, user_id: int, count: int) -> list[dict]:
+        """GET /<user>/ratings/top/<count>: top-N unseen popular items."""
+        from pyspark.sql import Window as W
+
+        seen = self._current_ratings().select("user_id", "item_id")
+        w = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+        rows = (
+            self._scores([user_id])
+            .join(F.broadcast(self._popular), "item_id")
+            .join(seen, ["user_id", "item_id"], "left_anti")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= count)
+            .select("item_id", "score")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def ratings_for_items(self, user_id: int, item_ids: list[int]) -> list[dict]:
+        """GET /<user>/ratings/<item>: predicted strength for given items."""
+        rows = (
+            self._scores([user_id])
+            .filter(F.col("item_id").isin(item_ids))
+            .select("item_id", "score")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def add_ratings(self, rows: list[tuple[int, int, float]]) -> int:
+        """POST /<user>/ratings: append interactions; affected users are
+        served via fold-in immediately (no retrain)."""
+        self._extra_rows.extend(
+            (int(u), int(i), float(s)) for u, i, s in rows
+        )
+        return len(self._extra_rows)

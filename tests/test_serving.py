@@ -1,0 +1,54 @@
+"""Serving-layer parity (SURVEY §3.1 E2/E3): the reference's three routes
+answered by RecommendationService, with fold-in instead of retrain-per-write."""
+
+from __future__ import annotations
+
+import pytest
+
+from recommend_spark.serving import MIN_AUDIENCE, RecommendationService
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    return RecommendationService(spark, SF_DIR)
+
+
+def test_top_ratings_unseen_and_popular(service):
+    recs = service.top_ratings(user_id=1, count=5)
+    assert 0 < len(recs) <= 5
+    items = [r["item_id"] for r in recs]
+    assert len(set(items)) == len(items)
+    seen = {
+        r.item_id
+        for r in service._current_ratings()
+        .filter("user_id = 1")
+        .select("item_id")
+        .collect()
+    }
+    assert not (set(items) & seen), "recommended items must be unseen"
+    popular = {r.item_id for r in service._popular.collect()}
+    assert set(items) <= popular, f"all recs must clear the >={MIN_AUDIENCE} gate"
+    scores = [r["score"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ratings_for_items_scores_requested(service):
+    recs = service.top_ratings(user_id=1, count=3)
+    ids = [r["item_id"] for r in recs]
+    scored = service.ratings_for_items(user_id=1, item_ids=ids)
+    got = {r["item_id"]: r["score"] for r in scored}
+    assert set(got) == set(ids)
+    for r in recs:
+        assert got[r["item_id"]] == pytest.approx(r["score"], rel=1e-9)
+
+
+def test_add_ratings_served_without_retrain(service):
+    before = service.ratings_for_items(user_id=1, item_ids=[1, 2])
+    service.add_ratings([(1, 1, 50.0), (1, 2, 25.0)])
+    after = service.ratings_for_items(user_id=1, item_ids=[1, 2])
+    # the fold-in solve sees the new interactions: scores must move
+    b = {r["item_id"]: r["score"] for r in before}
+    a = {r["item_id"]: r["score"] for r in after}
+    assert set(a) == {1, 2}
+    assert any(abs(a[k] - b.get(k, 0.0)) > 1e-9 for k in a), (b, a)
