@@ -28,6 +28,10 @@ HEADLINE = {
     "sample_hash_split": "deterministic split is map-only: no Exchange anywhere",
     "agg_count_avg": "hash aggregate with map-side partial aggregation",
     "sim_knn_join": "zero-shuffle block kernel for exact kNN",
+    "join_bloom_filter": "build side collapsed to 128 broadcast slots; fact filtered map-side",
+    "rec_item_item": "basket self-join + broadcast count dims; top-k window after min-count prune",
+    "agg_argmax": "arg-max as one partial+final struct-max aggregate (no window sort)",
+    "events_anomaly_days": "daily pre-agg, then broadcast moment join — no second fact shuffle",
 }
 
 
