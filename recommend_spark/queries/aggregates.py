@@ -635,3 +635,33 @@ def agg_conditional(spark, sf_dir):
         .cast("double")
         .alias("sum_big"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg semantics): suppliers
+    per nation as one canonical comma-joined string.  Spelled as
+    concat_ws over a SORTED collect_list — collection order is partition-
+    dependent in Spark, so the sort is what makes the result deterministic
+    (same rule as agg_collect_sorted, §5.3 #5)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias(
+                "supplier_csv"
+            ),
+        )
+    )

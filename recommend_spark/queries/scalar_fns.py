@@ -444,3 +444,40 @@ def fn_format(spark, sf_dir):
             "letter"
         ),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_custkey % 5, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS good_cast,
+           string_split(o_orderpriority, '-')[3] AS oob_element,
+           string_split(o_orderpriority, '-')[2] AS ok_element
+    FROM orders
+    """,
+)
+def fn_try_safe(spark, sf_dir):
+    """ANSI error-safe functions: try_divide (NULL on /0 instead of the
+    ANSI-mode runtime error), try_cast (NULL on unparseable), and
+    try_element_at (NULL out of range).  Spark 4 runs ANSI mode by default,
+    so these are the idioms pipelines need for dirty data; DuckDB twins are
+    nullif-division, TRY_CAST, and native out-of-range list indexing."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias(
+            "safe_div"
+        ),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr(
+            "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+        ).alias("good_cast"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias(
+            "oob_element"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(2)).alias(
+            "ok_element"
+        ),
+    )

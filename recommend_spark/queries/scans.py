@@ -285,3 +285,62 @@ def sink_merge_upsert(spark, sf_dir):
     out = Path(ART) / f"merge_upsert_{Path(sf_dir).name}"
     merged.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
+
+
+@register("scan_csv_malformed")  # rows-only: corrupt-record policy is
+def scan_csv_malformed(spark, sf_dir):  # engine-specific by design
+    """Dirty-CSV ingest with PERMISSIVE corrupt-record capture: write a
+    CSV of orders columns, append malformed lines (wrong arity, bad
+    types), read with an explicit schema + _corrupt_record column, and
+    report good/corrupt counts plus an exact sum over the clean rows.
+
+    This is the ingest-robustness contract a 100 TB crawl load needs:
+    PERMISSIVE quarantines bad rows into a column (auditable, re-parsable)
+    instead of failing the job (FAILFAST) or silently dropping
+    (DROPMALFORMED).  Counts are asserted in tests/test_properties.py."""
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = Path(ART) / f"scan_csv_malformed_{Path(sf_dir).name}"
+    if not (path / "_DONE").exists():
+        src.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            str(path / "data")
+        )
+        # separate file (never append: hadoop's local-FS .crc checksum
+        # would reject the modified part file); header=True strips line 1
+        (path / "data" / "malformed.csv").write_text(
+            "o_orderkey,o_custkey,o_totalprice\n"
+            "9999999,not_a_number,123.45\n"  # bad type
+            "1,2\n"  # wrong arity
+            "x,y,z,extra,cols\n"  # wrong arity + bad types
+        )
+        (path / "_DONE").touch()
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = spark.read.csv(
+        str(path / "data"),
+        header=True,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # required: corrupt-record column cannot be queried alone
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(~bad, F.col("o_totalprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sum_good"),
+    )

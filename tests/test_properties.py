@@ -102,3 +102,18 @@ def test_hash_split_fractions_near_nominal(spark):
     assert abs(counts["train"] / total - 0.80) < 0.05
     assert abs(counts["val"] / total - 0.10) < 0.05
     assert abs(counts["test"] / total - 0.10) < 0.05
+
+
+def test_csv_malformed_counts(spark):
+    """PERMISSIVE ingest must quarantine exactly the 3 injected bad lines
+    and keep every clean row."""
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    row = QUERIES["scan_csv_malformed"](spark, SF_DIR).collect()[0]
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert row["n_corrupt"] == 3
+    assert row["n_good"] == n_orders
+    assert row["sum_good"] > 0
