@@ -389,3 +389,61 @@ def rec_popularity_topk(spark, sf_dir):
         .orderBy(F.col("strength").desc(), "item")
         .limit(10)
     )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT a.i AS src, b2.i AS dst
+      FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the co-purchase graph (edges: item pairs
+    co-bought by >= 5 customers) — the graph-analytics primitive under
+    clustering coefficients and community detection.  Edges are oriented
+    a < b, so each triangle (a<b<c) is found exactly once by the canonical
+    two-hop + closing-edge join — no post-dedup.  Scale: the oriented-edge
+    trick bounds the join fan-out by out-degree (not total degree); the
+    production recipe additionally orients by (degree, id) so hubs get
+    low out-degree, keeping the two-hop join linear-ish in edge count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    a2, b2 = b.alias("x"), b.alias("y")
+    e = (
+        a2.join(b2, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 5)
+        .select("src", "dst")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )

@@ -344,3 +344,80 @@ def scan_csv_malformed(spark, sf_dir):  # engine-specific by design
         .cast("double")
         .alias("sum_good"),
     )
+
+
+_Z_SQL_TERMS = "((xb >> 0) & 1) * 1 + ((yb >> 0) & 1) * 2 + ((xb >> 1) & 1) * 4 + ((yb >> 1) & 1) * 8 + ((xb >> 2) & 1) * 16 + ((yb >> 2) & 1) * 32 + ((xb >> 3) & 1) * 64 + ((yb >> 3) & 1) * 128 + ((xb >> 4) & 1) * 256 + ((yb >> 4) & 1) * 512 + ((xb >> 5) & 1) * 1024 + ((yb >> 5) & 1) * 2048 + ((xb >> 6) & 1) * 4096 + ((yb >> 6) & 1) * 8192 + ((xb >> 7) & 1) * 16384 + ((yb >> 7) & 1) * 32768 + ((xb >> 8) & 1) * 65536 + ((yb >> 8) & 1) * 131072 + ((xb >> 9) & 1) * 262144 + ((yb >> 9) & 1) * 524288"
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 1024 AS BIGINT) AS xb,
+             CAST(datediff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS yb
+      FROM orders
+    )
+    SELECT o_orderkey, xb, yb, {_Z_SQL_TERMS} AS zval
+    FROM b
+    """,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) curve value per row: interleave 10 bits of the
+    customer-key bucket with 10 bits of the order-date bucket — the
+    multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE ZORDER.
+    Sorting/range-partitioning the sink by zval co-locates rows that are
+    close in BOTH dimensions, so either a customer predicate or a date
+    predicate prunes file-level min/max stats (a single-column sort only
+    serves one of them).  The curve itself is 20 codegen'd bit ops —
+    map-only, engine-neutral, and the write side is one
+    repartitionByRange(zval) away.  Z-kept two-dimensional here; the same
+    expression extends to any dimension count at 2 bits/term cost."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).cast("long").alias("xb"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            % 1024
+        ).cast("long").alias("yb"),
+    )
+    zval = (F.shiftright(F.col('xb'), 0).bitwiseAND(1) * 1) + (F.shiftright(F.col('yb'), 0).bitwiseAND(1) * 2) + (F.shiftright(F.col('xb'), 1).bitwiseAND(1) * 4) + (F.shiftright(F.col('yb'), 1).bitwiseAND(1) * 8) + (F.shiftright(F.col('xb'), 2).bitwiseAND(1) * 16) + (F.shiftright(F.col('yb'), 2).bitwiseAND(1) * 32) + (F.shiftright(F.col('xb'), 3).bitwiseAND(1) * 64) + (F.shiftright(F.col('yb'), 3).bitwiseAND(1) * 128) + (F.shiftright(F.col('xb'), 4).bitwiseAND(1) * 256) + (F.shiftright(F.col('yb'), 4).bitwiseAND(1) * 512) + (F.shiftright(F.col('xb'), 5).bitwiseAND(1) * 1024) + (F.shiftright(F.col('yb'), 5).bitwiseAND(1) * 2048) + (F.shiftright(F.col('xb'), 6).bitwiseAND(1) * 4096) + (F.shiftright(F.col('yb'), 6).bitwiseAND(1) * 8192) + (F.shiftright(F.col('xb'), 7).bitwiseAND(1) * 16384) + (F.shiftright(F.col('yb'), 7).bitwiseAND(1) * 32768) + (F.shiftright(F.col('xb'), 8).bitwiseAND(1) * 65536) + (F.shiftright(F.col('yb'), 8).bitwiseAND(1) * 131072) + (F.shiftright(F.col('xb'), 9).bitwiseAND(1) * 262144) + (F.shiftright(F.col('yb'), 9).bitwiseAND(1) * 524288)
+    return b.select("o_orderkey", "xb", "yb", zval.alias("zval"))
+
+
+@register(
+    "sink_compact",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def sink_compact(spark, sf_dir):
+    """Small-files compaction: write orders fragmented into 64 splinter
+    files (the nightly reality of streaming/micro-batch sinks), then
+    compact to a handful of right-sized files and re-scan.  The oracle
+    checks the round-trip is lossless; the file-count collapse is the
+    tests' gate.  At 100 TB this is the table-maintenance job that keeps
+    scan task counts sane: target 128-512 MB files via
+    spark.sql.files.maxRecordsPerFile + coalesce, never a full shuffle
+    (coalesce merges map-side)."""
+    from pathlib import Path
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = Path(ART) / f"sink_compact_{Path(sf_dir).name}"
+    frag, compact = root / "frag", root / "compact"
+    if not (root / "_DONE").exists():
+        src.repartition(64).write.mode("overwrite").parquet(str(frag))
+        (
+            spark.read.parquet(str(frag))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(str(compact))
+        )
+        (root / "_DONE").touch()
+    return spark.read.parquet(str(compact))

@@ -430,3 +430,80 @@ def stream_stream_join(spark, sf_dir):
     return run_stream(
         spark, sf_dir, "rs_stream_stream_join", build, output_mode="append"
     )
+
+
+@register(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    v AS (
+      SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT v.view_id, p.purchase_id, v.v_user, v.v_ts, p.p_ts
+      FROM v LEFT JOIN p
+        ON v.v_user = p.p_user
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    )
+    SELECT view_id, purchase_id, v_user AS user_id,
+           CAST(floor(epoch(v_ts)) AS BIGINT) AS v_sec,
+           CAST(floor(epoch(p_ts)) AS BIGINT) AS p_sec
+    FROM j CROSS JOIN mx
+    WHERE purchase_id IS NOT NULL OR v_ts < m - INTERVAL 3 HOUR
+    """,
+)
+def stream_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join: views null-extend when no purchase
+    follows within the hour — but in a stream, "no match" is only decidable
+    once the watermark passes the view's match window.  Unmatched rows are
+    emitted on state eviction at
+        v_ts < watermark - join_window = max_ts - (2h + 1h),
+    so the availableNow drain equals the batch LEFT JOIN restricted to
+    views older than that cutoff (younger unmatched views are still open
+    state when the stream ends) plus ALL matched pairs — which is exactly
+    what the oracle computes, making even the outer join's partial-emission
+    semantics value-hash checkable.  Verified against the replay: the
+    eviction boundary is the condition-shifted state watermark, not the
+    bare watermark."""
+    from ..canon import epoch_s
+
+    def build(stream):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        purch = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        j = views.join(
+            purch,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        return j.select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            epoch_s("v_ts", "v_sec"),
+            epoch_s("p_ts", "p_sec"),
+        )
+
+    return run_stream(
+        spark, sf_dir, "rs_stream_stream_join_outer", build, output_mode="append"
+    )

@@ -117,3 +117,19 @@ def test_csv_malformed_counts(spark):
     assert row["n_corrupt"] == 3
     assert row["n_good"] == n_orders
     assert row["sum_good"] > 0
+
+
+def test_compaction_collapses_file_count(spark):
+    from pathlib import Path
+
+    from recommend_spark.queries import QUERIES
+    from recommend_spark.queries.scans import ART
+
+    from tests.conftest import SF_DIR
+
+    QUERIES["sink_compact"](spark, SF_DIR).count()
+    root = Path(ART) / f"sink_compact_{Path(SF_DIR).name}"
+    n_frag = len(list((root / "frag").glob("part-*.parquet")))
+    n_compact = len(list((root / "compact").glob("part-*.parquet")))
+    assert n_frag == 64
+    assert n_compact <= 4
