@@ -281,3 +281,196 @@ def events_value_histogram(spark, sf_dir):
         b.alias("bucket"),
         (b * 50.0).alias("bucket_lo"),
     ).agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH obs0 AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events WHERE user_id < 20
+    ), last_in_hour AS (
+      SELECT user_id, h, value FROM obs0
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) = 1
+    ), bounds AS (
+      SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM obs0 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS g
+      FROM bounds
+    )
+    SELECT g.user_id, CAST(floor(epoch(g.g)) AS BIGINT) AS gsec,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+    FROM grid g LEFT JOIN last_in_hour l
+      ON g.user_id = l.user_id AND g.g = l.h
+    """,
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Time-series resampling to a regular 1-hour grid with forward fill —
+    the gap-filling primitive under feature stores and monitoring charts
+    (sensors/events arrive irregularly; models want a dense grid).
+
+    Shape: last-observation-per-hour via ONE struct-max aggregate (the
+    (ts, event_id, value) tuple is totally ordered, so max == latest —
+    no window sort over the fact table), per-user hour grid exploded from
+    sequence(), left join, then last(ignorenulls) as the carry-forward.
+    The filled value is a raw stored double (no arithmetic), so parity is
+    exact.  Grid cardinality = users × hours — independent of event
+    volume; the only fact-table pass is the hour pre-aggregation."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.struct("ts", "event_id", "value").alias("tev"),
+    )
+    last_in_hour = obs.groupBy("user_id", "h").agg(
+        F.max("tev").getField("value").alias("value")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("g"),
+    )
+    w = W.partitionBy("user_id").orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    from ..canon import epoch_s
+
+    return (
+        grid.join(
+            last_in_hour,
+            (grid.user_id == last_in_hour.user_id) & (grid.g == last_in_hour.h),
+            "left",
+        )
+        .select(grid.user_id, "g", "value")
+        .select(
+            "user_id",
+            epoch_s("g", "gsec"),
+            F.last("value", ignorenulls=True).over(w).alias("val"),
+        )
+        .select("user_id", "gsec", "val")
+    )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_ref_integrity',
+           CAST(count(*) FILTER (c.c_custkey IS NULL) AS DOUBLE),
+           count(*) FILTER (c.c_custkey IS NULL) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'quantity_positive',
+           CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0)
+                AS DOUBLE),
+           count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'event_type_domain',
+           CAST(count(*) FILTER (event_type NOT IN
+                ('click','error','purchase','signup','view')) AS DOUBLE),
+           count(*) FILTER (event_type NOT IN
+                ('click','error','purchase','signup','view')) = 0
+    FROM events
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Data-quality expectations runner: uniqueness, referential
+    integrity, domain, and positivity checks, one row per check with the
+    violation count and a pass flag — the contract-validation pass every
+    ingest pipeline runs before publishing a table.  Each check is one
+    aggregate (the referential check a broadcast anti-join count); checks
+    union into a single tiny report."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name, df, violations):
+        return df.agg(violations.alias("v")).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("double").alias("metric"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    uniq = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v")
+    ).select(
+        F.lit("orderkey_unique").alias("check_name"),
+        F.col("v").cast("double").alias("metric"),
+        (F.col("v") == 0).alias("passed"),
+    )
+    ref = check(
+        "custkey_ref_integrity",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)),
+    )
+    qty = check(
+        "quantity_positive",
+        li,
+        F.count(
+            F.when(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1)
+        ),
+    )
+    dom = check(
+        "event_type_domain",
+        ev,
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                ),
+                1,
+            )
+        ),
+    )
+    return uniq.unionByName(ref).unionByName(qty).unionByName(dom)
+
+
+@register(
+    "meta_analyze_stats",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS ndv_custkey,
+           count(DISTINCT o_orderpriority) AS ndv_priority,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(*) - count(o_totalprice) AS n_null_price,
+           CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS min_date_sec,
+           CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS max_date_sec
+    FROM orders
+    """,
+)
+def meta_analyze_stats(spark, sf_dir):
+    """Catalog statistics collection (the ANALYZE TABLE shape): row count,
+    per-column NDV, min/max, null counts in ONE pass — the stats that feed
+    CBO join reordering and broadcast decisions.  Exact NDV here (fixture
+    scale); the 100 TB path swaps count distinct for HLL sketches
+    (agg_approx_distinct) merged map-side, same single-aggregate plan."""
+    from ..canon import epoch_s
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.count("*") - F.count("o_totalprice")).alias("n_null_price"),
+        epoch_s(F.min("o_orderdate"), "min_date_sec"),
+        epoch_s(F.max("o_orderdate"), "max_date_sec"),
+    )
