@@ -583,3 +583,45 @@ def text_pii_scrub(spark, sf_dir):
             "[PHONE]",
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "er_name_match",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def er_name_match(spark, sf_dir):
+    """Entity-resolution fuzzy matching: candidate duplicate-customer pairs
+    by edit distance <= 2 within a blocking key (nation) — the
+    record-linkage primitive under customer/master-data dedup.
+
+    Blocking is what makes this survive scale: the quadratic comparison
+    runs only inside each block (equi-join on the blocking key, AQE
+    splitting skewed blocks), never across the full table — same lossless-
+    candidate philosophy as the token-prefix and band joins in dedup.
+    At 100 TB blocks come from cheap canonical keys (zip, name initials,
+    phonetic codes) and multi-pass blocking unions the candidate sets.
+    levenshtein agrees exactly between engines (same DP definition)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("cust_a", "cust_b", "edit_dist")
+    )
