@@ -591,3 +591,37 @@ def join_bloom_filter(spark, sf_dir):
         hit.join(F.broadcast(kk), hit.o_custkey == F.col("kk"), "left")
         .select("o_orderkey", F.col("kk").isNotNull().alias("is_member"))
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer
+    ), b AS (
+      SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS grp FROM supplier
+    )
+    SELECT a.c_custkey, b.s_suppkey, a.grp
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the three-valued-logic corner
+    every SQL engine must get right.  Both sides derive a nullable group
+    key (nullif), so the NULL bucket is exercised for real.  Catalyst
+    plans <=> as a hash join on a null-safe key (NULL hashes to a bucket
+    like any value) — same single shuffle as a plain equi-join, no
+    fallback to nested-loop."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
+    )
+    b = s.select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("grp_b")
+    )
+    return (
+        a.join(b, a.grp.eqNullSafe(b.grp_b))
+        .select("c_custkey", "s_suppkey", "grp")
+    )

@@ -481,3 +481,40 @@ def fn_try_safe(spark, sf_dir):
             "ok_element"
         ),
     )
+
+
+@register(
+    "mm_tensor_reshape",
+    oracle="""
+    SELECT vec_id,
+           list_transform(generate_series(0, 3),
+             c -> list_transform(generate_series(1, 16),
+                    i -> CAST(embedding[c * 16 + i] AS DOUBLE))) AS chunks,
+           len(flatten(
+             list_transform(generate_series(0, 3),
+               c -> list_transform(generate_series(1, 16),
+                      i -> CAST(embedding[c * 16 + i] AS DOUBLE)))))
+             AS n_flat,
+           CAST(embedding[1] AS DOUBLE) AS first_elem
+    FROM embeddings
+    """,
+)
+def mm_tensor_reshape(spark, sf_dir):
+    """Tensor plumbing: reshape the flat 64-dim embedding into a 4×16
+    array-of-arrays (the chunked layout attention-block export and
+    per-head analysis want), verify the flatten round-trip length, and
+    keep a probe element.  Pure higher-order functions (transform over an
+    index sequence + slice) — stays in Catalyst, map-only, no UDF; at any
+    scale this is a zero-shuffle projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = "CAST(x AS DOUBLE)"
+    chunks = F.expr(
+        "transform(sequence(0, 3), c -> "
+        "transform(slice(embedding, c * 16 + 1, 16), x -> CAST(x AS DOUBLE)))"
+    )
+    return emb.select(
+        "vec_id",
+        chunks.alias("chunks"),
+        F.size(F.flatten(chunks)).alias("n_flat"),
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("first_elem"),
+    )

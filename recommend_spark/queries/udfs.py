@@ -228,3 +228,55 @@ def udtf_python(spark, sf_dir):
     return spark.sql(
         "SELECT c.* FROM rs_docs_udtf, LATERAL rs_chunk_doc(doc_id, text) c"
     )
+
+
+@register(
+    "udf_batch_inference",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang),
+                                  1, 8) AS BIGINT) / 4294967296.0 AS score,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang),
+                                  1, 8) AS BIGINT) / 4294967296.0 > 0.5
+             AS keep
+    FROM documents
+    """,
+)
+def udf_batch_inference(spark, sf_dir):
+    """Batch model-inference harness over mapInPandas: score every document
+    with an Arrow-batched "model" and gate on the score — the exact
+    plumbing (batch iterator in, schema'd frame out, model loaded once per
+    worker, never per row) that real classifier/reward-model scoring uses
+    in a training-data pipeline.  The model here is a deterministic md5
+    stand-in (the container ships no inference runtime), which makes this
+    the rare UDF op with a full value-hash oracle: the oracle recomputes
+    the same scores in SQL, proving the Python boundary transports values
+    exactly.  Swap `fake_model_scores` for an ONNX/torch call and nothing
+    else changes."""
+    import hashlib
+
+    import pandas as pd
+
+    def fake_model_scores(keys: pd.Series) -> pd.Series:
+        # stands in for model.predict(batch); loaded-once semantics would
+        # wrap this in a module-level lazy init
+        return keys.map(
+            lambda k: int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+
+    def infer(batches):
+        for pdf in batches:
+            if len(pdf):
+                keys = pdf["doc_id"].astype(str) + ":" + pdf["lang"]
+                scores = fake_model_scores(keys)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "score": scores,
+                        "keep": scores > 0.5,
+                    }
+                )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.mapInPandas(infer, "doc_id long, score double, keep boolean")
