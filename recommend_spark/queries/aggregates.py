@@ -665,3 +665,29 @@ def agg_string_concat(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "agg_percentile_cont",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS median,
+           quantile_cont(l_extendedprice, 0.9)  AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_cont(spark, sf_dir):
+    """Interpolated (continuous) percentiles per group — PERCENTILE_CONT
+    semantics.  Verified bit-identical across engines: both interpolate
+    (1-d)*lo + d*hi on the sorted values, and the inputs are raw stored
+    doubles, so no accumulation-order hazard exists (unlike SUM/STDDEV).
+    Complements agg_quantile_disc (rank-element form) and
+    agg_approx_quantile (sketch form — the 100 TB path; exact percentile
+    sorts each group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    )

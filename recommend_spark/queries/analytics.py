@@ -474,3 +474,48 @@ def meta_analyze_stats(spark, sf_dir):
         epoch_s(F.min("o_orderdate"), "min_date_sec"),
         epoch_s(F.max("o_orderdate"), "max_date_sec"),
     )
+
+
+@register(
+    "events_bot_burst",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS burst
+      FROM events
+    )
+    SELECT user_id, max(burst) AS max_burst,
+           count(*) FILTER (burst >= 3) AS n_bursty
+    FROM b GROUP BY user_id
+    HAVING max(burst) >= 3
+    """,
+)
+def events_bot_burst(spark, sf_dir):
+    """Burst/bot detection: users whose rolling 1-hour event count ever
+    reaches 3, with their peak burst — the rate-limit/abuse screen run
+    before events feed training data.  The rolling count is a RANGE frame
+    over epoch seconds (time-based, not row-based: simultaneous events
+    share a frame), then a per-user max — one shuffle on user_id shared
+    by both windows and the aggregate."""
+    from pyspark.sql import Window as W
+
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_s("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    b = ev.select("user_id", F.count("*").over(w).alias("burst"))
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.max("burst").alias("max_burst"),
+            F.count(F.when(F.col("burst") >= 3, 1)).alias("n_bursty"),
+        )
+        .filter(F.col("max_burst") >= 3)
+    )
