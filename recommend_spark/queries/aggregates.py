@@ -691,3 +691,64 @@ def agg_percentile_cont(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
     )
+
+
+@register(
+    "agg_skew_kurt_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0)) AS xc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) AS s1,
+             CAST(SUM(xc * xc) AS DOUBLE) AS s2,
+             CAST(SUM(xc * xc * xc) AS DOUBLE) AS s3,
+             CAST(SUM(xc * xc * xc * xc) AS DOUBLE) AS s4
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS skew_pop,
+           (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3 AS kurt_excess
+    FROM m
+    """,
+)
+def agg_skew_kurt_exact(spark, sf_dir):
+    """Hash-stable skewness and excess kurtosis: the agg_stddev_exact
+    recipe extended to 3rd/4th moments.  Built-in skewness/kurtosis merge
+    central-moment partials in shuffle order (nondeterministic doubles);
+    here the four raw power sums accumulate EXACTLY in DECIMAL(38,0)
+    (cents^4 at 600k rows peaks ~6e33, inside 38 digits), and the
+    statistics derive from one fixed IEEE expression both engines evaluate
+    identically.  Same single partial+final aggregate shuffle — the
+    deterministic-statistics recipe generalizes to any polynomial moment
+    that fits the decimal width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+    m = li.select("l_returnflag", xc.alias("xc")).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").cast("double").alias("s1"),
+        F.sum(F.expr("xc * xc")).cast("double").alias("s2"),
+        F.sum(F.expr("xc * xc * xc")).cast("double").alias("s3"),
+        F.sum(F.expr("xc * xc * xc * xc")).cast("double").alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+            " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)"
+        ).alias("skew_pop"),
+        F.expr(
+            "(s4 / n - 4 * (s1 / n) * (s3 / n)"
+            " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+            " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+            " / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3"
+        ).alias("kurt_excess"),
+    )

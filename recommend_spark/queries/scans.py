@@ -421,3 +421,20 @@ def sink_compact(spark, sf_dir):
         )
         (root / "_DONE").touch()
     return spark.read.parquet(str(compact))
+
+
+@register("scan_binary_files")  # rows-only: oracle SQL cannot parameterize
+def scan_binary_files(spark, sf_dir):  # the directory per scale factor
+    """Binary-file ingest via the binaryFile source: each file in the
+    corpus directory becomes a row (path, length, raw bytes) — THE ingest
+    path for image/audio/video directories feeding the multimodal
+    pipeline (mm_image_pipeline et al. consume exactly this shape).
+    Emits per-file md5 over the hex encoding (engine-neutral; DuckDB's
+    read_blob twin is md5(lower(hex(content)))) — byte-identity is gated
+    in tests against hashlib on the same files."""
+    df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
+    )

@@ -51,3 +51,38 @@ def sql_interface(spark, sf_dir):
             orders="sqlif_orders", lineitem="sqlif_lineitem", customer="sqlif_customer"
         )
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery join: each customer's two most
+    expensive orders via a per-row subquery — the SQL form analysts write
+    before an engine rewrites it.  Catalyst DECORRELATES this into the
+    same plan as the window top-k form (win_topk_per_group): one shuffle
+    on the correlation key, per-group limit — no per-row re-execution,
+    which is what makes the construct survive a fact-scale outer side.
+    Byte-identical SQL runs in DuckDB (which also decorrelates)."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )

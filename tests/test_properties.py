@@ -133,3 +133,24 @@ def test_compaction_collapses_file_count(spark):
     n_compact = len(list((root / "compact").glob("part-*.parquet")))
     assert n_frag == 64
     assert n_compact <= 4
+
+
+def test_binary_file_scan_matches_hashlib(spark):
+    """binaryFile rows must carry the exact on-disk bytes."""
+    import hashlib
+    from pathlib import Path
+
+    from recommend_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["file_name"]: (r["length"], r["content_md5"])
+        for r in QUERIES["scan_binary_files"](spark, SF_DIR).collect()
+    }
+    files = sorted(Path(SF_DIR).glob("*.parquet"))
+    assert set(rows) == {f.name for f in files}
+    for f in files:
+        data = f.read_bytes()
+        exp = hashlib.md5(data.hex().encode()).hexdigest()
+        assert rows[f.name] == (len(data), exp), f.name
