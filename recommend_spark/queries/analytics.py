@@ -519,3 +519,49 @@ def events_bot_burst(spark, sf_dir):
         )
         .filter(F.col("max_burst") >= 3)
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 most-travelled 3-event paths across user timelines —
+    second-order sequence mining (the funnel-discovery complement to the
+    first-order events_transition_matrix).  Two leads over the same
+    (user, ts, event_id) window share one shuffle + sort; path counts are
+    a tiny |types|^3 aggregate; total order (n DESC, path) before the
+    limit rides TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

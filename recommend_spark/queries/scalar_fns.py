@@ -518,3 +518,32 @@ def mm_tensor_reshape(spark, sf_dir):
         F.size(F.flatten(chunks)).alias("n_flat"),
         F.expr("CAST(embedding[0] AS DOUBLE)").alias("first_elem"),
     )
+
+
+@register(
+    "fn_date_iso",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS o_quarter,
+           weekofyear(o_orderdate) AS iso_week,
+           dayofyear(o_orderdate) AS doy,
+           CAST(strftime(o_orderdate, '%Y') AS INT) * 100
+             + weekofyear(o_orderdate) AS yw_key
+    FROM orders
+    """,
+)
+def fn_date_iso(spark, sf_dir):
+    """ISO-calendar date family: quarter, ISO week number, day-of-year,
+    and a composite year-week partition key — both engines implement ISO
+    8601 week numbering, which matters at year boundaries (Jan 1 can be
+    week 52/53 of the prior ISO year; the composite key uses the calendar
+    year deliberately, matching how date-partitioned lakes are keyed)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("o_quarter"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        (F.year(d) * 100 + F.weekofyear(d)).alias("yw_key"),
+    )

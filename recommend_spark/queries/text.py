@@ -634,3 +634,36 @@ def er_name_match(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .select("cust_a", "cust_b", "edit_dist")
     )
+
+
+@register("text_compression_ratio")  # rows-only: no zlib in the oracle
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal: zlib-compressed size over raw
+    size per document — the classic cheap filter for boilerplate and
+    gibberish (highly repetitive text compresses far below natural
+    language; random noise barely compresses).  Arrow-batched
+    mapInPandas, deterministic (zlib level pinned), byte-exact gate vs
+    the Python zlib in tests.  Map-only at any scale — this is the shape
+    of every per-document scoring pass in a training-data pipeline."""
+    import zlib
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf):
+                raw = pdf["text"].str.encode("utf-8")
+                comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_raw": raw.map(len),
+                        "n_comp": comp,
+                        "ratio": comp / raw.map(len),
+                    }
+                )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        score, "doc_id long, n_raw long, n_comp long, ratio double"
+    )

@@ -250,3 +250,34 @@ def test_pca_quality_and_determinism(spark):
     P2 = np.array([r["pc"] for r in sorted(rows2, key=lambda r: r["vec_id"])])
     P1 = np.array([r["pc"] for r in sorted(rows, key=lambda r: r["vec_id"])])
     assert np.array_equal(P1, P2), "PCA must be run-to-run deterministic"
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    rows = QUERIES["text_compression_ratio"](spark, SF_DIR).collect()
+    from recommend_spark.io import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        raw = texts[r["doc_id"]].encode()
+        assert r["n_raw"] == len(raw)
+        assert r["n_comp"] == len(zlib.compress(raw, 6))
+        assert 0 < r["ratio"] < 1.5
+
+
+def test_rec_eval_recall_sane_and_deterministic(spark):
+    """The eval harness must produce a valid, reproducible metric.  (On
+    this SYNTHETIC fixture interactions are near-random, so ALS cannot
+    beat the random baseline — the gate checks harness integrity: a real
+    preference dataset is where the metric becomes discriminative.)"""
+    row = QUERIES["rec_eval_recall"](spark, SF_DIR).collect()[0]
+    assert row["n_test"] > 0 and row["n_users_eval"] > 0
+    assert 0.0 <= row["recall_at_10"] <= 1.0
+    assert row["n_hits"] >= 0
+    row2 = QUERIES["rec_eval_recall"](spark, SF_DIR).collect()[0]
+    assert row2["recall_at_10"] == row["recall_at_10"], "must be reproducible"
