@@ -565,3 +565,173 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "win_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, rev,
+           (rev - lag(rev) OVER (ORDER BY month))
+             / lag(rev) OVER (ORDER BY month) AS mom_growth
+    FROM m
+    """,
+)
+def win_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: exact decimal monthly sums, then
+    lag-based percent change — the period-over-period reporting shape.
+    The window is global but runs over |months| rows (post-aggregation),
+    so the single-partition sort is microscopic at any fact volume."""
+    from pyspark.sql import Window as W
+
+    from ..canon import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(dsum("o_totalprice", "rev"))
+    w = W.orderBy("month")
+    return m.select(
+        "month",
+        "rev",
+        ((F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w)).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM act),
+    dau AS (SELECT d, count(*) AS dau FROM act GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT a.user_id) AS wau
+      FROM days JOIN act a
+        ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_active_users(spark, sf_dir):
+    """Growth metrics: DAU, trailing-7-day WAU, and DAU/WAU stickiness per
+    day.  Rolling DISTINCT counts can't ride a window frame (no
+    count-distinct-over-range in either engine), so the WAU is a bounded
+    7x day-grid expansion join over the DISTINCT (day, user) activity
+    table — |days| x avg-DAU rows, independent of raw event volume; the
+    day grid broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = act.select("d").distinct()
+    dau = act.groupBy("d").agg(F.count("*").alias("dau"))
+    a = act.select(F.col("d").alias("ad"), "user_id")
+    wau = (
+        F.broadcast(days)
+        .join(
+            a,
+            (F.col("ad") >= F.col("d") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("ad") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "pipeline_scd2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN prev_type IS NULL OR prev_type != event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM seq
+    ), seg AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM starts
+    ), spans AS (
+      SELECT user_id, any_value(event_type) AS state, seg_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+    FROM spans
+    """,
+)
+def pipeline_scd2(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 build: compress each user's event
+    stream into state spans with [valid_from, valid_to) validity and an
+    is_current flag — the dimension-history table every warehouse keeps.
+    Gaps-and-islands segmentation (lag + running sum of change marks),
+    then span bounds and lead() for the closing timestamp.  One shuffle
+    on user_id shared by all three windows; output is |state-changes|
+    rows, not |events|."""
+    from pyspark.sql import Window as W
+
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w_seq).alias("prev_type"),
+    )
+    starts = seq.withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    seg = starts.withColumn("seg_id", F.sum("is_start").over(w_run))
+    spans = seg.groupBy("user_id", "seg_id").agg(
+        F.first("event_type").alias("state"),
+        epoch_s(F.min("ts"), "valid_from"),
+    )
+    w_next = W.partitionBy("user_id").orderBy("valid_from")
+    return spans.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        F.lead("valid_from").over(w_next).isNull().alias("is_current"),
+    )
