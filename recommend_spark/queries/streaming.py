@@ -504,6 +504,16 @@ def stream_stream_join_outer(spark, sf_dir):
             epoch_s("p_ts", "p_sec"),
         )
 
+    # 4 files/trigger (2 data batches + the finalizing batch): still a
+    # genuine multi-batch run with a mid-stream watermark advance, but the
+    # outer join's per-batch state-eviction scans dominate wall-clock at
+    # bench scale and the drained result is batching-invariant (verified
+    # 2 vs 8 files/trigger — identical rows).
     return run_stream(
-        spark, sf_dir, "rs_stream_stream_join_outer", build, output_mode="append"
+        spark,
+        sf_dir,
+        "rs_stream_stream_join_outer",
+        build,
+        output_mode="append",
+        files_per_trigger=4,
     )

@@ -69,6 +69,7 @@ def run_stream(
     build,
     output_mode: str = "complete",
     shuffled: bool = False,
+    files_per_trigger: int = 2,
 ) -> DataFrame:
     """Replay events through ``build(stream_df) -> DataFrame`` and return the
     final memory-sink table (a fresh checkpoint every run -> repeatable)."""
@@ -89,7 +90,7 @@ def run_stream(
     # (prefix / convergence properties, never per-batch contents).
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(src)
