@@ -611,17 +611,20 @@ def join_null_safe(spark, sf_dir):
     every SQL engine must get right.  Both sides derive a nullable group
     key (nullif), so the NULL bucket is exercised for real.  Catalyst
     plans <=> as a hash join on a null-safe key (NULL hashes to a bucket
-    like any value) — same single shuffle as a plain equi-join, no
-    fallback to nested-loop."""
+    like any value) — no fallback to nested-loop.  With only 6 distinct
+    key values a shuffle join would bottleneck on 6 reducers, so the small
+    side broadcasts and the outer side repartitions (the er_name_match
+    low-cardinality-key recipe; here wall-clock is bound by the ~3.7M-row
+    output at sf0.1, not the join itself)."""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     a = c.select(
         "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
-    )
+    ).repartition(64)
     b = s.select(
         "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("grp_b")
     )
     return (
-        a.join(b, a.grp.eqNullSafe(b.grp_b))
+        a.join(F.broadcast(b), a.grp.eqNullSafe(b.grp_b))
         .select("c_custkey", "s_suppkey", "grp")
     )
