@@ -619,3 +619,404 @@ def tpch_q22(spark, sf_dir):
         F.count("*").alias("numcust"),
         dsum("c_acctbal", "totacctbal"),
     )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ), mx AS (SELECT max(total_revenue) AS m FROM revenue)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    CROSS JOIN mx WHERE r.total_revenue = mx.m
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    supplier(s) achieving the maximum (the view + scalar-subquery shape).
+    The max broadcasts as a 1-row cross join; revenue is an exact decimal
+    sum emitted as double, so the equality comparison is exact in both
+    engines (ties kept, as the spec requires)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+                scale=4,
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 7, 14, 23, 36, 45, 49, 3)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: the fixture has no
+    partsupp table, so the part↔supplier association comes from observed
+    lineitems — same negated predicates + grouped count-distinct shape).
+    The part dim broadcasts; count distinct adds its dedup exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sel = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 3)
+    )
+    return (
+        li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(l_quantity)) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < a.threshold
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: lineitems under 20% of
+    their part's average quantity, for one brand — the correlated-scalar-
+    subquery shape, decorrelated into a per-part aggregate join.  The
+    per-part threshold table is |parts|-sized and broadcasts; thresholds
+    derive from exact decimal sums (davg), so the comparison is
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.2 * davg("l_quantity")).alias("threshold")
+    )
+    sel = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (
+        li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+        .join(
+            F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT p.p_partkey, ps.l_suppkey, ps.supplycost
+      FROM ps
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size = 15 AND r.r_name = 'ASIA'
+    ), mn AS (
+      SELECT p_partkey, min(supplycost) AS mc FROM eligible GROUP BY p_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, e.p_partkey, e.supplycost
+    FROM eligible e
+    JOIN mn ON e.p_partkey = mn.p_partkey AND e.supplycost = mn.mc
+    JOIN supplier s ON e.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, e.p_partkey, e.supplycost
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table — supply
+    cost is the minimum observed unit price per (part, supplier) from
+    lineitems).  The correlated min-cost subquery decorrelates into a
+    per-part aggregate rejoined on (part, cost); all dims broadcast; the
+    top-100 rides a total order.  Unit price is one IEEE division and min
+    is order-free, so cost equality is exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eligible = (
+        ps.join(
+            F.broadcast(p.filter(F.col("p_size") == 15).select("p_partkey")),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("p_partkey", "l_suppkey", "supplycost")
+    )
+    mn = eligible.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("supplycost").alias("mc")
+    )
+    out = (
+        eligible.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("pk"))
+            & (F.col("supplycost") == F.col("mc")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+    )
+    return out.orderBy(
+        F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "supplycost"
+    ).limit(100)
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 7
+      GROUP BY s.s_nationkey, l.l_partkey
+    ), tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS t
+               FROM val)
+    SELECT l_partkey, value FROM val CROSS JOIN tot
+    WHERE value > 0.001 * t
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: stock value = shipped revenue
+    per part from one nation's suppliers).  The HAVING-over-global-
+    fraction shape: per-part decimal sums, a one-row grand total broadcast
+    back, fraction filter.  Filters push to the supplier dim before the
+    fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    val = (
+        li.join(
+            F.broadcast(
+                s.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice", "value"))
+    )
+    tot = val.agg(dsum("value", "t", scale=4))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.001 * F.col("t"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping modes and priority (adapted: return flag stands
+    in for the ship mode column the fixture lacks) — the conditional-sum
+    pivot shape over a year of shipments.  Date predicates reach the
+    lineitem scan; the one fact-fact join is the familiar
+    orders⋈lineitem exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    sel = li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    return (
+        o.join(sel, o.o_orderkey == sel.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), part_tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq
+      FROM lineitem GROUP BY l_partkey
+    ), heavy AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh JOIN part_tot pt ON sh.l_partkey = pt.l_partkey
+      WHERE sh.sq > 0.15 * pt.tq
+    )
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 excess-share suppliers (adapted: no partsupp/availqty —
+    a supplier qualifies when it shipped more than 15% of some part's
+    total quantity).  Nested aggregate-over-aggregate with a final
+    semi-join — both aggregates share the (suppkey, partkey) shuffle
+    lineage; the qualifying-supplier set broadcasts into the semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum("l_quantity", "sq")
+    )
+    part_tot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("l_quantity", "tq")
+    )
+    heavy = (
+        shipped.join(F.broadcast(part_tot), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("sq") > 0.15 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_nationkey")
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ), all_supp AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_supp a
+        WHERE a.l_orderkey = late.l_orderkey
+          AND a.l_suppkey <> late.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = late.l_orderkey
+          AND l2.l_suppkey <> late.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: "late" means
+    shipped more than 90 days after the order date): the double-correlated
+    EXISTS / NOT EXISTS shape — multi-supplier orders where exactly this
+    supplier was late.  Both correlations express as semi-/anti-joins on
+    compact DISTINCT (order, supplier) sets (never the raw fact), the
+    classic decorrelation; top-20 under a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    other = all_supp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    cand = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("ok"))
+        & (F.col("l_suppkey") != F.col("sk")),
+        "left_semi",
+    )
+    solo = cand.join(
+        late2,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_anti",
+    )
+    return (
+        solo.join(F.broadcast(s), solo.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
