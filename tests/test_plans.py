@@ -90,7 +90,8 @@ def test_tpch_q6_predicates_reach_scan(spark):
 
 
 def test_tpch_dims_broadcast_no_cartesian(spark):
-    for qid in ("tpch_q3", "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q19"):
+    for qid in ("tpch_q3", "tpch_q5", "tpch_q8", "tpch_q10", "tpch_q19",
+                "tpch_q2", "tpch_q16", "tpch_q17", "tpch_q20"):
         plan = _plan(QUERIES[qid](spark, SF_DIR))
         assert "CartesianProduct" not in plan, qid
         assert "BroadcastNestedLoopJoin" not in plan, qid
@@ -98,7 +99,7 @@ def test_tpch_dims_broadcast_no_cartesian(spark):
 
 
 def test_tpch_topk_plans_take_ordered(spark):
-    for qid in ("tpch_q3", "tpch_q10", "tpch_q18"):
+    for qid in ("tpch_q3", "tpch_q10", "tpch_q18", "tpch_q2", "tpch_q21"):
         assert "TakeOrderedAndProject" in _plan(QUERIES[qid](spark, SF_DIR)), qid
 
 
