@@ -735,3 +735,64 @@ def pipeline_scd2(spark, sf_dir):
         F.lead("valid_from").over(w_next).alias("valid_to"),
         F.lead("valid_from").over(w_next).isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    base AS (
+      SELECT user_id,
+             date_diff('day', date_trunc('day', max(e.ts)),
+                       date_trunc('day', any_value(mx.m))) AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events e CROSS JOIN mx
+      WHERE e.event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+    FROM base
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """RFM segmentation: per-user Recency (days since last purchase),
+    Frequency (purchase count), Monetary (exact decimal spend), each
+    quintile-scored with ntile(5) — the classic customer-value
+    segmentation.  Unique user_id tie-breaks make every ntile assignment
+    deterministic; the three global windows run over the |users|
+    aggregate, not events.  Higher score = better (recent/frequent/
+    high-spend)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    from ..canon import dsum
+
+    mx = ev.agg(F.max("ts").alias("m"))
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.first("m")),
+                F.date_trunc("day", F.max("ts")),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum("value", "monetary"),
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_days").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "user_id")).alias("m_score"),
+    )

@@ -667,3 +667,60 @@ def text_compression_ratio(spark, sf_dir):
     return docs.mapInPandas(
         score, "doc_id long, n_raw long, n_comp long, ratio double"
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), tok2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
+    freq AS (
+      SELECT w, count(*) AS c FROM tok2 GROUP BY w
+    ), tot AS (SELECT sum(c) AS t FROM freq),
+    surp AS (
+      SELECT w, CAST(CAST(-ln(CAST(c AS DOUBLE) / t) AS DECIMAL(18,6))
+                     AS DECIMAL(18,6)) AS s
+      FROM freq CROSS JOIN tot
+    )
+    SELECT t2.doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(surp.s) AS DOUBLE) AS total_surprisal,
+           CAST(SUM(surp.s) AS DOUBLE) / count(*) AS avg_surprisal
+    FROM tok2 t2 JOIN surp ON t2.w = surp.w
+    GROUP BY t2.doc_id
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Unigram language-model surprisal per document: -ln p(w) summed over
+    tokens — the cheap proxy for LM-based quality filtering (documents of
+    very low average surprisal are repetitive boilerplate; very high are
+    gibberish).  Determinism trick: ln() differs by 1 ulp across libm
+    implementations, so each DISTINCT token's surprisal is rounded once
+    through DECIMAL(18,6) (safe margin, same as fn_math's ln), and the
+    per-document total is then an EXACT decimal sum — order-free, unlike
+    summing raw doubles.  The surprisal table is vocabulary-sized and
+    broadcasts; one token-explode shuffle does the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs).drop("pos")
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    surp = (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            (-F.log(F.col("c").cast("double") / F.col("t")))
+            .cast("decimal(18,6)"),
+        )
+        .select("w", "s")
+    )
+    return (
+        tok.join(F.broadcast(surp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("s").cast("double").alias("total_surprisal"),
+            (F.sum("s").cast("double") / F.count("*")).alias("avg_surprisal"),
+        )
+    )
