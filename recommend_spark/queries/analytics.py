@@ -796,3 +796,39 @@ def events_rfm(spark, sf_dir):
         F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
         F.ntile(5).over(W.orderBy("monetary", "user_id")).alias("m_score"),
     )
+
+
+@register(
+    "events_error_sli",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS dday,
+             count(*) AS n_total,
+             count(*) FILTER (event_type = 'error') AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(dday, '%Y-%m-%d') AS day, n_total, n_errors,
+           CAST(n_errors AS DOUBLE) / n_total AS error_rate,
+           CAST(n_errors AS DOUBLE) / n_total > 0.2 AS slo_breach
+    FROM d
+    """,
+)
+def events_error_sli(spark, sf_dir):
+    """Service-level indicator: daily error rate with an SLO-breach flag
+    (error share > 20%) — the monitoring aggregate that pages someone.
+    Exact integer counts, one IEEE division, one comparison; a single
+    partial+final aggregate whose output is |days| rows at any event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("dday")).agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_total")
+    return d.select(
+        F.date_format("dday", "yyyy-MM-dd").alias("day"),
+        "n_total",
+        "n_errors",
+        rate.alias("error_rate"),
+        (rate > 0.2).alias("slo_breach"),
+    )
