@@ -453,9 +453,11 @@ def dedup_embed_cosine(spark, sf_dir):
     """Embedding near-dup pairs: cosine >= 0.4 (unit-norm ⇒ cosine = dot;
     threshold sized to the fixture's random-vector cosine distribution).
 
-    Block matrix layout: the right side is a small broadcast-style N×64
-    matrix (closure-captured; at 100 TB that side is the LSH/IVF-bucketed
-    candidate set — sim_ann_lsh / sim_ivf_topk), the left side streams
+    Block matrix layout: the right side is a small N×64 candidate matrix
+    shipped via ``sparkContext.broadcast`` — ONE torrent transfer per
+    executor, shared read-only by all its tasks, instead of being pickled
+    into every task closure (at 100 TB that side is the LSH/IVF-bucketed
+    candidate set — sim_ann_lsh / sim_ivf_topk).  The left side streams
     through ``mapInPandas`` in Arrow batches, and each batch computes all
     its pairs as 64 vectorized outer-product accumulations.  The adds run
     in index order k=0..63 starting from 0.0, so every pair's double
@@ -468,12 +470,17 @@ def dedup_embed_cosine(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    b_ids = np.asarray(t["vec_id"])
-    b_mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(t["vec_id"]),
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+        )
+    )
 
     def block_pairs(batches):
         import pandas as pd
 
+        b_ids, b_mat = bc.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)

@@ -373,15 +373,16 @@ _SQL_DOT_AB = """
 def sim_knn_join(spark, sf_dir):
     """Full kNN self-join: exact top-5 neighbors for EVERY vector.
 
-    Block-kernel layout: the candidate matrix (N×64 float64) ships to every
-    task; each Arrow batch of query rows computes its cosine block as 64
-    index-ordered outer-product accumulations (bit-identical to the
-    oracle's left fold) and keeps only its per-query top-5 — computed
-    exactly inside the batch because the batch sees ALL candidates.  Zero
-    shuffle: k rows per query come straight off the map.  At 100 TB the
-    candidate side is the IVF/LSH bucket (sim_ivf_topk / sim_ann_lsh);
-    this operator is their exact baseline and shares the kernel with
-    dedup_embed_cosine."""
+    Block-kernel layout: the candidate matrix (N×64 float64) ships via
+    ``sparkContext.broadcast`` — one torrent transfer per executor, shared
+    by all its tasks, NOT pickled into each task closure; each Arrow batch
+    of query rows computes its cosine block as 64 index-ordered
+    outer-product accumulations (bit-identical to the oracle's left fold)
+    and keeps only its per-query top-5 — computed exactly inside the batch
+    because the batch sees ALL candidates.  Zero shuffle: k rows per query
+    come straight off the map.  At 100 TB the candidate side is the
+    IVF/LSH bucket (sim_ivf_topk / sim_ann_lsh); this operator is their
+    exact baseline and shares the kernel with dedup_embed_cosine."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -389,12 +390,17 @@ def sim_knn_join(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    b_ids = np.asarray(t["vec_id"])
-    b_mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(t["vec_id"]),
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+        )
+    )
 
     def knn_blocks(batches):
         import pandas as pd
 
+        b_ids, b_mat = bc.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
