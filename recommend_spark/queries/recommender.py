@@ -28,6 +28,14 @@ _ALS_PARAMS = dict(
     ratingCol="strength",
 )
 
+# Pair-expansion skew guard: users with more than MAX_BASKET distinct items
+# are dropped before the quadratic co-occurrence self-join.  A single 10k-item
+# user alone contributes 5*10^7 pairs and near-zero signal (hyper-active
+# accounts are bots/aggregators in every published item-CF recipe).  Sized so
+# NO fixture user is affected (TPC-H basket lengths are scale-independent,
+# max ~60 — asserted in tests/test_properties.py), i.e. a pure 100x guard.
+MAX_BASKET = 1000
+
 
 def _ratings(spark, sf_dir):
     """Implicit ratings matrix: (customer, part, total quantity ordered)."""
@@ -314,18 +322,24 @@ def rec_item_item(spark, sf_dir):
 
     cos(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) — all three terms exact
     integers, so the one division + sqrt is bit-deterministic (no rounding).
-    Plan: distinct baskets (one shuffle on user), per-user pair expansion via
-    self-join on user (AQE handles basket skew), count shuffle on the pair,
-    then the top-k window.  At 100 TB the standard guards apply: cap basket
-    length (drop hyper-active users, who add quadratic pairs but no signal)
-    and min-count prune (cooc >= 3 here) before scoring; both are the
-    published item-CF production recipe."""
+    Plan: distinct baskets (one shuffle on user), basket-length cap (window
+    count over the SAME user key — the exchange is reused by the pair join),
+    per-user pair expansion via self-join on user (AQE handles residual
+    skew), count shuffle on the pair, then the top-k window.  The 100 TB
+    guards are both IN the plan: MAX_BASKET drops hyper-active users (who
+    add quadratic pairs but no signal) before the self-join, and the
+    min-count prune (cooc >= 3) runs before scoring — the published item-CF
+    production recipe.  MAX_BASKET is sized to be a no-op at fixture scale
+    (oracle carries no cap; no-op asserted in tests/test_properties.py)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     b = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
+        .withColumn("basket_len", F.count("*").over(W.partitionBy("u")))
+        .filter(F.col("basket_len") <= MAX_BASKET)
+        .drop("basket_len")
     )
     n = b.groupBy("i").agg(F.count("*").alias("n_users"))
     a2, b2 = b.alias("a"), b.alias("b2")
@@ -423,12 +437,20 @@ def rec_popularity_topk(spark, sf_dir):
 def graph_triangles(spark, sf_dir):
     """Triangle enumeration over the co-purchase graph (edges: item pairs
     co-bought by >= 5 customers) — the graph-analytics primitive under
-    clustering coefficients and community detection.  Edges are oriented
-    a < b, so each triangle (a<b<c) is found exactly once by the canonical
-    two-hop + closing-edge join — no post-dedup.  Scale: the oriented-edge
-    trick bounds the join fan-out by out-degree (not total degree); the
-    production recipe additionally orients by (degree, id) so hubs get
-    low out-degree, keeping the two-hop join linear-ish in edge count."""
+    clustering coefficients and community detection.
+
+    Edges are oriented by the total order (degree, id) — every edge points
+    from its lower-degree endpoint to its higher-degree endpoint (id breaks
+    ties), so each triangle has exactly ONE source node with two out-edges
+    and is found exactly once by the two-hop + closing-edge join.  This is
+    the production orientation: a hub with degree d that would contribute
+    O(d^2) two-hop candidates under id-orientation gets near-ZERO out-degree
+    (almost all its neighbors have lower degree), bounding the join fan-out
+    by the graph's degeneracy instead of its max degree — the difference
+    between hours and minutes on a 100 TB co-purchase graph.  Degrees come
+    from one tiny agg over the thresholded edge set and broadcast onto both
+    endpoints.  Output rows are re-canonicalized to id order (a<b<c), so the
+    result — and the oracle hash — is identical to id-orientation."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     b = (
@@ -437,15 +459,34 @@ def graph_triangles(spark, sf_dir):
         .distinct()
     )
     a2, b2 = b.alias("x"), b.alias("y")
-    e = (
+    und = (
         a2.join(b2, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
         .agg(F.count("*").alias("cooc"))
         .filter(F.col("cooc") >= 5)
-        .select("src", "dst")
+        .select("p", "q")
+    )
+    deg = (
+        und.select(F.col("p").alias("node"))
+        .unionAll(und.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dp = F.broadcast(deg.select(F.col("node").alias("p"), F.col("deg").alias("dp")))
+    dq = F.broadcast(deg.select(F.col("node").alias("q"), F.col("deg").alias("dq")))
+    lower_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    e = (
+        und.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.when(lower_first, F.col("p")).otherwise(F.col("q")).alias("src"),
+            F.when(lower_first, F.col("q")).otherwise(F.col("p")).alias("dst"),
+        )
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    return (
+    tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
@@ -453,10 +494,13 @@ def graph_triangles(spark, sf_dir):
             & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+            F.array_sort(
+                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
+            ).alias("t")
         )
+    )
+    return tri.select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
     )
 
 

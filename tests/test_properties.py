@@ -154,3 +154,92 @@ def test_binary_file_scan_matches_hashlib(spark):
         data = f.read_bytes()
         exp = hashlib.md5(data.hex().encode()).hexdigest()
         assert rows[f.name] == (len(data), exp), f.name
+
+
+def test_item_cf_basket_cap_is_noop_at_fixture_scale(spark):
+    """MAX_BASKET must not drop any fixture user (else rec_item_item's
+    oracle, which carries no cap, would diverge) — and must exceed the
+    observed max by a wide margin so sf0.1 stays safe too."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries.recommender import MAX_BASKET
+
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    max_basket = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .groupBy("u")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_basket * 4 < MAX_BASKET
+
+
+def test_item_cf_basket_cap_drops_hyper_user(spark):
+    """The guard itself must work: a synthetic user over the cap contributes
+    zero pairs (checked via the same window-filter construct)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from recommend_spark.queries.recommender import MAX_BASKET
+
+    hyper = [(999, i) for i in range(MAX_BASKET + 1)]
+    normal = [(1, 1), (1, 2), (2, 1)]
+    b = spark.createDataFrame(hyper + normal, "u int, i int")
+    capped = (
+        b.withColumn("basket_len", F.count("*").over(W.partitionBy("u")))
+        .filter(F.col("basket_len") <= MAX_BASKET)
+        .drop("basket_len")
+    )
+    users = {r["u"] for r in capped.select("u").distinct().collect()}
+    assert users == {1, 2}
+
+
+def test_triangle_degree_orientation_bounds_out_degree(spark):
+    """(degree, id) orientation must give every hub near-zero out-degree: in
+    a star + one closing edge, the hub (max degree) can only point at the
+    other endpoint of equal-or-higher (deg, id) rank — here, none."""
+    import pyspark.sql.functions as F
+
+    # star: hub 0 connected to 1..6; plus edge (1,2) closing one triangle
+    edges = [(0, k) for k in range(1, 7)] + [(1, 2)]
+    und = spark.createDataFrame(edges, "p int, q int")
+    deg = (
+        und.select(F.col("p").alias("node"))
+        .unionAll(und.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dp = deg.select(F.col("node").alias("p"), F.col("deg").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("deg").alias("dq"))
+    lower_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    e = (
+        und.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.when(lower_first, F.col("p")).otherwise(F.col("q")).alias("src"),
+            F.when(lower_first, F.col("q")).otherwise(F.col("p")).alias("dst"),
+        )
+    )
+    out_deg = {r["src"]: r["n"] for r in e.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # hub 0 has degree 6, every other node degree <= 3 -> all star edges point INTO 0
+    assert 0 not in out_deg
+    # and the triangle {0,1,2} is still found exactly once by the oriented join
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .count()
+    )
+    assert tri == 1
