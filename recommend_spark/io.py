@@ -8,10 +8,20 @@ gives predicate pushdown, column pruning and row-group skipping for free.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import ensure_runtime_confs
+
+# Root for materialized fixtures / memo caches / streaming checkpoints.
+# Env-overridable; defaults to <repo>/.artifacts derived from this file's
+# location so a checkout at any path keeps working.
+ART_ROOT = os.environ.get(
+    "RS_ART_ROOT", str(Path(__file__).resolve().parents[1] / ".artifacts")
+)
 
 TABLES = (
     "region",
@@ -30,15 +40,25 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with quirk shims applied (FIXTURES.md Q1).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a BIGINT of
-    nanoseconds; convert with integer division (``DIV`` — double division
-    would lose precision at 1e18 magnitudes) to a microsecond timestamp.
+    ``events.ts`` has shipped as two physical types across fixture
+    generations; both normalize to a session-timezone TIMESTAMP (the session
+    is pinned UTC, so the values are identical either way):
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong=true``
+      it arrives as a BIGINT of nanoseconds; convert with integer division
+      (``DIV`` — double division would lose precision at 1e18 magnitudes).
+    - TIMESTAMP(MICROS) without timezone: arrives as TIMESTAMP_NTZ, which
+      Spark 4 refuses to cast to DOUBLE and rejects in ``unix_micros`` —
+      cast once here so every downstream epoch expression keeps working.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

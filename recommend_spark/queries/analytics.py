@@ -668,14 +668,14 @@ def events_active_users(spark, sf_dir):
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events
     ), starts AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN prev_type IS NULL OR prev_type != event_type
                   THEN 1 ELSE 0 END AS is_start
       FROM seq
     ), seg AS (
       SELECT user_id, event_type, ts,
              SUM(is_start) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS seg_id
       FROM starts
     ), spans AS (
@@ -709,6 +709,7 @@ def pipeline_scd2(spark, sf_dir):
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.lag("event_type").over(w_seq).alias("prev_type"),
     )
     starts = seq.withColumn(
@@ -719,7 +720,9 @@ def pipeline_scd2(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break (repo total-order rule): two events sharing a ts at
+    # a segment boundary must segment identically in both engines.
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     seg = starts.withColumn("seg_id", F.sum("is_start").over(w_run))

@@ -18,10 +18,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
 from ..canon import r4
-from ..io import load_table
+from ..io import ART_ROOT as ART, load_table
 from ..registry import register
-
-ART = "/root/repo/.artifacts"
 
 
 @register(

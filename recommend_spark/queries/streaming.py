@@ -156,8 +156,15 @@ def stream_watermark_late(spark, sf_dir):  # on micro-batch watermark timing
             .agg(F.count("*").alias("cnt"))
         )
 
+    # 2 files/trigger (4 batches): append emission fires on watermark
+    # advances BETWEEN batches, so this one keeps the finer batching.
     out = run_stream(
-        spark, sf_dir, "rs_stream_watermark_late", build, output_mode="append"
+        spark,
+        sf_dir,
+        "rs_stream_watermark_late",
+        build,
+        output_mode="append",
+        files_per_trigger=2,
     )
     return out.select(
         F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
@@ -272,7 +279,7 @@ def stream_sink_parquet(spark, sf_dir):
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(src)
@@ -348,7 +355,7 @@ def stream_upsert_latest(spark, sf_dir):
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(src)

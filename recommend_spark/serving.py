@@ -141,8 +141,14 @@ class RecommendationService:
 
     def add_ratings(self, rows: list[tuple[int, int, float]]) -> int:
         """POST /<user>/ratings: append interactions; affected users are
-        served via fold-in immediately (no retrain)."""
+        served via fold-in immediately (no retrain).  Returns the number of
+        ratings accepted in THIS call (the natural POST response)."""
         self._extra_rows.extend(
             (int(u), int(i), float(s)) for u, i, s in rows
         )
+        return len(rows)
+
+    @property
+    def pending_foldin_backlog(self) -> int:
+        """Rows appended since the last full retrain (ops metric)."""
         return len(self._extra_rows)

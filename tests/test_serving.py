@@ -52,3 +52,45 @@ def test_add_ratings_served_without_retrain(service):
     a = {r["item_id"]: r["score"] for r in after}
     assert set(a) == {1, 2}
     assert any(abs(a[k] - b.get(k, 0.0)) > 1e-9 for k in a), (b, a)
+
+
+def test_add_ratings_returns_this_call_count(service):
+    assert service.add_ratings([(7, 1, 1.0)]) == 1
+    assert service.add_ratings([(7, 2, 1.0), (7, 3, 1.0)]) == 2
+    assert service.pending_foldin_backlog >= 3
+
+
+def test_http_routes_over_socket(service):
+    """The three reference routes answered over a real TCP socket."""
+    import json
+    from urllib.request import Request, urlopen
+
+    from recommend_spark.http_api import serve
+
+    srv, port = serve(service)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        top = json.load(urlopen(f"{base}/1/ratings/top/3"))
+        assert 0 < len(top) <= 3 and {"item_id", "score"} <= set(top[0])
+        item = top[0]["item_id"]
+        one = json.load(urlopen(f"{base}/1/ratings/{item}"))
+        assert len(one) == 1 and one[0]["item_id"] == item
+        assert one[0]["score"] == pytest.approx(top[0]["score"], rel=1e-9)
+        req = Request(
+            f"{base}/1/ratings",
+            data=json.dumps([[item, 9.5], [item + 1, 1.0]]).encode(),
+            method="POST",
+        )
+        posted = json.load(urlopen(req))
+        assert posted["accepted"] == 2
+        # bad route -> 404, bad body -> 400
+        from urllib.error import HTTPError
+
+        for url, data in [(f"{base}/nope", None), (f"{base}/1/ratings", b"not json")]:
+            try:
+                urlopen(Request(url, data=data, method="POST" if data else "GET"))
+                raise AssertionError("expected HTTPError")
+            except HTTPError as e:
+                assert e.code in (400, 404)
+    finally:
+        srv.shutdown()

@@ -28,7 +28,7 @@ def test_watermark_append_is_prefix_of_batch(spark):
         r["window_start"]: r["cnt"]
         for r in ev.groupBy(
             F.floor(
-                F.floor(F.col("ts").cast("double") / 600) * 600
+                F.floor(F.col("ts").cast("timestamp").cast("double") / 600) * 600
             ).cast("long").alias("window_start")
         )
         .agg(F.count("*").alias("cnt"))
