@@ -8,9 +8,10 @@ noop sink (no driver collect overhead), and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {qid: sec, ...}, "sf": ..., ...}
 
-Heavy rows-only operators (ALS, LSH, streaming replays) are included when
-SPARK_GRAFT_BENCH_HEAVY=1 and reported under "queries_heavy" (separate from
-the SQL suite per BASELINE.md §4).
+Heavy rows-only operators (ALS, LSH, streaming replays) run by default and
+are reported under "queries_heavy", separate from the SQL suite per
+BASELINE.md §4 (so round-over-round regressions in the rows-only ops are
+visible in BENCH_r{N}).  Disable with SPARK_GRAFT_BENCH_HEAVY=0.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def run_one(spark, qid, sf_dir):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    heavy_on = os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "0") == "1"
+    heavy_on = os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") == "1"
     spark = get_spark("recommend_spark_bench")
 
     sql_set = [q for q in sorted(ORACLES) if q not in HEAVY]

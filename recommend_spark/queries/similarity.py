@@ -203,99 +203,161 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
-@register("mm_image_pipeline")  # rows-only: decode stub (no codec libs here)
-def mm_image_pipeline(spark, sf_dir):
-    """Multimodal decode pipeline over binary payloads via mapInPandas.
+def synth_bmp(doc_id: int, text: bytes):
+    """Deterministic fixture image: dims from (doc_id, len(text)), pixels
+    from the md5-seeded text bytes tiled across the RGB grid.  Pure
+    function of the row — the round-trip gate re-derives it in tests."""
+    import hashlib
 
-    The Spark plumbing is real: binary column in, Arrow batches through
-    Python, typed struct-ish schema out, partition-parallel.  The codec is a
-    deterministic fake (no image libs in this container): 'decode' derives
-    width/height from the payload bytes.  Swap `_fake_decode` for a real
-    PIL/libvips call in production — the operator shape is unchanged."""
+    import numpy as np
+
+    from ..mm_codecs import encode_bmp
+
+    w = 8 + (doc_id % 24)
+    h = 8 + (len(text) % 24)
+    seed = hashlib.md5(text).digest()
+    px = np.frombuffer(seed, dtype=np.uint8)
+    img = np.resize(px, (h, w, 3))
+    return encode_bmp(img)
+
+
+@register("mm_image_pipeline")  # rows-only: binary payloads are
+def mm_image_pipeline(spark, sf_dir):  # not SQL-expressible
+    """Multimodal image pipeline over binary payloads via mapInPandas —
+    with a REAL decoder (pure-numpy 24-bit BMP, recommend_spark.mm_codecs).
+
+    Stage 1 synthesizes a deterministic BMP per document (the container
+    ships no media fixtures) into a ``binary`` column; stage 2 decodes the
+    bytes and emits typed features (dims + channel means).  Both stages are
+    narrow Arrow-batched maps — no shuffle; at 100 TB stage 1 is replaced
+    by the binaryFile scan (scan_binary_files) and stage 2 is unchanged
+    apart from swapping decode_bmp for a JPEG codec call."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    from ..mm_codecs import decode_bmp
 
-    def decode_batch(batches):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_stage(batches):
         for pdf in batches:
-            try:
-                raise NotImplementedError("no image codec in this environment")
-            except NotImplementedError:
-                decoded = [_fake_decode(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_px": [d[0] * d[1] for d in decoded],
+                    "payload": [
+                        synth_bmp(int(d), t.encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
                 }
             )
-            yield out
 
-    def _fake_decode(payload: bytes):
-        w = 16 + (len(payload) % 64)
-        h = 16 + (payload[0] % 64 if len(payload) else 0)
-        return (w, h)
+    def decode_stage(batches):
+        for pdf in batches:
+            ids, ws, hs, npx, lum = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(payload)
+                h, w = img.shape[:2]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                npx.append(w * h)
+                lum.append(float(img.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_px": npx,
+                    "mean_luma": lum,
+                }
+            )
 
-    return docs.mapInPandas(
-        decode_batch, schema="doc_id long, width int, height int, n_px int"
+    binary = docs.mapInPandas(encode_stage, schema="doc_id long, payload binary")
+    return binary.mapInPandas(
+        decode_stage,
+        schema="doc_id long, width int, height int, n_px int, mean_luma double",
     )
 
 
-@register("mm_audio_pipeline")  # rows-only: decode stub (no audio libs here)
-def mm_audio_pipeline(spark, sf_dir):
-    """Multimodal audio pipeline: binary payload → PCM decode → per-window
-    RMS feature frames (1→N row expansion) via mapInPandas.
+def synth_wav(doc_id: int, text: bytes):
+    """Deterministic fixture audio: >= 2 analysis windows of int16 samples
+    derived from the md5-tiled text bytes.  Pure function of the row."""
+    import hashlib
 
-    The Spark plumbing is real — binary column in, Arrow batches through
-    Python, one output row per 1024-sample analysis window, partition-
-    parallel with no shuffle.  The codec is a deterministic fake (no
-    soundfile/ffmpeg in this container): 'decode' reinterprets payload
-    bytes as int8 samples.  Swap `_fake_pcm` for a real decoder in
-    production — schema, batching, and expansion shape are unchanged."""
+    import numpy as np
+
+    from ..mm_codecs import encode_wav
+
+    n = 2048 + (doc_id % 2048)
+    seed = np.frombuffer(hashlib.md5(text).digest(), dtype=np.uint8)
+    samples = (
+        (np.resize(seed, n).astype(np.int32) - 128) * 256
+    ).astype(np.int16)
+    return encode_wav(samples, sample_rate=16000)
+
+
+@register("mm_audio_pipeline")  # rows-only: binary payloads are
+def mm_audio_pipeline(spark, sf_dir):  # not SQL-expressible
+    """Multimodal audio pipeline: binary WAV payload → REAL PCM16 decode
+    (pure-numpy RIFF parser, recommend_spark.mm_codecs) → per-window RMS
+    feature frames (1→N row expansion) via mapInPandas.
+
+    Stage 1 synthesizes a deterministic PCM16 WAV per document into a
+    ``binary`` column; stage 2 parses the RIFF container, verifies the
+    sample rate, and emits one row per 1024-sample analysis window —
+    partition-parallel, no shuffle.  Swapping decode_wav for soundfile/
+    ffmpeg changes one call; schema, batching, and the expansion shape are
+    production-real."""
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    from ..mm_codecs import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     WIN = 1024
 
-    def _fake_pcm(payload: bytes) -> "np.ndarray":
-        # deterministic stand-in for an audio codec: bytes -> int8 samples,
-        # tiled to at least 2 windows so the 1->N expansion is exercised
-        raw = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
-        reps = max(1, int(np.ceil(2 * WIN / max(len(raw), 1))))
-        return np.tile(raw, reps)
+    def encode_stage(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_wav(int(d), t.encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
 
     def frames(batches):
         for pdf in batches:
-            try:
-                raise NotImplementedError("no audio codec in this environment")
-            except NotImplementedError:
-                decoded = [_fake_pcm(p) for p in pdf["payload"]]
-            ids, idxs, rms, n_samp = [], [], [], []
-            for doc_id, pcm in zip(pdf["doc_id"], decoded):
-                n_win = len(pcm) // WIN
+            ids, idxs, rms, n_samp, rates = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm = decode_wav(payload)
+                x = pcm.astype(np.float64)
+                n_win = len(x) // WIN
                 for i in range(n_win):
-                    w = pcm[i * WIN : (i + 1) * WIN]
+                    w = x[i * WIN : (i + 1) * WIN]
                     ids.append(doc_id)
                     idxs.append(i)
                     rms.append(float(np.sqrt(np.mean(w * w))))
-                    n_samp.append(len(pcm))
+                    n_samp.append(len(x))
+                    rates.append(rate)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "frame_idx": idxs,
                     "rms": rms,
                     "n_samples": n_samp,
+                    "sample_rate": rates,
                 }
             )
 
-    return docs.mapInPandas(
-        frames, schema="doc_id long, frame_idx int, rms double, n_samples long"
+    binary = docs.mapInPandas(encode_stage, schema="doc_id long, payload binary")
+    return binary.mapInPandas(
+        frames,
+        schema=(
+            "doc_id long, frame_idx int, rms double, n_samples long, "
+            "sample_rate int"
+        ),
     )
 
 

@@ -117,17 +117,99 @@ def test_approx_quantile_within_tolerance(spark, ddb):
         assert abs(ap - ep) <= max(1.0, 0.02 * ep), (k, ap, ep)
 
 
-def test_mm_audio_video_stub_shapes(spark):
+def test_bmp_codec_byte_exact_round_trip():
+    """decode(encode(img)) must reproduce every pixel for odd widths too
+    (row padding) and both row orders."""
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (16, 16), (11, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        assert out.shape == img.shape
+        assert (out == img).all(), (h, w)
+
+
+def test_wav_codec_byte_exact_round_trip():
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for n in [1, 255, 4096]:
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        rate, out = decode_wav(encode_wav(samples, sample_rate=22050))
+        assert rate == 22050
+        assert (out == samples).all(), n
+
+
+def test_mm_image_pipeline_decodes_real_bmp(spark):
+    """The pipeline's output must equal a local numpy decode of the same
+    deterministically synthesized payload (byte-exact gate)."""
+    import hashlib
+
+    import numpy as np
+
+    from recommend_spark.io import load_table
+    from recommend_spark.mm_codecs import decode_bmp
+    from recommend_spark.queries.similarity import synth_bmp
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["mm_image_pipeline"](spark, SF_DIR).limit(500).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(*[int(k) for k in list(rows)[:20]]))
+        .collect()
+    }
+    assert docs
+    for doc_id, text in docs.items():
+        img = decode_bmp(synth_bmp(int(doc_id), text.encode("utf-8")))
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["n_px"] == img.shape[0] * img.shape[1]
+        assert r["mean_luma"] == float(img.mean()), doc_id
+
+
+def test_mm_audio_pipeline_decodes_real_wav(spark):
+    """Per-window RMS from the pipeline must match a local numpy decode of
+    the same synthesized WAV payload exactly."""
+    import numpy as np
+
+    from recommend_spark.io import load_table
+    from recommend_spark.mm_codecs import decode_wav
+    from recommend_spark.queries.similarity import synth_wav
+
     audio = QUERIES["mm_audio_pipeline"](spark, SF_DIR)
     assert [f.name for f in audio.schema.fields] == [
-        "doc_id", "frame_idx", "rms", "n_samples",
+        "doc_id", "frame_idx", "rms", "n_samples", "sample_rate",
     ]
     a = audio.limit(2000).collect()
-    assert len(a) > 0 and all(r["rms"] >= 0 for r in a)
+    assert len(a) > 0 and all(r["rms"] >= 0 and r["sample_rate"] == 16000 for r in a)
     # 1->N expansion: at least one doc yields multiple frames
     from collections import Counter
-    assert max(Counter(r["doc_id"] for r in a).values()) >= 2
 
+    assert max(Counter(r["doc_id"] for r in a).values()) >= 2
+    # byte-exact decode gate on one doc
+    doc_id = a[0]["doc_id"]
+    text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == int(doc_id))
+        .collect()[0]["text"]
+    )
+    rate, pcm = decode_wav(synth_wav(int(doc_id), text.encode("utf-8")))
+    x = pcm.astype(np.float64)
+    got = {r["frame_idx"]: r["rms"] for r in a if r["doc_id"] == doc_id}
+    for i, rms in got.items():
+        w = x[i * 1024 : (i + 1) * 1024]
+        assert rms == float(np.sqrt(np.mean(w * w))), i
+
+
+def test_mm_video_stub_shapes(spark):
     video = QUERIES["mm_video_frames"](spark, SF_DIR)
     v = video.limit(2000).collect()
     assert len(v) > 0
