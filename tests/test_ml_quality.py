@@ -363,3 +363,32 @@ def test_rec_eval_recall_sane_and_deterministic(spark):
     assert row["n_hits"] >= 0
     row2 = QUERIES["rec_eval_recall"](spark, SF_DIR).collect()[0]
     assert row2["recall_at_10"] == row["recall_at_10"], "must be reproducible"
+
+
+def test_unigram_surprisal_clear_of_decimal_rounding_boundaries():
+    """Cross-engine surprisal determinism rests on one DECIMAL(18,6)
+    rounding of -ln(c/t) agreeing between JVM and DuckDB libm.  A 1-ulp
+    divergence (~1e-15 abs at these magnitudes) only matters if a value
+    lands within that distance of a 0.5e-6 rounding midpoint.  Assert every
+    distinct token's surprisal keeps a >=1e-9 margin in grid units (1e6x
+    the worst ulp gap) so the guarantee is structural, not luck."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    c = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        SELECT count(*) AS c FROM tok WHERE w != '' GROUP BY w
+        """
+    ).fetchnumpy()["c"].astype(np.float64)
+    s = -np.log(c / c.sum())
+    grid = s * 1e6  # rounding grid: midpoints at frac == 0.5
+    dist_to_midpoint = np.abs((grid % 1.0) - 0.5)
+    assert dist_to_midpoint.min() > 1e-9, (
+        f"token surprisal {s[dist_to_midpoint.argmin()]} sits "
+        f"{dist_to_midpoint.min():.2e} grid units from a rounding midpoint"
+    )
