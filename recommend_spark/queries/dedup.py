@@ -331,9 +331,15 @@ def dedup_near_minhash(spark, sf_dir):
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _TOKS().alias("toks"))
+    # documents.parquet is a single file -> 1 input partition; without an
+    # explicit spread the ENTIRE probe stage (hash explode -> bucket join ->
+    # exact-distance rescore over the fixture's dense duplicate clusters)
+    # runs as ONE task.  Candidate-pair work is quadratic per duplicate
+    # cluster, so parallelism here is the difference between ~30s and ~15min
+    # at sf0.1 — and on a cluster, between one hot executor and N.
+    d = docs.select("doc_id", _TOKS().alias("toks")).repartition(32, "doc_id")
     cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(d)
-    vecs = cv.transform(d)
+    vecs = cv.transform(d).cache()
     lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(vecs)
     # approxSimilarityJoin's cut is STRICT (<): nudge past 1-tau so boundary

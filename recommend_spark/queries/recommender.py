@@ -322,25 +322,31 @@ def rec_item_item(spark, sf_dir):
 
     cos(i,j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|) — all three terms exact
     integers, so the one division + sqrt is bit-deterministic (no rounding).
-    Plan: distinct baskets (one shuffle on user), basket-length cap (window
-    count over the SAME user key — the exchange is reused by the pair join),
-    per-user pair expansion via self-join on user (AQE handles residual
-    skew), count shuffle on the pair, then the top-k window.  The 100 TB
-    guards are both IN the plan: MAX_BASKET drops hyper-active users (who
-    add quadratic pairs but no signal) before the self-join, and the
-    min-count prune (cooc >= 3) runs before scoring — the published item-CF
-    production recipe.  MAX_BASKET is sized to be a no-op at fixture scale
-    (oracle carries no cap; no-op asserted in tests/test_properties.py)."""
+    Plan: distinct baskets (one shuffle on user), basket-length cap (tiny
+    partial-agg count of over-cap users, broadcast LEFT ANTI join — the
+    exclusion list is ~empty, so the guard costs nothing when it has
+    nothing to do), per-user pair expansion via self-join on user (AQE
+    handles residual skew), count shuffle on the pair, then the top-k
+    window.  The 100 TB guards are both IN the plan: MAX_BASKET drops
+    hyper-active users (who add quadratic pairs but no signal) before the
+    self-join, and the min-count prune (cooc >= 3) runs before scoring —
+    the published item-CF production recipe.  MAX_BASKET is sized to be a
+    no-op at fixture scale (oracle carries no cap; no-op asserted in
+    tests/test_properties.py)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    b = (
+    baskets = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
-        .withColumn("basket_len", F.count("*").over(W.partitionBy("u")))
-        .filter(F.col("basket_len") <= MAX_BASKET)
-        .drop("basket_len")
     )
+    hyper = (
+        baskets.groupBy("u")
+        .agg(F.count("*").alias("basket_len"))
+        .filter(F.col("basket_len") > MAX_BASKET)
+        .select("u")
+    )
+    b = baskets.join(F.broadcast(hyper), "u", "left_anti")
     n = b.groupBy("i").agg(F.count("*").alias("n_users"))
     a2, b2 = b.alias("a"), b.alias("b2")
     p = (
@@ -459,12 +465,18 @@ def graph_triangles(spark, sf_dir):
         .distinct()
     )
     a2, b2 = b.alias("x"), b.alias("y")
+    # localCheckpoint: the thresholded edge set is consumed FOUR times (the
+    # degree agg + e1/e2/e3); cutting lineage here runs the quadratic pair
+    # self-join exactly once instead of relying on exchange reuse across
+    # the broadcast boundary (which Spark does not apply through the
+    # degree-join's broadcast build side).
     und = (
         a2.join(b2, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
         .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
         .agg(F.count("*").alias("cooc"))
         .filter(F.col("cooc") >= 5)
         .select("p", "q")
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("p").alias("node"))

@@ -79,10 +79,10 @@ def run_stream(
         shutil.rmtree(chk)
     # State-store width is pinned at first checkpoint; at fixture scale each
     # micro-batch is small, so fewer state partitions means fewer
-    # task-launch + state-commit overheads per batch (8 batches × width).
+    # task-launch + state-commit overheads per batch (batches × width).
     # On a real cluster size this to peak key cardinality instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     # 4 files per micro-batch: still a genuine multi-batch execution (2
     # batches over 8 chunks — state carried across the batch boundary,
     # watermark advances batch-to-batch) at a quarter of the per-batch
