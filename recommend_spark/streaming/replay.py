@@ -81,8 +81,11 @@ def run_stream(
     # micro-batch is small, so fewer state partitions means fewer
     # task-launch + state-commit overheads per batch (batches × width).
     # On a real cluster size this to peak key cardinality instead.
+    # A/B-measured (idle machine, sf0.1): width 8 >= width 4 on every
+    # replay — the stream-stream joins and the Python state op want the
+    # extra parallelism more than the tiny aggs want fewer commits.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     # 4 files per micro-batch: still a genuine multi-batch execution (2
     # batches over 8 chunks — state carried across the batch boundary,
     # watermark advances batch-to-batch) at a quarter of the per-batch
