@@ -145,3 +145,35 @@ def test_item_item_no_cartesian_and_broadcast_counts(spark):
 def test_weighted_sample_is_map_only(spark):
     plan = _plan(QUERIES["sample_weighted"](spark, SF_DIR))
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_item_item_basket_cap_anti_join_in_plan(spark):
+    """The hyper-user guard must be IN the plan: a broadcast LEFT ANTI join
+    against the over-cap user list, upstream of the pair self-join."""
+    plan = _plan(QUERIES["rec_item_item"](spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan, plan[:3000]
+
+
+def test_triangles_edge_set_computed_once(spark):
+    """graph_triangles localCheckpoints the thresholded edge set; the
+    quadratic basket self-join must appear ZERO times in the executed plan
+    (it ran during checkpointing), while the edge RDD scan feeds the
+    degree agg + three-way join."""
+    plan = _plan(QUERIES["graph_triangles"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    # the u-key self-join on baskets is behind the checkpoint: the only
+    # remaining joins are the degree broadcasts + the triangle equi-joins
+    assert plan.count("SortMergeJoin") <= 3, plan[:3000]
+
+
+def test_minhash_lsh_inputs_parallelized(spark):
+    """The LSH candidate-join input must never be a single partition (the
+    1-task-probe-stage regression: 15+ min at sf0.1)."""
+    from pyspark.ml.feature import CountVectorizer
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries.dedup import _TOKS
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = docs.select("doc_id", _TOKS().alias("toks")).repartition(32, "doc_id")
+    assert d.rdd.getNumPartitions() == 32
