@@ -296,6 +296,160 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
     )
 
 
+_CONTAIN_TAU = 0.95
+_CONTAIN_MIN_TOKENS = 10
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (SELECT doc_id, toks, len(toks) AS n FROM d)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.toks, b.toks)) AS n_common,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.n
+             AS containment
+    FROM s a JOIN s b ON a.doc_id != b.doc_id
+    WHERE a.n >= {_CONTAIN_MIN_TOKENS}
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.n
+            >= {_CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-duplicate detection: directional pairs (A → B) where
+    B contains >= 95% of A's distinct tokens — the near-subset mode that
+    symmetric Jaccard misses (a paragraph quoted inside a larger page has
+    high containment but low Jaccard).  Standard LLM-corpus recipe: drop or
+    down-weight the contained side.  A-side floor of 10 tokens kills
+    trivially-contained stubs.
+
+    Plan mirrors the Jaccard pipeline (same token signatures, same
+    bitmask-hybrid rescore) with the ONE-SIDED prefix filter: tokens in
+    canonical (global frequency, token) order; if C(A→B) >= tau, A's
+    prefix of length na - ceil(tau*na) + 1 must share a token with B
+    (anywhere in B — that's the asymmetry), and at the first shared token
+    the positional bound min(na-ra, nb-rb) + 1 >= ceil(tau*na) holds
+    (token ranks follow the same global order in both docs, so shared
+    tokens are ordered consistently — the bound is lossless).  Candidate
+    fan-out is governed by A-prefix (rare-token) posting lists; the
+    nb >= ceil(tau*na) length filter prunes at join time.  The degenerate
+    small-vocab/small-corpus fast path broadcasts signatures and
+    popcount-joins all ordered pairs map-side, exactly like the Jaccard
+    twin.  n_common and na are exact ints; the single division then one
+    compare is bit-deterministic in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _containment_pairs(docs)
+
+
+def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
+    """Directional containment pairs; see dedup_containment.  The
+    ``force_prefix_path`` hook lets tests exercise the web-scale prefix
+    pipeline on corpora that would otherwise take the broadcast fast
+    path."""
+    if toks_expr is None:
+        toks_expr = _TOKS()
+    parts = _token_sigs(docs, toks_expr)
+    d, sig, ranked = parts["d"], parts["sig"], parts["ranked"]
+    n_vocab, n_slots, top_bits = (
+        parts["n_vocab"], parts["n_slots"], parts["top_bits"],
+    )
+    tau, min_n = _CONTAIN_TAU, _CONTAIN_MIN_TOKENS
+
+    def rescore(pairs_ab):
+        sa = sig.filter(F.col("nt") >= min_n).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("rare").alias("rare_a"),
+            F.col("nt").alias("na"),
+            *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
+        )
+        sb = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("rare").alias("rare_b"),
+            F.col("nt").alias("nb"),
+            *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
+        )
+        popcnt = sum(
+            F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
+            for s in range(n_slots)
+        )
+        inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast("int")
+        return (
+            pairs_ab.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_common", inter)
+            .withColumn(
+                "containment",
+                F.col("n_common").cast("double") / F.col("na").cast("double"),
+            )
+            .filter(F.col("containment") >= tau)
+            .select("doc_a", "doc_b", "n_common", "containment")
+        )
+
+    if not force_prefix_path and n_vocab <= top_bits and d.count() <= 20_000:
+        # fast path: all ordered pairs, signatures broadcast, popcount inline
+        sa0 = sig.filter(F.col("nt") >= min_n).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("rare").alias("rare_a"),
+            F.col("nt").alias("na"),
+            *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
+        )
+        sb0 = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("rare").alias("rare_b"),
+            F.col("nt").alias("nb"),
+            *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
+        )
+        popcnt = sum(
+            F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
+            for s in range(n_slots)
+        )
+        inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast("int")
+        return (
+            sa0.join(
+                F.broadcast(sb0),
+                (F.col("doc_a") != F.col("doc_b"))
+                & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na"))),
+            )
+            .withColumn("n_common", inter)
+            .withColumn(
+                "containment",
+                F.col("n_common").cast("double") / F.col("na").cast("double"),
+            )
+            .filter(F.col("containment") >= tau)
+            .select("doc_a", "doc_b", "n_common", "containment")
+        )
+
+    a_pref = ranked.filter(F.col("nt") >= min_n).filter(
+        F.col("r") <= F.col("nt") - F.ceil(F.lit(tau) * F.col("nt")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("na"),
+        F.col("r").alias("ra"),
+        "w",
+    )
+    b_all = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nb"),
+        F.col("r").alias("rb"),
+        "w",
+    )
+    overlap_req = F.ceil(F.lit(tau) * F.col("na"))
+    overlap_ub = F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
+    cand = (
+        a_pref.join(
+            b_all,
+            (a_pref.w == b_all.w)
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= overlap_req)
+            & (overlap_ub >= overlap_req),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return rescore(cand)
+
+
 @register(
     "dedup_near_jaccard",
     oracle=f"""

@@ -243,3 +243,50 @@ def test_triangle_degree_orientation_bounds_out_degree(spark):
         .count()
     )
     assert tri == 1
+
+
+def test_containment_prefix_path_matches_brute_force(spark):
+    """The web-scale one-sided prefix pipeline must return EXACTLY the
+    brute-force containment pairs on a corpus whose vocabulary (>1024
+    tokens) defeats the bitmask fast path."""
+    import random
+
+    from recommend_spark.queries.dedup import (
+        _CONTAIN_MIN_TOKENS,
+        _CONTAIN_TAU,
+        _containment_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"tok{i:05d}" for i in range(1500)]
+    docs = []
+    for doc_id in range(60):
+        n = rng.randint(5, 40)
+        toks = rng.sample(vocab, n)
+        docs.append((doc_id, " ".join(toks)))
+    # inject guaranteed near-subset pairs: doc 100+k holds doc k's tokens
+    # plus a few extras; doc 200 is doc 0 minus one token (containment
+    # just under/over tau depending on length)
+    for k in range(5):
+        base = docs[k][1].split()
+        docs.append((100 + k, " ".join(base + rng.sample(vocab, 3))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in _containment_pairs(df, force_prefix_path=True).collect()
+    }
+
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    want = set()
+    for a, ta in sets.items():
+        if len(ta) < _CONTAIN_MIN_TOKENS:
+            continue
+        for b, tb in sets.items():
+            if a == b:
+                continue
+            inter = len(ta & tb)
+            if inter / len(ta) >= _CONTAIN_TAU:
+                want.add((a, b, inter))
+    assert want, "fixture must contain at least one qualifying pair"
+    assert got == want
