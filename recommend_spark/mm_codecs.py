@@ -1,11 +1,13 @@
-"""Pure-numpy multimodal codecs: BMP (24-bit BI_RGB) and WAV (PCM16 mono).
+"""Pure-numpy multimodal codecs: BMP (24-bit BI_RGB), WAV (PCM16 mono) and
+Y4M (YUV4MPEG2 4:2:0 video).
 
-Both formats are fully specified by fixed-layout headers + raw sample data,
-so they decode exactly with numpy + struct — no external codec library.
-These are the REAL decode paths for mm_image_pipeline / mm_audio_pipeline:
-executors receive opaque ``binary`` payloads and produce typed features.
-Swapping in JPEG/FLAC/MP4 in production changes only these two functions
-(plus a library import); the Spark plumbing is format-agnostic.
+All three formats are fully specified by fixed-layout headers + raw sample
+data, so they decode exactly with numpy + struct — no external codec
+library.  These are the REAL decode paths for mm_image_pipeline /
+mm_audio_pipeline / mm_video_frames: executors receive opaque ``binary``
+payloads and produce typed features.  Swapping in JPEG/FLAC/H.264 in
+production changes only these functions (plus a library import); the Spark
+plumbing is format-agnostic.
 
 Encoders exist to synthesize deterministic fixture payloads from the
 documents table (the container ships no media files); they are also what
@@ -99,3 +101,68 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     return rate, samples.copy()
+
+
+# -- Y4M (YUV4MPEG2, 4:2:0 planar) -------------------------------------------
+
+
+def encode_y4m(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Planar 4:2:0 frames -> YUV4MPEG2 bytes.
+
+    ``y``: uint8 (N, H, W); ``u``/``v``: uint8 (N, H//2, W//2).
+    """
+    if y.dtype != np.uint8 or y.ndim != 3:
+        raise ValueError("expected uint8 (N, H, W) luma")
+    n, h, w = y.shape
+    if u.shape != (n, h // 2, w // 2) or v.shape != u.shape:
+        raise ValueError("chroma planes must be (N, H//2, W//2)")
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()
+    out = [hdr]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(y[i].tobytes())
+        out.append(u[i].tobytes())
+        out.append(v[i].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 bytes -> (w, h, (fps_n, fps_d), y, u, v) with the same
+    array shapes ``encode_y4m`` takes."""
+    nl = payload.index(b"\n")
+    fields = payload[:nl].decode().split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    for f in fields[1:]:
+        if f.startswith("W"):
+            w = int(f[1:])
+        elif f.startswith("H"):
+            h = int(f[1:])
+        elif f.startswith("F"):
+            a, b = f[1:].split(":")
+            fps = (int(a), int(b))
+        elif f.startswith("C") and f != "C420":
+            raise ValueError(f"unsupported chroma mode {f}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    y_len, c_len = h * w, (h // 2) * (w // 2)
+    frame_len = y_len + 2 * c_len
+    ys, us, vs = [], [], []
+    pos = nl + 1
+    while pos < len(payload):
+        f_nl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        pos = f_nl + 1
+        raw = np.frombuffer(payload, dtype=np.uint8, count=frame_len, offset=pos)
+        ys.append(raw[:y_len].reshape(h, w))
+        us.append(raw[y_len : y_len + c_len].reshape(h // 2, w // 2))
+        vs.append(raw[y_len + c_len :].reshape(h // 2, w // 2))
+        pos += frame_len
+    return w, h, fps, np.stack(ys), np.stack(us), np.stack(vs)

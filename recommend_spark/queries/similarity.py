@@ -6,8 +6,11 @@
                     one cell (the other scale path; recall-tested)
 - mm_embed_join     multimodal join + per-label centroid (full 64-dim)
 - mm_binary_meta    binary-column plumbing: encode → byte length / hashing
-- mm_image_pipeline rows-only mapInPandas decode pipeline with a stubbed
-                    codec (real Spark plumbing, deterministic fake decode)
+- mm_image_pipeline / mm_audio_pipeline / mm_video_frames
+                    rows-only mapInPandas decode pipelines with REAL
+                    pure-numpy codecs (BMP / WAV-PCM16 / YUV4MPEG2 —
+                    recommend_spark.mm_codecs), byte-exact decode gates in
+                    tests/test_ml_quality.py
 """
 
 from __future__ import annotations
@@ -361,55 +364,101 @@ def mm_audio_pipeline(spark, sf_dir):  # not SQL-expressible
     )
 
 
-@register("mm_video_frames")  # rows-only: decode stub (no video libs here)
-def mm_video_frames(spark, sf_dir):
-    """Multimodal video pipeline: binary payload → container probe → sample
-    every k-th frame (1→N expansion) via mapInPandas.
+def synth_y4m(doc_id: int, text: bytes):
+    """Deterministic fixture video: 16x16 4:2:0 YUV4MPEG2 clip whose frame
+    count matches the old probe (10 + len(text) % 90) and whose planes
+    derive from md5(text) xor a per-frame counter.  Pure function of the
+    row — the decode gate re-derives it locally."""
+    import hashlib
 
-    Deterministic fake container (no ffmpeg here): frame count and per-frame
-    hashes derive from the payload bytes; sampling keeps every 5th frame.
-    The production swap is the decode call only — the Spark side (binary in,
-    typed frame rows out, narrow map, no shuffle) is the real design: at
-    100 TB frame extraction is embarrassingly parallel and the expensive
-    decode runs once per partition batch, Arrow both ways."""
+    import numpy as np
+
+    from ..mm_codecs import encode_y4m
+
+    h = w = 16
+    n_frames = 10 + (len(text) % 90)
+    seed = np.frombuffer(hashlib.md5(text).digest(), dtype=np.uint8)
+    base_y = np.resize(seed, (h, w))
+    base_c = np.resize(seed[::-1], (h // 2, w // 2))
+    idx = np.arange(n_frames, dtype=np.uint8).reshape(-1, 1, 1)
+    y = base_y[None, :, :] ^ idx
+    u = base_c[None, :, :] ^ idx
+    v = base_c[None, ::-1, :] ^ idx
+    return encode_y4m(
+        np.ascontiguousarray(y),
+        np.ascontiguousarray(u),
+        np.ascontiguousarray(v),
+        fps=(25, 1),
+    )
+
+
+@register("mm_video_frames")  # rows-only: binary payloads are
+def mm_video_frames(spark, sf_dir):  # not SQL-expressible
+    """Multimodal video pipeline: binary Y4M payload → REAL container parse
+    (pure-numpy YUV4MPEG2 4:2:0, recommend_spark.mm_codecs) → sample every
+    5th frame (1→N expansion) via mapInPandas.
+
+    Stage 1 synthesizes a deterministic uncompressed clip per document into
+    a ``binary`` column; stage 2 parses the stream header (dims + frame
+    rate), walks the FRAME records, and emits one row per sampled frame
+    with its content hash and mean luma — narrow maps, no shuffle.  At
+    100 TB frame extraction is embarrassingly parallel; swapping decode_y4m
+    for an H.264 decoder changes one call, and the fps-derived ts_ms
+    arithmetic, batching, and expansion shape are unchanged."""
     import hashlib
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    from ..mm_codecs import decode_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     STRIDE = 5
+
+    def encode_stage(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_y4m(int(d), t.encode("utf-8"))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
 
     def sample(batches):
         for pdf in batches:
-            try:
-                raise NotImplementedError("no video codec in this environment")
-            except NotImplementedError:
-                pass
-            ids, fidx, ts, fh = [], [], [], []
+            ids, fidx, ts, fh, luma = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = 10 + (len(payload) % 90)  # fake probe: 10..99
-                for i in range(0, n_frames, STRIDE):
+                w, h, (fn, fd), y, u, v = decode_y4m(payload)
+                ms_per_frame = 1000 * fd // fn
+                for i in range(0, y.shape[0], STRIDE):
                     ids.append(doc_id)
                     fidx.append(i)
-                    ts.append(i * 40)  # 25 fps -> 40 ms per frame
+                    ts.append(i * ms_per_frame)
                     fh.append(
                         hashlib.sha256(
-                            payload + i.to_bytes(4, "big")
+                            y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
                         ).hexdigest()[:16]
                     )
+                    luma.append(float(y[i].mean()))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "frame_idx": fidx,
                     "ts_ms": ts,
                     "frame_hash": fh,
+                    "mean_luma": luma,
                 }
             )
 
-    return docs.mapInPandas(
-        sample, schema="doc_id long, frame_idx int, ts_ms long, frame_hash string"
+    binary = docs.mapInPandas(encode_stage, schema="doc_id long, payload binary")
+    return binary.mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, frame_idx int, ts_ms long, frame_hash string, "
+            "mean_luma double"
+        ),
     )
 
 

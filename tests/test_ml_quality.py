@@ -209,12 +209,48 @@ def test_mm_audio_pipeline_decodes_real_wav(spark):
         assert rms == float(np.sqrt(np.mean(w * w))), i
 
 
-def test_mm_video_stub_shapes(spark):
+def test_y4m_codec_byte_exact_round_trip():
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (7, 16, 16), dtype=np.uint8)
+    u = rng.integers(0, 256, (7, 8, 8), dtype=np.uint8)
+    v = rng.integers(0, 256, (7, 8, 8), dtype=np.uint8)
+    w, h, fps, y2, u2, v2 = decode_y4m(encode_y4m(y, u, v, fps=(30, 1)))
+    assert (w, h, fps) == (16, 16, (30, 1))
+    assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
+
+
+def test_mm_video_pipeline_decodes_real_y4m(spark):
+    """Sampled-frame hashes and luma from the pipeline must equal a local
+    numpy decode of the same synthesized Y4M payload (byte-exact gate)."""
+    import hashlib
+
+    from recommend_spark.io import load_table
+    from recommend_spark.mm_codecs import decode_y4m
+    from recommend_spark.queries.similarity import synth_y4m
+
     video = QUERIES["mm_video_frames"](spark, SF_DIR)
     v = video.limit(2000).collect()
     assert len(v) > 0
     assert all(r["frame_idx"] % 5 == 0 and r["ts_ms"] == r["frame_idx"] * 40 for r in v)
     assert all(len(r["frame_hash"]) == 16 for r in v)
+    doc_id = v[0]["doc_id"]
+    text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == int(doc_id))
+        .collect()[0]["text"]
+    )
+    w, h, fps, y, u, vv = decode_y4m(synth_y4m(int(doc_id), text.encode("utf-8")))
+    got = {r["frame_idx"]: (r["frame_hash"], r["mean_luma"]) for r in v if r["doc_id"] == doc_id}
+    assert got
+    for i, (fh, luma) in got.items():
+        exp = hashlib.sha256(
+            y[i].tobytes() + u[i].tobytes() + vv[i].tobytes()
+        ).hexdigest()[:16]
+        assert fh == exp and luma == float(y[i].mean()), i
 
 
 def test_als_foldin_reproduces_trained_factors(spark):
