@@ -290,3 +290,59 @@ def test_containment_prefix_path_matches_brute_force(spark):
                 want.add((a, b, inter))
     assert want, "fixture must contain at least one qualifying pair"
     assert got == want
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_bmp_round_trip_any_dims(h, w, seed):
+    """Row padding (w % 4) and tiny dims must never corrupt a pixel."""
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_wav_round_trip_any_length(n, rate, seed):
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_wav, encode_wav
+
+    samples = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int16
+    )
+    got_rate, out = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert got_rate == rate and len(out) == n and (out == samples).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    hw=st.sampled_from([(2, 2), (4, 6), (16, 16), (10, 2)]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_y4m_round_trip_any_shape(n, hw, seed):
+    import numpy as np
+
+    from recommend_spark.mm_codecs import decode_y4m, encode_y4m
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+    gw, gh, fps, y2, u2, v2 = decode_y4m(encode_y4m(y, u, v))
+    assert (gw, gh) == (w, h)
+    assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
