@@ -783,47 +783,43 @@ def dedup_cluster(spark, sf_dir):
         .coalesce(4)
         .localCheckpoint()
     )
-    # Post-contraction tables are a few thousand rows: pin the loop's
-    # shuffles narrow (32-way would be task-launch overhead; on a 100 TB
-    # graph this knob goes UP with the surviving node count).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        e = edges
-        while True:
-            # m(v) = min(v, min neighbor): the node set is tiny after the
-            # first contraction, so the map always broadcasts
-            mapv = (
-                e.groupBy("src")
-                .agg(F.min("dst").alias("mn"))
-                .select(
-                    F.col("src").alias("v"),
-                    F.least(F.col("src"), F.col("mn")).alias("m"),
-                )
-                .coalesce(4)
-                .localCheckpoint()
+    # Post-contraction tables are a few thousand rows; AQE's partition
+    # coalescing shrinks every loop shuffle to a handful of tasks on its
+    # own, so no session-global shuffle.partitions mutation is needed
+    # (the old set/restore raced under concurrent queries on one session).
+    e = edges
+    while True:
+        # m(v) = min(v, min neighbor): the node set is tiny after the
+        # first contraction, so the map always broadcasts
+        mapv = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select(
+                F.col("src").alias("v"),
+                F.least(F.col("src"), F.col("mn")).alias("m"),
             )
-            rep = (
-                rep.join(F.broadcast(mapv), rep.cur == mapv.v, "left")
-                .select("orig", F.coalesce("m", "cur").alias("cur"))
-                .coalesce(4)
-                .localCheckpoint()
-            )
-            ms = mapv.select(F.col("v").alias("sv"), F.col("m").alias("sm"))
-            md = mapv.select(F.col("v").alias("dv"), F.col("m").alias("dm"))
-            e = (
-                e.join(F.broadcast(ms), e.src == ms.sv)
-                .join(F.broadcast(md), e.dst == md.dv)
-                .select(F.col("sm").alias("src"), F.col("dm").alias("dst"))
-                .filter(F.col("src") != F.col("dst"))
-                .distinct()
-                .coalesce(4)
-                .localCheckpoint()
-            )
-            if e.isEmpty():
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .coalesce(4)
+            .localCheckpoint()
+        )
+        rep = (
+            rep.join(F.broadcast(mapv), rep.cur == mapv.v, "left")
+            .select("orig", F.coalesce("m", "cur").alias("cur"))
+            .coalesce(4)
+            .localCheckpoint()
+        )
+        ms = mapv.select(F.col("v").alias("sv"), F.col("m").alias("sm"))
+        md = mapv.select(F.col("v").alias("dv"), F.col("m").alias("dm"))
+        e = (
+            e.join(F.broadcast(ms), e.src == ms.sv)
+            .join(F.broadcast(md), e.dst == md.dv)
+            .select(F.col("sm").alias("src"), F.col("dm").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .coalesce(4)
+            .localCheckpoint()
+        )
+        if e.isEmpty():
+            break
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select("doc_id").join(
         F.broadcast(rep), docs.doc_id == rep.orig, "left"
