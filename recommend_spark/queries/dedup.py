@@ -478,38 +478,91 @@ def dedup_near_jaccard(spark, sf_dir):
 
 @register("dedup_near_minhash")  # rows-only: LSH banding is engine-specific
 def dedup_near_minhash(spark, sf_dir):
-    """MinHashLSH banding → candidate pairs → exact Jaccard rescore.
+    """Exact-collapse → MinHashLSH banding → rescore → pair re-expansion.
 
-    The 100 TB path: O(n · bands) hashing plus a bucket-key shuffle; recall
-    vs the exact twin asserted in tests/test_ml_quality.py."""
+    The standard large-corpus composition: collapse byte-identical token
+    sets to one representative FIRST (the fixture — like any real crawl —
+    is densely duplicated: 5000 docs → 3935 distinct token sets at sf0.1,
+    one set appearing 248×), run MinHash LSH over representatives only,
+    then expand representative pairs back to document pairs with equi-joins
+    on the signature.  LSH candidate work per duplicate cluster drops from
+    O(k²·tables) to O(1); the only remaining output-sized stage is the
+    expansion join, which is linear in the result.
+
+    The 100 TB path: O(n_distinct · tables) hashing plus a bucket-key
+    shuffle; a corpus where one exact-duplicate group has m members still
+    emits m²/2 output pairs — that is the result's size, not avoidable
+    work (real pipelines run dedup_exact first and would stop here).
+    Recall vs the exact twin asserted in tests/test_ml_quality.py (≥0.98;
+    identical-set pairs are emitted deterministically, so LSH randomness
+    touches only cross-group pairs, P(miss) = (1-J)^4 ≤ 0.0016 at J≥0.8).
+    """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    # documents.parquet is a single file -> 1 input partition; without an
-    # explicit spread the ENTIRE probe stage (hash explode -> bucket join ->
-    # exact-distance rescore over the fixture's dense duplicate clusters)
-    # runs as ONE task.  Candidate-pair work is quadratic per duplicate
-    # cluster, so parallelism here is the difference between ~30s and ~15min
-    # at sf0.1 — and on a cluster, between one hot executor and N.
-    d = docs.select("doc_id", _TOKS().alias("toks")).repartition(32, "doc_id")
-    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(d)
-    vecs = cv.transform(d).cache()
-    lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42)
+    d = docs.select(
+        "doc_id", _TOKS().alias("toks")
+    ).withColumn("sig", F.md5(F.to_json(F.array_sort("toks"))))
+    members = d.select("sig", "doc_id")
+    # documents.parquet is a single file -> 1 input partition; spread the
+    # representative set before the quadratic-ish LSH probe stage so the
+    # bucket join parallelizes (single-task here is ~15 min at sf0.1).
+    reps = (
+        d.groupBy("sig").agg(F.min(F.struct("doc_id", "toks")).alias("r"))
+        .select("sig", F.col("r.toks").alias("toks"))
+        .repartition(32, "sig")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(reps)
+    vecs = cv.transform(reps).cache()
+    lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(vecs)
     # approxSimilarityJoin's cut is STRICT (<): nudge past 1-tau so boundary
     # pairs at exactly J == tau survive (verified: 4811/32191 fixture pairs
-    # sit exactly on 0.8), then re-filter inclusively.
-    pairs = model.approxSimilarityJoin(
-        vecs, vecs, 1.0 - _JACCARD_TAU + 1e-6, "dist"
-    ).filter(F.col("dist") <= 1.0 - _JACCARD_TAU)
-    out = (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+    # sit exactly on 0.8), then re-filter inclusively.  dist is the EXACT
+    # Jaccard distance on the binary vectors, so no estimation error here.
+    sig_pairs = (
+        model.approxSimilarityJoin(vecs, vecs, 1.0 - _JACCARD_TAU + 1e-6, "dist")
+        .filter(F.col("dist") <= 1.0 - _JACCARD_TAU)
+        .select(
+            F.col("datasetA.sig").alias("sig_a"),
+            F.col("datasetB.sig").alias("sig_b"),
             (1.0 - F.col("dist")).alias("jaccard_est"),
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("sig_a") < F.col("sig_b"))
     )
+    # Re-expansion is equi-joins on sig (shuffle-partitioned, never a
+    # cartesian): within-group pairs are exact duplicates (J = 1 by
+    # construction); cross-group pairs inherit the representatives' exact
+    # Jaccard because members share the representative's token set.
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "sig")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    cross = (
+        sig_pairs.join(members.alias("ma"), F.col("sig_a") == F.col("ma.sig"))
+        .join(members.alias("mb"), F.col("sig_b") == F.col("mb.sig"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "jaccard_est",
+        )
+    )
+    out = within.unionByName(cross)
+    # Materialize eagerly so the cached vectors can be released before
+    # returning: the shared long-lived session runs ~196 queries
+    # back-to-back, and an un-unpersisted cache per run accumulates in
+    # executor storage (ADVICE r2).  localCheckpoint also cuts the LSH
+    # lineage so downstream consumers never re-trigger the bucket join.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
     return out
 
 
