@@ -676,13 +676,22 @@ def dedup_embed_cosine(spark, sf_dir):
     in index order k=0..63 starting from 0.0, so every pair's double
     accumulation is bit-identical to the oracle's ``list_reduce`` left
     fold — same hash, ~20× less wall-clock than the per-pair Catalyst
-    fold this replaces."""
+    fold this replaces.
+
+    The staged matrix is a DRIVER-RAM bound (N×64×8 bytes — see
+    recommend_spark/blockkernel.py and SCALE.md §"Block kernels"); a
+    candidate side past the budget routes to ``_embed_pairs_bucketed``,
+    the same kernel cogrouped over a B×B bucket grid with nothing staged
+    driver-side — hash-identical output."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    from ..blockkernel import block_kernel_fits
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not block_kernel_fits(path, dim=64):
+        return _embed_pairs_bucketed(spark, sf_dir, tau=0.4)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
     bc = spark.sparkContext.broadcast(
         (
             np.asarray(t["vec_id"]),
@@ -716,6 +725,58 @@ def dedup_embed_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInPandas(
         block_pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
+def _embed_pairs_bucketed(spark, sf_dir, tau):
+    """Exact cosine-pair generation without driver staging.
+
+    Both sides hash into B buckets; every (i, j) grid cell cogroups bucket
+    i of the left side with bucket j of the right side and runs the same
+    index-ordered fold kernel.  A pair (x < y) is produced exactly once —
+    in cell (x%B, y%B) — so no dedup pass is needed and the output is
+    hash-identical to the broadcast path.  Cost: each side shuffled B×
+    (linear in B); each cell's block stays within the staging budget."""
+    import numpy as np
+
+    from ..blockkernel import fallback_buckets
+
+    nb = fallback_buckets(f"{sf_dir}/embeddings.parquet", dim=64)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    left = e.withColumn("bi", F.pmod("vec_id", F.lit(nb)).cast("int")).withColumn(
+        "bj", grid
+    )
+    right = e.withColumn("bj", F.pmod("vec_id", F.lit(nb)).cast("int")).withColumn(
+        "bi", grid
+    )
+
+    def cell_pairs(lpdf, rpdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        a_ids = lpdf["vec_id"].to_numpy()
+        a_mat = np.asarray(lpdf["embedding"].to_list(), dtype=np.float64)
+        b_ids = rpdf["vec_id"].to_numpy()
+        b_mat = np.asarray(rpdf["embedding"].to_list(), dtype=np.float64)
+        acc = np.zeros((len(a_ids), len(b_ids)))
+        for j in range(b_mat.shape[1]):
+            acc += np.multiply.outer(a_mat[:, j], b_mat[:, j])
+        ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (acc >= tau))
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {"vec_a": a_ids[ia], "vec_b": b_ids[ib], "cosine": acc[ia, ib]}
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(cell_pairs, "vec_a long, vec_b long, cosine double")
     )
 
 

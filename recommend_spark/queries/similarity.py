@@ -491,16 +491,26 @@ def sim_knn_join(spark, sf_dir):
     outer-product accumulations (bit-identical to the oracle's left fold)
     and keeps only its per-query top-5 — computed exactly inside the batch
     because the batch sees ALL candidates.  Zero shuffle: k rows per query
-    come straight off the map.  At 100 TB the candidate side is the
-    IVF/LSH bucket (sim_ivf_topk / sim_ann_lsh); this operator is their
+    come straight off the map.
+
+    The staged matrix is a DRIVER-RAM bound (N×64×8 bytes — see
+    recommend_spark/blockkernel.py and SCALE.md §"Block kernels"), so a
+    candidate side past the budget routes to ``_knn_join_bucketed``: the
+    same kernel cogrouped per candidate bucket, per-bucket local top-K,
+    then a global top-K window — hash-identical output, nothing staged
+    driver-side.  At 100 TB the candidate side is usually the IVF/LSH
+    bucket instead (sim_ivf_topk / sim_ann_lsh); this operator is their
     exact baseline and shares the kernel with dedup_embed_cosine."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    from ..blockkernel import block_kernel_fits
+
     K = 5
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    path = f"{sf_dir}/embeddings.parquet"
+    if not block_kernel_fits(path, dim=64):
+        return _knn_join_bucketed(spark, sf_dir, K)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
     bc = spark.sparkContext.broadcast(
         (
             np.asarray(t["vec_id"]),
@@ -539,6 +549,68 @@ def sim_knn_join(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInPandas(
         knn_blocks, "query_id long, neighbor_id long, cosine double"
+    )
+
+
+def _knn_join_bucketed(spark, sf_dir, k):
+    """Exact kNN without driver staging: block-nested-loop over candidate
+    buckets.
+
+    Candidates hash into B buckets (each bucket's matrix fits the staging
+    budget); queries replicate to every bucket; a cogrouped Pandas kernel
+    computes the same index-ordered fold and keeps a per-bucket local
+    top-k; a global (cosine DESC, neighbor_id) window finishes.  The global
+    top-k is a subset of the union of bucket-local top-ks, and the fold
+    arithmetic is identical, so output is hash-identical to the broadcast
+    path.  Cost: query side shuffled B× — linear in B, never quadratic."""
+    import numpy as np
+
+    from ..blockkernel import fallback_buckets
+
+    nb = fallback_buckets(f"{sf_dir}/embeddings.parquet", dim=64)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = e.withColumn("bkt", F.pmod("vec_id", F.lit(nb)).cast("int"))
+    q = e.withColumn("bkt", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+
+    def local_topk(qpdf, cpdf):
+        import pandas as pd
+
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.asarray(qpdf["embedding"].to_list(), dtype=np.float64)
+        b_ids = cpdf["vec_id"].to_numpy()
+        b_mat = np.asarray(cpdf["embedding"].to_list(), dtype=np.float64)
+        acc = np.zeros((len(a_ids), len(b_ids)))
+        for j in range(b_mat.shape[1]):
+            acc += np.multiply.outer(a_mat[:, j], b_mat[:, j])
+        self_mask = a_ids[:, None] == b_ids[None, :]
+        acc_m = np.where(self_mask, -np.inf, acc)
+        kk = min(k, acc_m.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
+        )[:, :kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(a_ids, kk),
+                "neighbor_id": b_ids[order].ravel(),
+                "cosine": np.take_along_axis(acc_m, order, axis=1).ravel(),
+            }
+        )
+
+    part = (
+        q.groupBy("bkt")
+        .cogroup(cand.groupBy("bkt"))
+        .applyInPandas(local_topk, "query_id long, neighbor_id long, cosine double")
+        .filter(F.col("cosine") != float("-inf"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )
 
 

@@ -29,6 +29,8 @@ the interaction matrix except for the requesting user's rows.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,6 +48,10 @@ class RecommendationService:
         self.sf_dir = sf_dir
         self._ratings = _ratings(spark, sf_dir).cache()
         self._extra_rows: list[tuple[int, int, float]] = []
+        # ThreadingHTTPServer serves each request on its own thread: a
+        # POST's extend must not interleave with a GET's read of the
+        # append log, or a fold-in could observe half a batch.
+        self._extra_lock = threading.Lock()
         self._folded: DataFrame | None = None
         self._fit()
 
@@ -68,25 +74,37 @@ class RecommendationService:
         )
 
     def retrain(self) -> None:
-        """Full refit over base + appended ratings (the nightly path)."""
-        self._ratings = self._current_ratings().cache()
+        """Full refit over base + appended ratings (the nightly path).
+
+        The append log merges into the base and CLEARS atomically — without
+        the clear, the next ``_current_ratings()`` would union the same
+        rows onto a base that already contains them and double-count their
+        strengths."""
+        with self._extra_lock:
+            self._ratings = self._merge(list(self._extra_rows)).cache()
+            self._extra_rows.clear()
         self._folded = None
         self._fit()
 
     # -- state ------------------------------------------------------------
 
-    def _current_ratings(self) -> DataFrame:
+    def _merge(self, extra_rows: list[tuple[int, int, float]]) -> DataFrame:
         base = self._ratings
-        if not self._extra_rows:
+        if not extra_rows:
             return base
         extra = self.spark.createDataFrame(
-            self._extra_rows, "user_id int, item_id int, strength double"
+            extra_rows, "user_id int, item_id int, strength double"
         )
         return (
             base.unionByName(extra)
             .groupBy("user_id", "item_id")
             .agg(F.sum("strength").alias("strength"))
         )
+
+    def _current_ratings(self) -> DataFrame:
+        with self._extra_lock:  # snapshot: whole batches only
+            extra_rows = list(self._extra_rows)
+        return self._merge(extra_rows)
 
     def _user_factors(self, user_ids: list[int]) -> DataFrame:
         """Fold-in factors for the given users over CURRENT ratings —
@@ -143,12 +161,13 @@ class RecommendationService:
         """POST /<user>/ratings: append interactions; affected users are
         served via fold-in immediately (no retrain).  Returns the number of
         ratings accepted in THIS call (the natural POST response)."""
-        self._extra_rows.extend(
-            (int(u), int(i), float(s)) for u, i, s in rows
-        )
-        return len(rows)
+        batch = [(int(u), int(i), float(s)) for u, i, s in rows]
+        with self._extra_lock:  # atomic append: readers see whole batches
+            self._extra_rows.extend(batch)
+        return len(batch)
 
     @property
     def pending_foldin_backlog(self) -> int:
         """Rows appended since the last full retrain (ops metric)."""
-        return len(self._extra_rows)
+        with self._extra_lock:
+            return len(self._extra_rows)

@@ -13,6 +13,7 @@ swap.
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -72,7 +73,18 @@ def run_stream(
     files_per_trigger: int = 4,
 ) -> DataFrame:
     """Replay events through ``build(stream_df) -> DataFrame`` and return the
-    final memory-sink table (a fresh checkpoint every run -> repeatable)."""
+    final memory-sink table (a fresh checkpoint every run -> repeatable).
+
+    CONCURRENCY CONTRACT: replays run SERIALLY on the session.  The
+    state-store width below is applied via a session-global
+    ``spark.sql.shuffle.partitions`` set/restore (Structured Streaming pins
+    the width from the session conf at first checkpoint — there is no
+    per-query override), so a batch query planned on the same session
+    DURING a replay would see width 8.  ``_REPLAY_LOCK`` serializes replays
+    against each other; every in-repo consumer (driver sweep, bench.py,
+    pytest, tools/t2_mirror.py) runs queries sequentially, which is the
+    supported mode.  On a shared multi-tenant session, run replays on a
+    dedicated session instead."""
     src = materialize_chunks(spark, sf_dir, shuffled=shuffled)
     chk = ART / f"chk_{name}"
     if chk.exists():
@@ -84,6 +96,7 @@ def run_stream(
     # A/B-measured (idle machine, sf0.1): width 8 >= width 4 on every
     # replay — the stream-stream joins and the Python state op want the
     # extra parallelism more than the tiny aggs want fewer commits.
+    _REPLAY_LOCK.acquire()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # 4 files per micro-batch: still a genuine multi-batch execution (2
@@ -114,4 +127,9 @@ def run_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _REPLAY_LOCK.release()
     return spark.table(name)
+
+
+#: Serializes replays: each one set/restores the session shuffle width.
+_REPLAY_LOCK = threading.Lock()

@@ -1,0 +1,53 @@
+"""Block-kernel staging policy: threshold math + fallback equivalence.
+
+The broadcast block kernels (sim_knn_join, dedup_embed_cosine) stage the
+candidate matrix on the driver; past the budget they must route to their
+bucketed cogroup fallbacks and produce IDENTICAL rows (the fold arithmetic
+and tie-breaks are the same, so even the doubles match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from recommend_spark import blockkernel
+from recommend_spark.queries import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def test_candidate_matrix_bytes_is_footer_math():
+    path = f"{SF_DIR}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    assert blockkernel.candidate_matrix_bytes(path, dim=64) == n * 64 * 8
+
+
+def test_threshold_flips_with_budget(monkeypatch):
+    path = f"{SF_DIR}/embeddings.parquet"
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", str(1 << 40))
+    assert blockkernel.block_kernel_fits(path, dim=64)
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "1")
+    assert not blockkernel.block_kernel_fits(path, dim=64)
+    assert blockkernel.fallback_buckets(path, dim=64) == blockkernel.MAX_BUCKETS
+    # a budget of half the matrix needs exactly 2 buckets
+    half = blockkernel.candidate_matrix_bytes(path, dim=64) // 2
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", str(half))
+    assert blockkernel.fallback_buckets(path, dim=64) == 2
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_knn_join_fallback_hash_identical(spark, monkeypatch):
+    broadcast = _rows(QUERIES["sim_knn_join"](spark, SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "1")
+    bucketed = _rows(QUERIES["sim_knn_join"](spark, SF_DIR))
+    assert broadcast == bucketed  # exact doubles: same fold, same tie-break
+
+
+def test_embed_cosine_fallback_hash_identical(spark, monkeypatch):
+    broadcast = _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "1")
+    bucketed = _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR))
+    assert broadcast == bucketed

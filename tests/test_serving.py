@@ -94,3 +94,18 @@ def test_http_routes_over_socket(service):
                 assert e.code in (400, 404)
     finally:
         srv.shutdown()
+
+def test_retrain_clears_backlog_without_double_count(spark):
+    """retrain() must fold the append log into the base EXACTLY once: the
+    backlog clears, and total strength for the touched pair stays the
+    base + appended sum (a second union of the same rows would double it)."""
+    svc = RecommendationService(spark, SF_DIR)
+    base_total = (
+        svc._current_ratings().filter("user_id = 1 AND item_id = 1").collect()
+    )
+    base_strength = base_total[0]["strength"] if base_total else 0.0
+    svc.add_ratings([(1, 1, 10.0)])
+    svc.retrain()
+    assert svc.pending_foldin_backlog == 0
+    after = svc._current_ratings().filter("user_id = 1 AND item_id = 1").collect()
+    assert after[0]["strength"] == pytest.approx(base_strength + 10.0)
