@@ -1101,3 +1101,84 @@ def _minhash_banded_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", "jaccard")
         .distinct()
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH base AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+         delta AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+         dh AS (
+           SELECT doc_id, lang, n_chars, sha256(text) AS h,
+                  row_number() OVER (
+                    PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           FROM delta),
+         exact_ok AS (
+           SELECT doc_id, lang, n_chars FROM dh
+           WHERE rn = 1 AND h NOT IN (SELECT sha256(text) FROM base)),
+         dt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM delta),
+         bt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM base),
+         near AS (
+           SELECT DISTINCT d.doc_id
+           FROM dt d JOIN bt b ON
+             CAST(len(list_intersect(d.toks, b.toks)) AS DOUBLE)
+               / (len(d.toks) + len(b.toks)
+                  - len(list_intersect(d.toks, b.toks))) >= {_JACCARD_TAU})
+    SELECT doc_id, lang, n_chars FROM exact_ok
+    WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus ingest: admit only NEW documents from a delta
+    batch against an existing deduplicated base corpus.
+
+    The continuous-training-data pattern: a crawler delivers a small delta
+    (here doc_id % 10 >= 8 — ~20% of the fixture) against a large standing
+    corpus (the other 80%).  A delta doc survives iff
+      (a) its content hash is unseen — first-in-batch by doc_id AND absent
+          from the base (LEFT ANTI join on sha256(text)), and
+      (b) it is not a near-duplicate (token Jaccard >= 0.8) of any BASE
+          doc.  Near-dups *within* the delta both survive by design —
+          intra-batch near-dedup is the separate dedup_near_jaccard pass.
+
+    The near check reuses the corpus pair artifact (_word_pairs_cached —
+    prefix-filtered, never all-pairs) and keeps delta docs appearing in a
+    pair whose other side is a base doc.
+
+    100 TB design: the base's content-hash set and token signatures are
+    standing bucketed artifacts (written once per corpus snapshot); the
+    delta is orders of magnitude smaller, so both anti-joins broadcast the
+    delta side and the near check probes the base's banded LSH index
+    (dedup_minhash_banded's layout) instead of re-pairing the corpus —
+    per-batch cost scales with |delta|, never |base|."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.pmod("doc_id", F.lit(10)) >= 8
+    delta = docs.filter(is_delta)
+    base = docs.filter(~is_delta)
+
+    w = W.partitionBy("h").orderBy("doc_id")
+    delta_h = delta.withColumn("h", F.sha2("text", 256)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    base_h = base.select(F.sha2("text", 256).alias("h"))
+    exact_ok = (
+        delta_h.filter(F.col("rn") == 1)
+        .join(base_h, "h", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+    pairs = _word_pairs_cached(spark, sf_dir)
+    delta_ids = delta.select("doc_id")
+    base_ids = base.select(F.col("doc_id").alias("base_id"))
+    near_a = (
+        pairs.join(delta_ids, pairs.doc_a == delta_ids.doc_id)
+        .join(base_ids, pairs.doc_b == base_ids.base_id)
+        .select("doc_id")
+    )
+    near_b = (
+        pairs.join(delta_ids, pairs.doc_b == delta_ids.doc_id)
+        .join(base_ids, pairs.doc_a == base_ids.base_id)
+        .select("doc_id")
+    )
+    near = near_a.unionByName(near_b).distinct()
+    return exact_ok.join(near, "doc_id", "left_anti")

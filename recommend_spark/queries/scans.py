@@ -436,3 +436,41 @@ def scan_binary_files(spark, sf_dir):  # the directory per scale factor
         F.col("length"),
         F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
     )
+
+
+@register(
+    "scan_text",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def scan_text(spark, sf_dir):
+    """Raw text-lines round-trip: the log/dump ingest path.
+
+    Writes supplier as pipe-delimited lines via the ``text`` datasource,
+    reads it back as one ``value`` column (``spark.read.text`` — the
+    format every raw crawl/log delivery starts as), and re-parses with
+    split + casts.  Lossless: fixture strings contain no '|' or newline
+    (verified), and double -> string -> double is exact under Spark's
+    shortest-repr formatting.  At 100 TB this is the classic first hop —
+    text splits are line-parallel, the parse is a narrow map, and the
+    very next step is writing columnar (sink_parquet)."""
+    path = f"{ART}/scan_text_supplier"
+    sup = load_table(spark, sf_dir, "supplier")
+    sup.select(
+        F.concat_ws(
+            "|",
+            F.col("s_suppkey").cast("string"),
+            "s_name",
+            F.col("s_nationkey").cast("string"),
+            F.col("s_acctbal").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    p = F.split("value", "\\|")
+    return lines.select(
+        p.getItem(0).cast("long").alias("s_suppkey"),
+        p.getItem(1).alias("s_name"),
+        p.getItem(2).cast("int").alias("s_nationkey"),
+        p.getItem(3).cast("double").alias("s_acctbal"),
+    )
