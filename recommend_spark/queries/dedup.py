@@ -60,20 +60,17 @@ def _pairs_artifact(spark, sf_dir, variant, build):
     same table), so the engine does too.  Parquet (not localCheckpoint)
     deliberately: the checkpoint's RDD materialization path skips AQE,
     losing the skew handling the similarity join depends on (~4× slower,
-    measured), while the write path keeps the full adaptive plan and repeat
-    sessions read for free."""
+    measured).  See io.disk_memo for the shared mechanism."""
     from pathlib import Path
 
-    from .scans import ART
+    from ..io import disk_memo
 
     # bump when the pair pipeline's semantics change: stale artifacts from
     # an older code version must never serve a newer engine
     version = "v1"
-    root = Path(ART) / f"jaccard_pairs_{version}_{variant}_{Path(sf_dir).name}"
-    if not (root / "_DONE").exists():
-        build().write.mode("overwrite").parquet(str(root / "data"))
-        (root / "_DONE").touch()
-    return spark.read.parquet(str(root / "data"))
+    return disk_memo(
+        spark, f"jaccard_pairs_{version}_{variant}_{Path(sf_dir).name}", build
+    )
 
 
 def _word_pairs_cached(spark, sf_dir):
