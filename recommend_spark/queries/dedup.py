@@ -101,9 +101,14 @@ def _token_sigs(docs, toks_expr):
     job buys the right plan shape."""
     import math as _math
 
+    # documents.parquet is a single file -> 1 input partition; spread before
+    # tokenize so every downstream stage (explode, rescore, and especially
+    # the broadcast-nested-loop fast path, whose probe side inherits THIS
+    # partitioning) parallelizes instead of running as one task.
     d = (
         docs.select("doc_id", toks_expr.alias("toks"))
         .withColumn("nt", F.size("toks"))
+        .repartition(32, "doc_id")
         .persist()
     )
     tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))

@@ -156,8 +156,14 @@ def text_tfidf_ml(spark, sf_dir):
     tests/test_ml_quality.py; not oracle-matchable (hash buckets)."""
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("text")
+    # documents.parquet is a single file -> 1 input partition; without an
+    # explicit spread the whole tokenize -> hash -> IDF -> norm pipeline
+    # runs as ONE task (5.6s -> 0.7s at sf0.1 with the spread).  On a
+    # cluster this is the difference between one hot core and N.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("text"))
+        .repartition(32)
     )
     tok = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     tf = HashingTF(
