@@ -724,7 +724,13 @@ def dedup_embed_cosine(spark, sf_dir):
                 }
             )
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-file scan -> spread the streamed side across cores; the
+    # broadcast candidate matrix is unaffected.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(32)
+    )
     return e.mapInPandas(
         block_pairs, "vec_a long, vec_b long, cosine double"
     )

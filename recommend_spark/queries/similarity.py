@@ -546,7 +546,14 @@ def sim_knn_join(spark, sf_dir):
                 }
             )
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # embeddings.parquet is a single file -> 1 input partition; spread the
+    # query side so the per-batch block kernel runs on all cores instead of
+    # as one task (the candidate side is the broadcast, unaffected).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(32)
+    )
     return e.mapInPandas(
         knn_blocks, "query_id long, neighbor_id long, cosine double"
     )
