@@ -105,3 +105,58 @@ def sample_weighted(spark, sf_dir):
     return o.filter(u < p).select(
         "o_orderkey", "o_totalprice", p.alias("keep_prob")
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH mass AS (
+      SELECT source, sum(n_chars) AS m FROM documents GROUP BY source
+    ), lo AS (SELECT min(m) AS m_min FROM mass),
+    rate AS (
+      SELECT source,
+             sqrt(CAST(m_min AS DOUBLE) / CAST(m AS DOUBLE)) AS keep_prob
+      FROM mass CROSS JOIN lo
+    )
+    SELECT d.doc_id, d.source, r.keep_prob
+    FROM documents d JOIN rate r ON d.source = r.source
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) / 4294967296.0
+          < r.keep_prob
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-weighted source rebalancing (T = 0.5): the LLM-corpus
+    mixture recipe that upsamples small sources and downsamples dominant
+    ones so the sampled corpus' source shares follow mass^T instead of raw
+    mass.  Per-doc keep probability is p_s = (m_min / m_s)^0.5 — the
+    smallest source keeps 100%, a source 100x its size keeps 10%.
+
+    Determinism: m_s and m_min are exact integer char masses; p_s is one
+    IEEE division + one IEEE sqrt (both correctly rounded, so engine-
+    identical), and the Bernoulli draw is the same md5-as-uniform trick as
+    sample_weighted — no RNG, repartition-stable.  Plan: the per-source
+    mass table is |sources|-sized (tiny) and BROADCAST back onto the doc
+    scan, so at 100 TB this is one partial-agg pass plus a map-only
+    filter — no shuffle of the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    mass = d.groupBy("source").agg(F.sum("n_chars").alias("m"))
+    lo = mass.agg(F.min("m").alias("m_min"))
+    rate = (
+        mass.crossJoin(F.broadcast(lo))
+        .withColumn(
+            "keep_prob",
+            F.sqrt(F.col("m_min").cast("double") / F.col("m").cast("double")),
+        )
+        .select("source", "keep_prob")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    return (
+        d.join(F.broadcast(rate), "source")
+        .filter(u < F.col("keep_prob"))
+        .select("doc_id", "source", "keep_prob")
+    )

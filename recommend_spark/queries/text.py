@@ -730,3 +730,158 @@ def text_unigram_surprisal(spark, sf_dir):
             (F.sum("s").cast("double") / F.count("*")).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "pipeline_decontam",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKS}) AS w,
+             unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)) AS g,
+             lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+      FROM tok
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM sh WHERE w4 IS NOT NULL
+    ), bench AS (SELECT * FROM grams WHERE doc_id % 41 = 0),
+       train AS (SELECT * FROM grams WHERE doc_id % 41 != 0)
+    SELECT t.doc_id,
+           count(DISTINCT t.g) AS n_shingles_hit,
+           count(DISTINCT b.doc_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def pipeline_decontam(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any word
+    4-gram with a held-out eval set (here: ``doc_id % 41 == 0`` as the
+    deterministic stand-in benchmark) — the standard pre-training hygiene
+    pass that keeps test questions out of the training corpus.
+
+    Scale design: the benchmark side is SMALL by construction (eval suites
+    are thousands-to-millions of shingles vs 10^10 training docs), so the
+    candidate join is a **broadcast** equi-join on the shingle string — the
+    10^10-row training side never shuffles.  Shingles are distinct-ed per
+    doc before the join, so fan-out per training doc is bounded by its
+    unique-shingle count, and the per-doc aggregate is a partial-agg
+    count-distinct keyed on doc_id.  4-gram windows come from 3 ``lead()``s
+    (the shingle width is the usual decontamination dial: real pipelines
+    run 8-13-gram windows on natural text; 4 matches this fixture's
+    ~30-word vocabulary so the op is selective but non-degenerate)
+    over the token stream (same posexplode scan text_ngram uses) — no
+    per-doc arrays are materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = _tokens(docs).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "w",
+            F.lead("w", 1).over(w),
+            F.lead("w", 2).over(w),
+            F.lead("w", 3).over(w),
+        ).alias("g"),
+        F.lead("w", 3).over(w).alias("w4"),
+    )
+    grams = sh.filter(F.col("w4").isNotNull()).select("doc_id", "g").distinct()
+    bench = grams.filter(F.col("doc_id") % 41 == 0).withColumnRenamed(
+        "doc_id", "bench_doc"
+    )
+    train = grams.filter(F.col("doc_id") % 41 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shingles_hit"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKS}) AS w,
+             unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+      FROM documents
+    ), tokf AS (SELECT * FROM tok WHERE w != ''),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c FROM tokf GROUP BY doc_id, w
+    ), words AS (
+      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ), bi AS (
+      SELECT doc_id,
+             concat(w, ' ', lead(w) OVER (PARTITION BY doc_id ORDER BY pos))
+               AS g,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+      FROM tokf
+    ), bis AS (
+      SELECT doc_id, count(*) AS total_bi, count(DISTINCT g) AS uniq_bi
+      FROM bi WHERE nw IS NOT NULL GROUP BY doc_id
+    )
+    SELECT words.doc_id, n_tokens,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS top_word_frac,
+           CAST(total_bi - uniq_bi AS DOUBLE) / CAST(total_bi AS DOUBLE)
+             AS dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2
+            OR CAST(total_bi - uniq_bi AS DOUBLE) / CAST(total_bi AS DOUBLE)
+               > 0.3) AS repetitive
+    FROM words JOIN bis ON words.doc_id = bis.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: most-frequent-word mass
+    fraction and duplicated-bigram occurrence fraction, plus the boolean
+    quality gate — the repetitive-boilerplate filter every pre-training
+    cleaning recipe applies (Rae et al. 2021 §A.1.1 thresholds, adapted to
+    the fixture's scale).
+
+    Determinism: both fractions are ONE IEEE division of exact integers
+    (counts), so the doubles — and the threshold booleans derived from them
+    — are bit-identical across engines.  Plan: one token-explode scan feeds
+    both signals; word counts shuffle on (doc_id, w) with map-side partial
+    aggregation, bigrams ride the same per-doc window text_ngram uses, and
+    the two per-doc profiles meet in a doc_id-keyed join (AQE coalesces;
+    both sides are |docs|-sized, far below the token stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    wc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    words = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bi = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w").over(w)).alias("g"),
+        F.lead("w").over(w).alias("nw"),
+    )
+    bis = (
+        bi.filter(F.col("nw").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_bi"),
+            F.countDistinct("g").alias("uniq_bi"),
+        )
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = (F.col("total_bi") - F.col("uniq_bi")).cast("double") / F.col(
+        "total_bi"
+    ).cast("double")
+    return words.join(bis, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.3)).alias("repetitive"),
+    )
