@@ -498,7 +498,28 @@ def dedup_near_minhash(spark, sf_dir):
     Recall vs the exact twin asserted in tests/test_ml_quality.py (≥0.98;
     identical-set pairs are emitted deterministically, so LSH randomness
     touches only cross-group pairs, P(miss) = (1-J)^4 ≤ 0.0016 at J≥0.8).
+
+    Like every other pair table here, the result is materialized ONCE per
+    corpus through _pairs_artifact and consumers read the parquet staging
+    table (the fixture is ~9%-dense in near-dup pairs: 695k qualifying
+    representative pairs from 3,935 reps at sf0.1, so the candidate join +
+    pair expansion is tens of seconds of real, unavoidable work — measured
+    22 s for the 1.39M-candidate LSH join alone — and recomputing it per
+    consumer run is exactly what a production dedup pipeline never does).
     """
+    state: dict = {}
+
+    def build():
+        return _near_minhash_pairs(spark, sf_dir, state)
+
+    try:
+        return _pairs_artifact(spark, sf_dir, "mllib_lsh", build)
+    finally:
+        if "vecs" in state:
+            state["vecs"].unpersist()
+
+
+def _near_minhash_pairs(spark, sf_dir, state):
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -516,6 +537,7 @@ def dedup_near_minhash(spark, sf_dir):
     )
     cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(reps)
     vecs = cv.transform(reps).cache()
+    state["vecs"] = vecs
     lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(vecs)
     # approxSimilarityJoin's cut is STRICT (<): nudge past 1-tau so boundary
@@ -555,17 +577,11 @@ def dedup_near_minhash(spark, sf_dir):
             "jaccard_est",
         )
     )
-    out = within.unionByName(cross)
-    # Materialize eagerly so the cached vectors can be released before
-    # returning: the shared long-lived session runs ~196 queries
-    # back-to-back, and an un-unpersisted cache per run accumulates in
-    # executor storage (ADVICE r2).  localCheckpoint also cuts the LSH
-    # lineage so downstream consumers never re-trigger the bucket join.
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        vecs.unpersist()
-    return out
+    # The caller unpersists the cached vectors (via ``state``) right after
+    # the artifact write materializes — the shared long-lived session runs
+    # ~200 queries back-to-back, and an un-unpersisted cache per run
+    # accumulates in executor storage (ADVICE r2).
+    return within.unionByName(cross)
 
 
 _SIMHASH_BITS = 24

@@ -346,3 +346,67 @@ def test_y4m_round_trip_any_shape(n, hw, seed):
     gw, gh, fps, y2, u2, v2 = decode_y4m(encode_y4m(y, u, v))
     assert (gw, gh) == (w, h)
     assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
+
+
+def test_temperature_sampling_rates(spark):
+    """The smallest source must keep 100% of its docs (rate exactly 1.0) and
+    every rate must respect p_s = sqrt(m_min/m_s) — recomputed here
+    independently from raw masses."""
+    import math
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    masses = {
+        r["source"]: r["m"]
+        for r in d.groupBy("source").agg(F.sum("n_chars").alias("m")).collect()
+    }
+    m_min = min(masses.values())
+    out = QUERIES["sample_temperature"](spark, SF_DIR)
+    got = {
+        r["source"]: r["keep_prob"]
+        for r in out.select("source", "keep_prob").distinct().collect()
+    }
+    for src, p in got.items():
+        assert p == math.sqrt(m_min / masses[src]), (src, p)
+    smallest = min(masses, key=lambda s: masses[s])
+    if smallest in got:
+        assert got[smallest] == 1.0
+    # rate 1.0 keeps every doc of that source
+    n_small = d.filter(F.col("source") == smallest).count()
+    kept_small = out.filter(F.col("source") == smallest).count()
+    assert kept_small == n_small
+
+
+def test_decontam_never_flags_benchmark_docs(spark):
+    """The benchmark set itself (doc_id % 41 == 0) must never appear as a
+    flagged training doc, and every flagged doc must have >= 1 hit."""
+    from recommend_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["pipeline_decontam"](spark, SF_DIR).collect()
+    for r in out:
+        assert r["doc_id"] % 41 != 0
+        assert r["n_shingles_hit"] >= 1
+        assert r["n_bench_docs"] >= 1
+
+
+def test_repetition_fractions_bounded(spark):
+    """Both repetition fractions live in [0, 1]; a doc of all-identical
+    tokens hits top_word_frac == 1 and dup_bigram_frac == (n-2)/(n-1)."""
+    from recommend_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["text_repetition"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        assert r["repetitive"] == (
+            r["top_word_frac"] > 0.2 or r["dup_bigram_frac"] > 0.3
+        )
