@@ -835,3 +835,186 @@ def events_error_sli(spark, sf_dir):
         rate.alias("error_rate"),
         (rate > 0.2).alias("slo_breach"),
     )
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+    WITH obs0 AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events WHERE user_id < 20
+    ), last_in_hour AS (
+      SELECT user_id, h, value FROM obs0
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) = 1
+    ), bounds AS (
+      SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM obs0 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS g
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, CAST(floor(epoch(g.g)) AS BIGINT) AS gsec,
+             l.value AS v
+      FROM grid g LEFT JOIN last_in_hour l
+        ON g.user_id = l.user_id AND g.g = l.h
+    ), w AS (
+      SELECT user_id, gsec, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN gsec END IGNORE NULLS)
+               OVER wp AS pg,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN gsec END IGNORE NULLS)
+               OVER wn AS ng
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY gsec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY gsec
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, gsec,
+           CASE WHEN pg = ng THEN pv
+                WHEN pg IS NOT NULL AND ng IS NOT NULL
+                THEN pv + (nv - pv) *
+                     (CAST(gsec - pg AS DOUBLE) / CAST(ng - pg AS DOUBLE))
+           END AS val_interp
+    FROM w
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Time-series resampling with LINEAR interpolation — the companion to
+    ts_resample_ffill for continuous signals (sensor readings, prices):
+    each hourly grid point between two observations gets the straight-line
+    value; points outside the observed range stay NULL (strict
+    interpolation, no extrapolation).
+
+    Same grid/last-in-hour skeleton as ts_resample_ffill (one struct-max
+    pre-aggregation of the fact table — grid cardinality is users × hours,
+    independent of event volume).  The bracketing observations come from
+    two frames over one sort: last(ignorenulls) over the preceding frame
+    and first(ignorenulls) over the following frame — Spark evaluates both
+    in a single Window pass per direction, no self-join.  Determinism: gap
+    positions are exact BIGINT second differences; the interpolant
+    pv + (nv-pv)*(Δ/Δtotal) is the identical expression tree in both
+    engines, each step an IEEE correctly-rounded op, so the doubles are
+    bit-equal and fully value-hash-checked."""
+    from pyspark.sql import Window as W
+
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.struct("ts", "event_id", "value").alias("tev"),
+    )
+    last_in_hour = obs.groupBy("user_id", "h").agg(
+        F.max("tev").getField("value").alias("v")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("g"),
+    )
+    j = (
+        grid.join(
+            last_in_hour,
+            (grid.user_id == last_in_hour.user_id) & (grid.g == last_in_hour.h),
+            "left",
+        )
+        .select(grid.user_id, epoch_s("g", "gsec"), "v")
+    )
+    wp = W.partitionBy("user_id").orderBy("gsec").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wn = W.partitionBy("user_id").orderBy("gsec").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    gs = F.col("gsec")
+    marked = j.select(
+        "user_id",
+        "gsec",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), gs), ignorenulls=True)
+        .over(wp)
+        .alias("pg"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), gs), ignorenulls=True)
+        .over(wn)
+        .alias("ng"),
+    )
+    frac = (gs - F.col("pg")).cast("double") / (
+        F.col("ng") - F.col("pg")
+    ).cast("double")
+    val = F.when(F.col("pg") == F.col("ng"), F.col("pv")).when(
+        F.col("pg").isNotNull() & F.col("ng").isNotNull(),
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+    )
+    return marked.select("user_id", "gsec", val.alias("val_interp"))
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ), daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_new_types
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_events, n_new_types,
+           sum(n_new_types) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS distinct_types_todate
+    FROM daily
+    """,
+)
+def win_cumulative_distinct(spark, sf_dir):
+    """Running distinct count per user over time — 'how many event types has
+    this user touched as of each day' — the ingest-monitoring / feature
+    primitive SQL windows cannot express directly (COUNT(DISTINCT) over a
+    frame is unsupported in both engines).
+
+    The decomposition that IS expressible everywhere: mark each (user,
+    type)'s FIRST occurrence with a row_number()=1 window, roll up to
+    per-day new-type counts, then a plain running SUM of news — running
+    sum of first-occurrences ≡ running distinct count, exactly.  Scale:
+    the first-occurrence window shuffles on (user, type) — same key as any
+    distinct — the daily rollup is a partial agg, and the running sum
+    windows over users × days, not events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wf = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(wf).alias("rn"),
+    )
+    daily = firsts.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_new_types"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        "n_new_types",
+        F.sum("n_new_types").over(wrun).alias("distinct_types_todate"),
+    )
