@@ -752,3 +752,224 @@ def agg_skew_kurt_exact(spark, sf_dir):
             " / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3"
         ).alias("kurt_excess"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             user_id // 32 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
+      FROM events
+      GROUP BY event_type, user_id // 32
+    )
+    SELECT event_type, CAST(SUM(bit_count(bm)) AS BIGINT) AS n_users
+    FROM b GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via distributed bitmaps — the 100 TB
+    count-distinct path when the key domain is dense integers.
+
+    Each (event_type, id/32) bucket folds its members into one 32-bit mask
+    with ``bit_or`` (idempotent — no pre-distinct pass needed); popcounts
+    then sum per group.  Two cheap aggregates replace the expanding
+    ``COUNT(DISTINCT)`` shuffle of the raw key stream: state per group is
+    |domain|/32 longs, partial-aggregated map-side, and the merge is a
+    bitwise OR — associative, commutative, constant-size.  This is the
+    roaring-bitmap recipe (ClickHouse groupBitmap, Druid) in pure SQL;
+    32-bit words keep the shifted mask inside a signed BIGINT in both
+    engines.  Verified exactly equal to `agg_count_distinct`'s semantics
+    by the shared oracle tables."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", (F.col("user_id") / 32).cast("long").alias("bucket")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bm")
+    )
+    return b.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n_users")
+    )
+
+
+def _cms_bucket(i: int, key: str):
+    """Row-i count-min bucket: first 8 md5 hex digits of 'i|key' mod 256.
+
+    Engine-neutral (md5 is md5 everywhere) so the sketch — not just the
+    answer — is bit-identical between Spark and the DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{i}' || '|' || CAST({key} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % 256"
+    )
+
+
+@register(
+    "agg_count_min",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r, b, COUNT(*) AS c FROM (
+        SELECT 0 AS r, {_cms_bucket_sql(0, 'o_custkey')} AS b FROM orders
+        UNION ALL
+        SELECT 1 AS r, {_cms_bucket_sql(1, 'o_custkey')} AS b FROM orders
+        UNION ALL
+        SELECT 2 AS r, {_cms_bucket_sql(2, 'o_custkey')} AS b FROM orders
+      ) GROUP BY r, b
+    ), probe AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_custkey <= 25
+    ), probe_cells AS (
+      SELECT custkey, 0 AS r, {_cms_bucket_sql(0, 'custkey')} AS b FROM probe
+      UNION ALL
+      SELECT custkey, 1 AS r, {_cms_bucket_sql(1, 'custkey')} AS b FROM probe
+      UNION ALL
+      SELECT custkey, 2 AS r, {_cms_bucket_sql(2, 'custkey')} AS b FROM probe
+    ), est AS (
+      SELECT custkey, MIN(c) AS est_orders
+      FROM probe_cells JOIN cells USING (r, b)
+      GROUP BY custkey
+    ), exact AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS true_orders
+      FROM orders WHERE o_custkey <= 25 GROUP BY o_custkey
+    )
+    SELECT custkey, est_orders, true_orders
+    FROM est JOIN exact USING (custkey)
+    """,
+)
+def agg_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation (depth 3 × width 256), fully
+    deterministic and oracle-checked — the sketch itself is reproduced
+    bit-for-bit by DuckDB because the hash rows are md5-derived.
+
+    Build: one pass over orders explodes each row into 3 (row, bucket)
+    cells and counts — a partial-aggregated groupBy whose state is AT MOST
+    768 cells regardless of input size (the whole point at 100 TB: fixed
+    memory, mergeable by addition, no per-key state).  Estimate: probe
+    keys hash into the same cells; min over the 3 rows bounds the true
+    count from above (overestimates only on collisions).  Output carries
+    the exact count next to the estimate so the oracle also certifies the
+    CMS guarantee est >= true on every probe."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"), "o_custkey"
+        )
+        .select(
+            "r",
+            F.when(F.col("r") == 0, _cms_bucket(0, "o_custkey"))
+            .when(F.col("r") == 1, _cms_bucket(1, "o_custkey"))
+            .otherwise(_cms_bucket(2, "o_custkey"))
+            .alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    probe = (
+        o.filter(F.col("o_custkey") <= 25)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    probe_cells = probe.select(
+        "custkey", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r")
+    ).select(
+        "custkey",
+        "r",
+        F.when(F.col("r") == 0, _cms_bucket(0, "custkey"))
+        .when(F.col("r") == 1, _cms_bucket(1, "custkey"))
+        .otherwise(_cms_bucket(2, "custkey"))
+        .alias("b"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("custkey")
+        .agg(F.min("c").alias("est_orders"))
+    )
+    exact = (
+        o.filter(F.col("o_custkey") <= 25)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("true_orders"))
+    )
+    return est.join(exact, "custkey")
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sx2,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sy2
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope,
+           sy / n - (sxy - sx * sy / n) / (sx2 - sx * sx / n) * (sx / n) AS intercept,
+           ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS r2
+    FROM s
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-group OLS (price ~ quantity): slope / intercept / R² —
+    `REGR_SLOPE` / `REGR_INTERCEPT` / `REGR_R2` semantics, hash-stable.
+
+    The built-in regr_* aggregates accumulate double moments in partition
+    order and never hash-match across engines; like `agg_corr`, the five
+    sufficient statistics come from EXACT integer-cent sums (one decimal
+    cast, order-independent) and the regression coefficients are one fixed
+    IEEE expression.  Same one-shuffle partial+final aggregate shape at
+    any scale; adding features generalizes this to the X'X normal-equation
+    accumulation `mm_embed_pca` uses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.sum("xc").cast("double") / 100.0).alias("sx"),
+        (F.sum("yc").cast("double") / 100.0).alias("sy"),
+        (
+            F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sxy"),
+        (
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sx2"),
+        (
+            F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast("double")
+            / 10000.0
+        ).alias("sy2"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr("(sxy - sx * sy / n) / (sx2 - sx * sx / n)").alias("slope"),
+        F.expr(
+            "sy / n - (sxy - sx * sy / n) / (sx2 - sx * sx / n) * (sx / n)"
+        ).alias("intercept"),
+        F.expr(
+            "((sxy - sx * sy / n) * (sxy - sx * sy / n))"
+            " / ((sx2 - sx * sx / n) * (sy2 - sy * sy / n))"
+        ).alias("r2"),
+    )

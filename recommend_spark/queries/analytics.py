@@ -1018,3 +1018,79 @@ def win_cumulative_distinct(spark, sf_dir):
         "n_new_types",
         F.sum("n_new_types").over(wrun).alias("distinct_types_todate"),
     )
+
+
+def _ewma_exprs(k: int = 8):
+    """Shared construction of the EWMA numerator/denominator term lists.
+
+    Both engines evaluate the SAME left-to-right addition chain over the
+    SAME lag columns, so the float result is bit-identical: weights 0.5^j
+    are exact binary fractions, the lagged values are integer cents cast
+    to double (exact), and IEEE +/* are deterministic per-row ops."""
+    num = ["CAST(x0 AS DOUBLE)"]
+    den = ["1.0"]
+    for j in range(1, k):
+        w = 0.5**j
+        num.append(f"COALESCE(CAST(x{j} AS DOUBLE), 0.0) * {w!r}")
+        den.append(f"(CASE WHEN x{j} IS NULL THEN 0.0 ELSE {w!r} END)")
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    ), lagged AS (
+      SELECT user_id, day, cents AS x0,
+             {", ".join(f"lag(cents, {j}) OVER (PARTITION BY user_id ORDER BY day) AS x{j}" for j in range(1, 8))}
+      FROM daily
+    )
+    SELECT user_id, day,
+           CAST(x0 AS DOUBLE) / 100.0 AS day_value,
+           (({_ewma_exprs()[0]}) / ({_ewma_exprs()[1]})) / 100.0 AS ewma
+    FROM lagged
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.5, 8-term horizon)
+    of per-user daily spend — the classic smoother for activity signals.
+
+    A true infinite-horizon EWMA is a sequential recurrence (not
+    order-independent), so this uses the standard truncated form: 8
+    explicit lags with geometric weights, renormalized over the terms that
+    exist.  That keeps it a pure window expression — one shuffle to daily
+    grain, one sort per user partition, zero Python — and makes it
+    bit-deterministic (see `_ewma_exprs`).  Truncation error is <=0.4% of
+    the weight mass (0.5^8).  At 100 TB the state per partition is the
+    7-row lag buffer; contrast a recursive implementation, which would
+    serialize the whole series through one task."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id",
+        "day",
+        F.col("cents").alias("x0"),
+        *[F.lag("cents", j).over(w).alias(f"x{j}") for j in range(1, 8)],
+    )
+    num, den = _ewma_exprs()
+    return lagged.select(
+        "user_id",
+        "day",
+        (F.col("x0").cast("double") / 100.0).alias("day_value"),
+        (F.expr(f"(({num}) / ({den}))") / 100.0).alias("ewma"),
+    )

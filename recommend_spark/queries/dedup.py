@@ -1206,3 +1206,82 @@ def dedup_incremental(spark, sf_dir):
     )
     near = near_a.unionByName(near_b).distinct()
     return exact_ok.join(near, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_paragraph",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tokens, i * 10 + 1, i * 10 + 10), ' ')) AS h
+      FROM toks, UNNEST(range(0, CAST(ceil(len(tokens) / 10.0) AS BIGINT))) AS t(i)
+    ), shared AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h
+      ) WHERE nd >= 2
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM chunks c LEFT JOIN shared s USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_paragraph(spark, sf_dir):
+    """Sub-document (paragraph-level) exact dedup: flag text chunks shared
+    across documents and score each doc by its duplicated-chunk fraction.
+
+    Corpus-hygiene pipelines dedup below whole-document grain — boilerplate
+    headers, license blocks, and templated paragraphs repeat across
+    otherwise-distinct pages and a whole-doc hash never sees them.  The
+    fixture text has no newlines, so the paragraph surrogate is fixed
+    10-word chunks (documented substitution; the operator is splitter-
+    agnostic — swap the chunker for split('\\n\\n') on real corpora).
+
+    Plan at 100 TB: explode to chunks (map-side, ~n_tokens/10 rows per
+    doc), ONE hash-shuffle on the 32-hex chunk hash to find cross-doc
+    repeats, then the shared-hash set — which is small by construction
+    (only repeated boilerplate survives the nd>=2 filter) — broadcasts
+    back onto the chunk stream; the per-doc rollup reuses the doc_id
+    grouping.  No pairwise comparison anywhere: cost is O(corpus tokens),
+    the same recipe MassiveText/RefinedWeb use for line-level dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", F.split("text", " ").alias("tokens"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, CAST(ceil(size(tokens) / 10.0) AS BIGINT) - 1)")
+            ).alias("i"),
+            F.col("tokens"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.expr("slice(tokens, i * 10 + 1, 10)"), " ")
+            ).alias("h"),
+        )
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        chunks.join(F.broadcast(shared.withColumn("is_dup", F.lit(1))), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_chunks"),
+            (
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("dup_frac"),
+        )
+    )

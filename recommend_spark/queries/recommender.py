@@ -582,3 +582,71 @@ def rec_eval_recall(spark, sf_dir):
         [(n_users, n_test, n_hits, float(n_hits) / max(1, n_test))],
         "n_users_eval long, n_test long, n_hits long, recall_at_10 double",
     )
+
+
+@register("graph_pagerank")  # rows-only: iterative fixpoint, gates in test_ml_quality
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 6 fixed iterations) over the co-purchase
+    graph — the canonical iterative graph algorithm, implemented as a
+    bounded sequence of join+aggregate rounds, no driver-side graph.
+
+    Graph: the same cooc>=5 item-pair edges as `graph_triangles`,
+    symmetrized (PageRank needs out-edges; an undirected graph gets both
+    directions), so every node has out-degree >= 1 and there is no
+    dangling-mass term.  Each round is contrib = rank/deg routed along
+    edges, one hash-shuffle groupBy(dst); `localCheckpoint` per round cuts
+    the lineage so round k+1 replans from materialized ranks instead of a
+    2^k-deep DAG (the dedup_cluster / MapReduce-iteration recipe).
+
+    Determinism (rows-only ops still gate on it): per-dst contribution
+    sums accumulate in DECIMAL(38,18) — order-independent — and the
+    double->decimal cast of each contribution is a pure per-row op, so two
+    runs produce identical ranks bit-for-bit (asserted in
+    tests/test_ml_quality.py, alongside mass conservation |sum(rank) - N|
+    and positivity).  At 100 TB: 6 shuffles of O(edges) rows each, rank
+    state O(nodes) — the textbook Pregel workload expressed as DataFrame
+    ops; the node-sized rank/deg side is left to AQE — broadcast while
+    it fits (fixture scale), shuffle-hash join on src beyond that —
+    and no collect anywhere."""
+    b = _baskets_artifact(spark, sf_dir)
+    x, y = b.alias("x"), b.alias("y")
+    und = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 5)
+        .select("p", "q")
+    )
+    edges = (
+        und.select(F.col("p").alias("src"), F.col("q").alias("dst"))
+        .unionAll(und.select(F.col("q").alias("src"), F.col("p").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    for _ in range(6):
+        contrib = (
+            edges.join(ranks.join(deg, "src"), "src")
+            .select(
+                "dst",
+                (F.col("rank") / F.col("deg") * F.lit(0.85))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        ranks = (
+            deg.select("src")
+            .join(contrib.withColumnRenamed("dst", "src"), "src", "left")
+            .select(
+                "src",
+                (F.lit(0.15) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("src").alias("node"), "rank")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

@@ -83,3 +83,43 @@ def set_except(spark, sf_dir):
     a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
     b = li.filter(F.col("l_quantity") > 45).select("l_partkey")
     return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag intersection, multiplicity-aware): each partkey
+    appears min(count_left, count_right) times.  Completes the §2.7
+    variant matrix alongside `set_intersect` (distinct) and the two EXCEPT
+    forms.  Plan: same single hash-shuffle as a groupBy on the compared
+    columns — Catalyst rewrites both *ALL variants to a count-compare
+    aggregate, no join of the full bags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_partkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def set_except_distinct(spark, sf_dir):
+    """EXCEPT (distinct semantics): partkeys that ever ship >25 units but
+    never >45.  Catalyst plans this as a left-anti join over distinct
+    inputs — one shuffle per side on the compared columns, broadcastable
+    when the subtrahend is small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
+    b = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    return a.subtract(b)

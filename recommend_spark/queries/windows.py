@@ -377,3 +377,60 @@ def win_dist_share(spark, sf_dir):
             .cast("double")
         ).alias("price_share"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT event_type, day,
+           CAST(cents AS DOUBLE) / 100.0 AS day_value,
+           median(cents) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS med7
+    FROM daily
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """Trailing-7-day rolling EXACT median of daily event value per type.
+
+    Rolling robust statistics (median, not mean) are the spike-resistant
+    smoother dashboards want.  Spark refuses ordered-aggregate functions
+    over a window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    median is computed from first principles: `collect_list` over the ROWS
+    frame (legal), sort the <=7-element array, select the middle (odd) or
+    average the two middles (even) — numerically identical to DuckDB's
+    windowed `median()`, which the oracle uses directly.
+    Determinism: the daily series is exact integer cents (order-free sum),
+    selection is exact, and (a+b)/2.0 on integer cents is one IEEE op.
+    At 100 TB the frame is bounded (7 rows) so per-partition state is O(1);
+    the one shuffle is the groupBy to days, after which the window reuses
+    the same hash partitioning on event_type (AQE keeps it colocated)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    med = (
+        "CASE WHEN size(win7) % 2 = 1"
+        " THEN CAST(element_at(win7, CAST((size(win7) + 1) DIV 2 AS INT)) AS DOUBLE)"
+        " ELSE (CAST(element_at(win7, CAST(size(win7) DIV 2 AS INT)) AS DOUBLE)"
+        "       + CAST(element_at(win7, CAST(size(win7) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0"
+        " END"
+    )
+    return (
+        daily.withColumn("win7", F.sort_array(F.collect_list("cents").over(w)))
+        .select(
+            "event_type",
+            "day",
+            (F.col("cents").cast("double") / 100.0).alias("day_value"),
+            (F.expr(med) / 100.0).alias("med7"),
+        )
+    )

@@ -469,3 +469,19 @@ def test_pq_quantization_quality_and_determinism(spark):
     # bound is robust while still catching a broken codebook (which lands
     # at ~= baseline).
     assert pq_err < 0.75 * baseline, (pq_err, baseline)
+
+
+def test_pagerank_mass_determinism_positivity(spark):
+    """graph_pagerank gates: (a) two runs are bit-identical (the decimal
+    contribution accumulation makes the float sums order-free), (b) every
+    rank is positive and >= the damping floor 0.15, (c) the top-20 ranks
+    are sorted descending with the declared (rank DESC, node) total order."""
+    a = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    b = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 20
+    ranks = [r["rank"] for r in a]
+    assert all(r >= 0.15 for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    # top nodes should concentrate mass: best node clearly above the floor
+    assert ranks[0] > 0.5
