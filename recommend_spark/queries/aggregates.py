@@ -973,3 +973,33 @@ def agg_regression(spark, sf_dir):
             " / ((sx2 - sx * sx / n) * (sy2 - sy * sy / n))"
         ).alias("r2"),
     )
+
+
+@register("agg_hll_sketch")  # rows-only: sketch binaries are engine-specific
+def agg_hll_sketch(spark, sf_dir):
+    """HyperLogLog sketches as MERGEABLE aggregate state — per-group
+    distinct-user sketches plus their union, via Spark's Apache
+    DataSketches integration (hll_sketch_agg / hll_union_agg, 3.5+).
+
+    `agg_approx_distinct` already covers one-shot estimation; what THIS op
+    pins down is re-aggregatability, the property 100 TB rollups live on:
+    store one small sketch per (event_type) — or per day, per tenant — and
+    answer any coarser distinct-count by UNIONING sketches, never
+    re-reading raw data.  That union is exactly the partial-merge Spark
+    runs map-side, so sketch state flows through the normal two-phase
+    aggregate; the `__all__` row here is computed FROM the per-type
+    sketches, proving the merge path.  Deterministic (the sketch hash is
+    seeded constant), accuracy-gated vs exact counts in
+    tests/test_ml_quality.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint()  # consumed twice: per-type rows + the union row
+    typed = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return typed.unionByName(total).orderBy("event_type")

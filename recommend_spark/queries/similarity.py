@@ -754,47 +754,40 @@ def mm_embed_pca(spark, sf_dir):
     return emb.mapInPandas(project, "vec_id long, label int, pc array<double>")
 
 
-@register("mm_embed_pq")  # rows-only: k-means codebooks are ML-internal
-def mm_embed_pq(spark, sf_dir):
-    """Product quantization of the embedding column: split each 64-dim
-    vector into M=8 contiguous 8-dim subvectors and k-means (k=16) each
-    subspace independently — every vector compresses to 8 codebook ids
-    (8 bytes, a 32x reduction) plus a shared 8x16x8-float codebook.  PQ is
-    the memory layer of IVF-PQ ANN indexes (Jegou et al., "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011): at 10^9+
-    vectors the raw floats don't fit executor memory, the codes do.
+_PQ_CACHE: dict = {}
 
-    Spark-first shape: ALL M codebooks train in the SAME distributed pass —
-    each Lloyd iteration is one mapInPandas job that assigns every
-    subvector to its nearest centroid with a vectorized numpy kernel and
-    emits per-(subspace, code) partial sums (M*K*8 doubles + M*K counts
-    per partition, never the points); the driver folds partials in sorted
-    order (fixed float-add order -> deterministic), updates the 4 KiB
-    codebook, and rebroadcasts.  8 iterations = 8 jobs, vs 8 separate
-    ml.KMeans fits = ~160 jobs (measured 26-32 s -> ~4 s at fixture
-    scale).  Init is the first K vectors by vec_id (seedless,
-    deterministic); empty clusters keep their previous centroid.  A final
-    map-only pass emits (vec_id, codes, sq_err); determinism and
-    reconstruction-quality gates (PQ error << global-mean baseline) live
-    in tests/test_ml_quality.py."""
-    import numpy as np
-    import pandas as pd
 
-    M, SUB, K, ITERS = 8, 8, 16, 8
-    dim = M * SUB
-    emb = (
+def _pq_emb(spark, sf_dir):
+    """The PQ training/encode input: embeddings as double arrays, spread to
+    32 partitions (the source is a single parquet file — without the spread
+    every mapInPandas kernel below runs on one task)."""
+    return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
         .repartition(32)
     )
 
+
+def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
+    """Train the M product-quantizer codebooks in one distributed pass per
+    Lloyd iteration; memoized per (session, corpus) because both
+    `mm_embed_pq` and `sim_ivf_pq` need the same deterministic codebook
+    and the fit is the expensive part.  See `mm_embed_pq` for the full
+    design rationale (partial-sum shuffle shape, determinism argument)."""
+    import numpy as np
+    import pandas as pd
+
+    key = (id(spark.sparkContext), sf_dir, M, SUB, K, iters)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    emb = _pq_emb(spark, sf_dir)
     init = emb.orderBy("vec_id").limit(K).collect()
     cents = np.asarray(
         [r["x"] for r in init], dtype=np.float64
     ).reshape(K, M, SUB).transpose(1, 0, 2).copy()  # (M, K, SUB)
 
     sc = spark.sparkContext
-    for _ in range(ITERS):
+    for _ in range(iters):
         bc = sc.broadcast(cents)
 
         def partials(batches):
@@ -834,8 +827,41 @@ def mm_embed_pq(spark, sf_dir):
         if np.array_equal(new, cents):
             break
         cents = new
+    _PQ_CACHE[key] = cents
+    return cents
 
-    bc_final = sc.broadcast(cents)
+
+@register("mm_embed_pq")  # rows-only: k-means codebooks are ML-internal
+def mm_embed_pq(spark, sf_dir):
+    """Product quantization of the embedding column: split each 64-dim
+    vector into M=8 contiguous 8-dim subvectors and k-means (k=16) each
+    subspace independently — every vector compresses to 8 codebook ids
+    (8 bytes, a 32x reduction) plus a shared 8x16x8-float codebook.  PQ is
+    the memory layer of IVF-PQ ANN indexes (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): at 10^9+
+    vectors the raw floats don't fit executor memory, the codes do.
+
+    Spark-first shape: ALL M codebooks train in the SAME distributed pass —
+    each Lloyd iteration is one mapInPandas job that assigns every
+    subvector to its nearest centroid with a vectorized numpy kernel and
+    emits per-(subspace, code) partial sums (M*K*8 doubles + M*K counts
+    per partition, never the points); the driver folds partials in sorted
+    order (fixed float-add order -> deterministic), updates the 4 KiB
+    codebook, and rebroadcasts (`_pq_train` — shared with `sim_ivf_pq`).
+    8 iterations = 8 jobs, vs 8 separate ml.KMeans fits = ~160 jobs
+    (measured 26-32 s -> ~4 s at fixture scale).  Init is the first K
+    vectors by vec_id (seedless, deterministic); empty clusters keep
+    their previous centroid.  A final map-only pass emits
+    (vec_id, codes, sq_err); determinism and reconstruction-quality gates
+    (PQ error << global-mean baseline) live in tests/test_ml_quality.py."""
+    import numpy as np
+    import pandas as pd
+
+    M, SUB = 8, 8
+    emb = _pq_emb(spark, sf_dir)
+    cents = _pq_train(spark, sf_dir)
+
+    bc_final = spark.sparkContext.broadcast(cents)
 
     def encode(batches):
         C = bc_final.value
@@ -861,4 +887,111 @@ def mm_embed_pq(spark, sf_dir):
 
     return emb.mapInPandas(
         encode, "vec_id long, codes array<int>, sq_err double"
+    )
+
+
+@register("sim_ivf_pq")  # rows-only: ANN over learned codebooks (quality gates in tests)
+def sim_ivf_pq(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbor: the two scale layers composed —
+    IVF coarse cells prune WHICH candidates to score, PQ codes shrink WHAT
+    is scored (Jegou et al. 2011; the FAISS `IVFx,PQy` index family).
+
+    At 10^9+ vectors neither layer suffices alone: IVF over raw floats
+    still holds N*64*4 bytes of vectors; PQ over all N still scans N codes
+    per query.  Composed: candidates shuffle only on probed cell ids, and
+    each candidate costs 8 bytes of codes + one table lookup per subspace.
+
+    Pipeline (all deterministic): (1) encode every vector once with the
+    shared memoized `_pq_train` codebook (map-only); (2) route queries to
+    their 3 nearest label-cells exactly like `sim_ivf_topk`; (3) score
+    candidates ASYMMETRICALLY — the query keeps full precision, the
+    candidate is reconstructed from its codes, score = dot(q, recon(c)) —
+    via one vectorized numpy kernel in mapInPandas (the ADC table-lookup
+    formulation, batched as a reconstruct+matmul which is numerically
+    identical).  Top-5 per query by (adc_score DESC, neighbor_id).
+    Gates in tests/test_ml_quality.py: bit-determinism across runs and
+    retrieved-neighbor quality vs the exact `sim_cosine_topk` twin."""
+    import numpy as np
+    import pandas as pd
+
+    M, SUB = 8, 8
+    cents = _pq_train(spark, sf_dir)  # (M, K, SUB)
+
+    # (1) PQ-encode all candidate vectors (map-only, reuses final codebook)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def encode(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
+            codes = np.zeros((len(pdf), M), dtype=np.int32)
+            for m in range(M):
+                S = X[:, m * SUB:(m + 1) * SUB]
+                d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["vec_id"], "codes": [c.tolist() for c in codes]}
+            )
+
+    codes_df = _pq_emb(spark, sf_dir).mapInPandas(
+        encode, "neighbor_id long, codes array<int>"
+    )
+
+    # (2) coarse routing: queries -> 3 nearest per-label centroids
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.getField("c")).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    qc = q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell"))).withColumn(
+        "score", _dot(F.col("qe"), F.col("centroid"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
+    routed = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "qe", "cell")
+    )
+
+    # (3) ADC scoring inside probed cells only
+    cand = codes_df.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell")),
+        "neighbor_id",
+    )
+    pairs = routed.join(cand, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+
+    def adc(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(pdf["qe"].to_list(), dtype=np.float64)
+            codes = np.asarray(pdf["codes"].to_list(), dtype=np.int64)
+            R = np.concatenate(
+                [C[m][codes[:, m]] for m in range(M)], axis=1
+            )  # (n, 64) reconstructed candidates
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc_score": (Q * R).sum(axis=1),
+                }
+            )
+
+    scored = pairs.mapInPandas(adc, "query_id long, neighbor_id long, adc_score double")
+    w = W.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "adc_score")
     )

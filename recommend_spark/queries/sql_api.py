@@ -86,3 +86,52 @@ def join_lateral(spark, sf_dir):
         ) t
         """
     )
+
+
+# Dialect-shared recursive CTE: multi-hop reachability in the co-purchase
+# graph from the smallest edge endpoint, capped at 2 hops.  Both engines
+# accept this string verbatim (WITH RECURSIVE is standard SQL; Spark
+# supports it from 4.0).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM {orders} JOIN {lineitem} ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT a.i AS p, c.i AS q
+      FROM b a JOIN b c ON a.u = c.u AND a.i < c.i
+      GROUP BY a.i, c.i
+      HAVING count(*) >= 5
+    ), edges AS (
+      SELECT p, q FROM e UNION ALL SELECT q AS p, p AS q FROM e
+    ), reach(node, hop) AS (
+      SELECT (SELECT MIN(p) FROM edges) AS node, 0 AS hop
+      UNION ALL
+      SELECT edges.q AS node, reach.hop + 1 AS hop
+      FROM reach JOIN edges ON reach.node = edges.p
+      WHERE reach.hop < 2
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(orders="orders", lineitem="lineitem"),
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE front door: 2-hop reachability (hop counts) from the
+    lowest-id node of the co-purchase graph, one dialect-shared SQL string
+    (standard-SQL recursion — Spark >= 4.0 and DuckDB both run it
+    verbatim).
+
+    Recursion in a distributed engine is iterated materialization: Spark
+    executes each recursive step as a fresh join+union over the previous
+    step's result, exactly the loop `graph_pagerank` writes by hand — so
+    this op pins down that the DECLARATIVE form reaches the same fixpoint
+    the imperative loop does.  The hop cap bounds work (standard practice:
+    unbounded closure over a dense graph is quadratic); MIN(hop) per node
+    dedups the path explosion at the end, matching BFS semantics."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rec_{t}")
+    return spark.sql(_RECURSIVE_SQL.format(orders="rec_orders", lineitem="rec_lineitem"))

@@ -485,3 +485,54 @@ def test_pagerank_mass_determinism_positivity(spark):
     assert ranks == sorted(ranks, reverse=True)
     # top nodes should concentrate mass: best node clearly above the floor
     assert ranks[0] > 0.5
+
+
+def test_hll_sketch_accuracy_and_merge(spark, ddb):
+    """agg_hll_sketch gates: per-type estimates within 5% of exact, and the
+    __all__ row (computed by UNIONING the per-type sketches) within 5% of
+    the exact global distinct — the mergeability contract."""
+    rows = {r["event_type"]: r["est_users"]
+            for r in QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()}
+    exact = dict(ddb.execute(
+        "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    exact["__all__"] = ddb.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    for k, ex in exact.items():
+        assert abs(rows[k] - ex) / ex < 0.05, (k, rows[k], ex)
+
+
+def test_ivf_pq_determinism_and_quality(spark):
+    """sim_ivf_pq gates: (a) two runs bit-identical (codebook + routing +
+    ADC kernel are all deterministic), (b) retrieved-neighbor QUALITY —
+    the mean TRUE cosine of the ADC-chosen top-5 must recover most of the
+    exact top-5's mean cosine (ADC scores approximate, so rank agreement
+    is the honest metric, not score equality), (c) shape: 5 neighbors per
+    query, no self-pairs."""
+    import numpy as np
+
+    a = QUERIES["sim_ivf_pq"](spark, SF_DIR).collect()
+    b = QUERIES["sim_ivf_pq"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    got = {}
+    for r in a:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert r["query_id"] != r["neighbor_id"]
+    assert all(len(v) == 5 for v in got.values())
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    ratios = []
+    for qid, nbrs in got.items():
+        q = emb[qid]
+        scores = {v: float(q @ emb[v]) for v in emb if v != qid}
+        best5 = sorted(scores.values(), reverse=True)[:5]
+        picked = [scores[v] for v in nbrs]
+        ratios.append(np.mean(picked) / np.mean(best5))
+    # random top-5 on this fixture averages ~0 cosine; require the ADC
+    # retrieval to recover a solid fraction of the exact optimum
+    assert np.mean(ratios) > 0.5, ratios
