@@ -37,6 +37,10 @@ HEAVY = {
     "mm_image_pipeline",
     "agg_approx_distinct",
     "stream_watermark_late",
+    "sim_ivf_pq",
+    "graph_pagerank",
+    "mm_embed_pq",
+    "agg_hll_sketch",
 }
 # streaming SQL-oracle ops execute a real replay; they are part of the SQL
 # suite (they carry oracles) but dominate wall-clock, so surface them in the

@@ -1094,3 +1094,45 @@ def ts_ewma(spark, sf_dir):
         (F.col("x0").cast("double") / 100.0).alias("day_value"),
         (F.expr(f"(({num}) / ({den}))") / 100.0).alias("ewma"),
     )
+
+
+@register(
+    "events_churn",
+    oracle="""
+    WITH horizon AS (
+      SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t_max FROM events
+    ), last_seen AS (
+      SELECT user_id,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           (t_max - last_ts) // 86400 AS days_inactive,
+           CASE WHEN t_max - last_ts > 14 * 86400 THEN 1 ELSE 0 END AS churned
+    FROM last_seen CROSS JOIN horizon
+    """,
+)
+def events_churn(spark, sf_dir):
+    """Inactivity-based churn flags: days since each user's last event
+    relative to the corpus horizon (max ts), churned = silent > 14 days —
+    the label-generation pass every retention model starts from.
+
+    One aggregate produces per-user recency, the horizon is a broadcast
+    1-row scalar (computed once, not a correlated subquery per row), and
+    the day math is exact integer epoch arithmetic — no timezone or
+    rounding hazards.  Map-only after the single groupBy at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.col("ts").cast("double")).cast("long")
+    horizon = ev.agg(F.max(epoch).alias("t_max"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max(epoch).alias("last_ts"), F.count("*").alias("n_events")
+    )
+    return last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        F.expr("(t_max - last_ts) DIV 86400").alias("days_inactive"),
+        F.when(F.col("t_max") - F.col("last_ts") > 14 * 86400, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )

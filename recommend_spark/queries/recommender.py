@@ -44,6 +44,33 @@ def _baskets_artifact(spark, sf_dir):
 
     return disk_memo(spark, f"baskets_v1_{Path(sf_dir).name}", build)
 
+def _copurchase_edges_artifact(spark, sf_dir):
+    """Thresholded co-purchase edge set (p < q, cooc >= 5), disk-memoized.
+
+    The quadratic basket self-join + cooc aggregate is the shared upstream
+    of the whole graph family (graph_triangles, graph_pagerank,
+    rec_association_rules, sql_recursive_cte): computing it once per
+    corpus and reading the tiny parquet artifact afterwards removes a
+    repeated multi-second stage per query — and for the recursive CTE it
+    is the difference between O(1) and O(steps) evaluations of the join,
+    because Spark re-plans recursive-CTE base relations at every
+    iteration step."""
+    from pathlib import Path
+
+    def build():
+        b = _baskets_artifact(spark, sf_dir)
+        x, y = b.alias("x"), b.alias("y")
+        return (
+            x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
+            .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
+            .agg(F.count("*").alias("cooc"))
+            .filter(F.col("cooc") >= 5)
+            .select("p", "q", "cooc")
+        )
+
+    return disk_memo(spark, f"copurchase_edges_v1_{Path(sf_dir).name}", build)
+
+
 _ALS_PARAMS = dict(
     rank=8, maxIter=10, regParam=0.1, seed=5, implicitPrefs=True,
     coldStartStrategy="drop", userCol="user_id", itemCol="item_id",
@@ -481,21 +508,11 @@ def graph_triangles(spark, sf_dir):
     from one tiny agg over the thresholded edge set and broadcast onto both
     endpoints.  Output rows are re-canonicalized to id order (a<b<c), so the
     result — and the oracle hash — is identical to id-orientation."""
-    b = _baskets_artifact(spark, sf_dir)
-    a2, b2 = b.alias("x"), b.alias("y")
-    # localCheckpoint: the thresholded edge set is consumed FOUR times (the
-    # degree agg + e1/e2/e3); cutting lineage here runs the quadratic pair
-    # self-join exactly once instead of relying on exchange reuse across
-    # the broadcast boundary (which Spark does not apply through the
-    # degree-join's broadcast build side).
-    und = (
-        a2.join(b2, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
-        .agg(F.count("*").alias("cooc"))
-        .filter(F.col("cooc") >= 5)
-        .select("p", "q")
-        .localCheckpoint()
-    )
+    # The thresholded edge set is consumed FOUR times (the degree agg +
+    # e1/e2/e3); it comes from the disk-memoized shared artifact, so the
+    # quadratic pair self-join runs once PER CORPUS, not once per consumer
+    # (previously a localCheckpoint bounded it to once per query).
+    und = _copurchase_edges_artifact(spark, sf_dir).select("p", "q")
     deg = (
         und.select(F.col("p").alias("node"))
         .unionAll(und.select(F.col("q").alias("node")))
@@ -608,15 +625,7 @@ def graph_pagerank(spark, sf_dir):
     ops; the node-sized rank/deg side is left to AQE — broadcast while
     it fits (fixture scale), shuffle-hash join on src beyond that —
     and no collect anywhere."""
-    b = _baskets_artifact(spark, sf_dir)
-    x, y = b.alias("x"), b.alias("y")
-    und = (
-        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
-        .agg(F.count("*").alias("cooc"))
-        .filter(F.col("cooc") >= 5)
-        .select("p", "q")
-    )
+    und = _copurchase_edges_artifact(spark, sf_dir).select("p", "q")
     edges = (
         und.select(F.col("p").alias("src"), F.col("q").alias("dst"))
         .unionAll(und.select(F.col("q").alias("src"), F.col("p").alias("dst")))
@@ -650,3 +659,78 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "rec_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), n AS (
+      SELECT COUNT(DISTINCT u) AS nu FROM b
+    ), s AS (
+      SELECT i, COUNT(*) AS c FROM b GROUP BY i
+    ), pq AS (
+      SELECT a.i AS p, c2.i AS q, COUNT(*) AS spq
+      FROM b a JOIN b c2 ON a.u = c2.u AND a.i < c2.i
+      GROUP BY a.i, c2.i
+      HAVING COUNT(*) >= 5
+    ), rules AS (
+      SELECT p AS antecedent, q AS consequent, spq FROM pq
+      UNION ALL
+      SELECT q AS antecedent, p AS consequent, spq FROM pq
+    )
+    SELECT r.antecedent, r.consequent, r.spq AS support_n,
+           CAST(r.spq AS DOUBLE) / sa.c AS confidence,
+           CAST(r.spq AS DOUBLE) * n.nu / (CAST(sa.c AS DOUBLE) * sc.c) AS lift
+    FROM rules r
+    JOIN s sa ON sa.i = r.antecedent
+    JOIN s sc ON sc.i = r.consequent
+    CROSS JOIN n
+    WHERE CAST(r.spq AS DOUBLE) / sa.c >= 0.2
+    """,
+)
+def rec_association_rules(spark, sf_dir):
+    """Association-rule mining over order baskets: support / confidence /
+    lift for co-purchase pairs (the Apriori output at itemset size 2) —
+    the interpretable sibling of `rec_item_item`'s cosine neighbors.
+
+    Plan: same bucketed pair expansion as the co-purchase family (shared
+    `_baskets_artifact`, MAX_BASKET-guarded upstream, support>=5 prunes
+    the pair tail), per-item supports are one tiny agg joined back (AQE
+    broadcasts them), and the user count enters as a broadcast 1-row
+    cross join.  Confidence/lift are single fixed divisions over exact
+    integer counts — hash-stable, fully oracle-checked.  Rules emit BOTH
+    directions (confidence is asymmetric; lift is symmetric and serves as
+    the cross-check)."""
+    b = _baskets_artifact(spark, sf_dir)
+    nu = b.select(F.count_distinct("u").alias("nu"))
+    s = b.groupBy("i").agg(F.count("*").alias("c"))
+    pq = _copurchase_edges_artifact(spark, sf_dir).withColumnRenamed("cooc", "spq")
+    rules = pq.select(
+        F.col("p").alias("antecedent"), F.col("q").alias("consequent"), "spq"
+    ).unionByName(
+        pq.select(
+            F.col("q").alias("antecedent"), F.col("p").alias("consequent"), "spq"
+        )
+    )
+    sa = s.select(F.col("i").alias("antecedent"), F.col("c").alias("ca"))
+    sc_ = s.select(F.col("i").alias("consequent"), F.col("c").alias("cc"))
+    out = (
+        rules.join(sa, "antecedent")
+        .join(sc_, "consequent")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("spq").alias("support_n"),
+            (F.col("spq").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                F.col("spq").cast("double")
+                * F.col("nu")
+                / (F.col("ca").cast("double") * F.col("cc"))
+            ).alias("lift"),
+        )
+    )
+    return out.filter(F.col("confidence") >= 0.2)

@@ -777,9 +777,23 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
     import numpy as np
     import pandas as pd
 
+    from pathlib import Path
+
+    import numpy as _np
+
+    from ..io import ART_ROOT
+
     key = (id(spark.sparkContext), sf_dir, M, SUB, K, iters)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
+    # disk layer under the session cache: the codebook is deterministic for
+    # a corpus, tiny (M*K*SUB doubles = 8 KiB), and costs ~8 Spark jobs to
+    # fit — the same artifact rationale as disk_memo, stored as .npy
+    disk = Path(ART_ROOT) / f"pq_codebook_v{M}_{K}_{iters}_{Path(sf_dir).name}.npy"
+    if disk.exists():
+        cents = _np.load(disk)
+        _PQ_CACHE[key] = cents
+        return cents
     emb = _pq_emb(spark, sf_dir)
     init = emb.orderBy("vec_id").limit(K).collect()
     cents = np.asarray(
@@ -828,6 +842,8 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
             break
         cents = new
     _PQ_CACHE[key] = cents
+    disk.parent.mkdir(parents=True, exist_ok=True)
+    _np.save(disk, cents)
     return cents
 
 

@@ -88,10 +88,11 @@ def join_lateral(spark, sf_dir):
     )
 
 
-# Dialect-shared recursive CTE: multi-hop reachability in the co-purchase
-# graph from the smallest edge endpoint, capped at 2 hops.  Both engines
-# accept this string verbatim (WITH RECURSIVE is standard SQL; Spark
-# supports it from 4.0).
+# Oracle for the recursive-CTE op: multi-hop reachability in the
+# co-purchase graph from the smallest edge endpoint, capped at 2 hops
+# (standard-SQL WITH RECURSIVE; DuckDB runs it with the edge derivation
+# inline — the Spark side recurses over the staged edge artifact instead,
+# see the perf note in the docstring).
 _RECURSIVE_SQL = """
     WITH RECURSIVE b AS (
       SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -120,10 +121,10 @@ _RECURSIVE_SQL = """
     oracle=_RECURSIVE_SQL.format(orders="orders", lineitem="lineitem"),
 )
 def sql_recursive_cte(spark, sf_dir):
-    """WITH RECURSIVE front door: 2-hop reachability (hop counts) from the
-    lowest-id node of the co-purchase graph, one dialect-shared SQL string
-    (standard-SQL recursion — Spark >= 4.0 and DuckDB both run it
-    verbatim).
+    """WITH RECURSIVE front door: 2-hop reachability (hop counts) from
+    the lowest-id node of the co-purchase graph — standard-SQL recursion,
+    which Spark supports from 4.0 and DuckDB natively; the recursive
+    block itself is the same shape in both engines.
 
     Recursion in a distributed engine is iterated materialization: Spark
     executes each recursive step as a fresh join+union over the previous
@@ -131,7 +132,31 @@ def sql_recursive_cte(spark, sf_dir):
     this op pins down that the DECLARATIVE form reaches the same fixpoint
     the imperative loop does.  The hop cap bounds work (standard practice:
     unbounded closure over a dense graph is quadratic); MIN(hop) per node
-    dedups the path explosion at the end, matching BFS semantics."""
-    for t in ("orders", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rec_{t}")
-    return spark.sql(_RECURSIVE_SQL.format(orders="rec_orders", lineitem="rec_lineitem"))
+    dedups the path explosion at the end, matching BFS semantics.
+
+    Perf note (measured): Spark re-plans the recursive CTE's base
+    relations at EVERY step, so deriving the edge set inline re-ran the
+    quadratic basket self-join 3x (~27 s at sf0.1).  The Spark side
+    therefore recurses over the disk-memoized co-purchase edge artifact
+    registered as a temp view (~1 s); the oracle keeps the full inline
+    derivation — identical semantics, and DuckDB evaluates its
+    non-recursive CTEs once."""
+    from .recommender import _copurchase_edges_artifact
+
+    e = _copurchase_edges_artifact(spark, sf_dir)
+    e.selectExpr("p", "q").unionAll(
+        e.selectExpr("q AS p", "p AS q")
+    ).createOrReplaceTempView("rec_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT (SELECT MIN(p) FROM rec_edges) AS node, 0 AS hop
+          UNION ALL
+          SELECT rec_edges.q AS node, reach.hop + 1 AS hop
+          FROM reach JOIN rec_edges ON reach.node = rec_edges.p
+          WHERE reach.hop < 2
+        )
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+        """
+    )

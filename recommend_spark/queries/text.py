@@ -885,3 +885,57 @@ def text_repetition(spark, sf_dir):
         dup_frac.alias("dup_bigram_frac"),
         ((top_frac > 0.2) | (dup_frac > 0.3)).alias("repetitive"),
     )
+
+
+@register(
+    "pipeline_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT COUNT(*) AS n_sources, CAST(SUM(toks) AS BIGINT) AS all_toks
+      FROM tok
+    )
+    SELECT source, n_docs, toks,
+           CAST(all_toks AS DOUBLE) / n_sources AS budget_tokens,
+           LEAST(4.0, (CAST(all_toks AS DOUBLE) / n_sources) / toks) AS epochs,
+           LEAST(4.0, (CAST(all_toks AS DOUBLE) / n_sources) / toks) * toks
+             AS effective_tokens
+    FROM tok CROSS JOIN tot
+    """,
+)
+def pipeline_mixture_weights(spark, sf_dir):
+    """Training-mixture planning: per-source epoch counts that equalize
+    token contributions under an oversampling cap — the data-recipe step
+    (Pile/LLaMA-style mixture tables) between corpus stats and sampling.
+
+    Each source's budget is an equal share of the corpus total; a source
+    smaller than its budget is up-sampled by repeating epochs, CAPPED at
+    4 passes (published recipes bound repetition because loss degrades on
+    many-epoch data), and a larger source is down-sampled (epochs < 1 —
+    exactly the fraction `sample_temperature`-style Bernoulli sampling
+    then realizes).  All inputs are exact integer token counts; the
+    epoch/budget math is a fixed per-row float sequence over a handful of
+    source rows — the heavy work is one partial-agg token count, map-only
+    over the corpus at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+        F.count("*").alias("n_docs"),
+    )
+    tot = tok.agg(
+        F.count("*").alias("n_sources"), F.sum("toks").cast("long").alias("all_toks")
+    )
+    budget = F.col("all_toks").cast("double") / F.col("n_sources")
+    epochs = F.least(F.lit(4.0), budget / F.col("toks"))
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        budget.alias("budget_tokens"),
+        epochs.alias("epochs"),
+        (epochs * F.col("toks")).alias("effective_tokens"),
+    )

@@ -155,13 +155,14 @@ def test_item_item_basket_cap_anti_join_in_plan(spark):
 
 
 def test_triangles_edge_set_computed_once(spark):
-    """graph_triangles localCheckpoints the thresholded edge set; the
-    quadratic basket self-join must appear ZERO times in the executed plan
-    (it ran during checkpointing), while the edge RDD scan feeds the
-    degree agg + three-way join."""
+    """graph_triangles reads the thresholded edge set from the shared
+    disk-memoized co-purchase artifact; the quadratic basket self-join
+    must appear ZERO times in the executed plan (it ran once at artifact
+    build), while the edge parquet scan feeds the degree agg + three-way
+    join."""
     plan = _plan(QUERIES["graph_triangles"](spark, SF_DIR))
-    assert "Scan ExistingRDD" in plan, plan[:3000]
-    # the u-key self-join on baskets is behind the checkpoint: the only
+    assert "copurchase_edges" in plan, plan[:3000]
+    # the u-key self-join on baskets is behind the artifact: the only
     # remaining joins are the degree broadcasts + the triangle equi-joins
     assert plan.count("SortMergeJoin") <= 3, plan[:3000]
 
