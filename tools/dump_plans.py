@@ -32,6 +32,9 @@ HEADLINE = {
     "rec_item_item": "basket self-join + broadcast count dims; top-k window after min-count prune",
     "agg_argmax": "arg-max as one partial+final struct-max aggregate (no window sort)",
     "events_anomaly_days": "daily pre-agg, then broadcast moment join — no second fact shuffle",
+    "agg_bitmap_distinct": "exact distinct via two constant-width aggregates (bit_or bitmap + popcount), no expanding distinct shuffle",
+    "dedup_paragraph": "chunk explode, ONE hash shuffle on chunk hash, small shared set broadcast back onto the stream",
+    "sql_recursive_cte": "recursion reads the staged edge artifact (parquet scan in the loop), not the quadratic derivation",
 }
 
 
