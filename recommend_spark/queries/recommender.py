@@ -104,17 +104,38 @@ _ALS_CACHE: dict = {}
 
 
 def _fit_als(spark, sf_dir):
-    """Fit (or reuse) the ALS model for a corpus.  Memoized per
-    (session, sf_dir): four als_* queries and the recsys eval all need the
-    same seeded model, and a refit per query would quadruple the fixed
-    training cost in every driver correctness run (the model is
-    deterministic for a given seed + corpus, so reuse is sound)."""
-    from pyspark.ml.recommendation import ALS
+    """Fit (or reuse) the ALS model for a corpus.
+
+    Two memo layers, same rationale as the pair/edge artifacts: the model
+    is deterministic for a given seed + corpus, so reuse is sound.
+    (1) per-(session, sf_dir) — four als_* queries and the recsys eval
+    share one fit inside a sweep; (2) on DISK under .artifacts via
+    ml's native ALSModel.save/load — a fresh process (the driver's bench
+    and correctness runs are separate processes) loads the exact trained
+    factors (~0.5 s) instead of re-running the ~10 s fit.  Factor floats
+    round-trip bit-exactly through the parquet model format, so every
+    downstream gate (fold-in cosine, recall eval) sees identical values."""
+    from pathlib import Path
+
+    from pyspark.ml.recommendation import ALS, ALSModel
+
+    from ..io import ART_ROOT
 
     key = (id(spark.sparkContext), sf_dir)
     if key not in _ALS_CACHE:
         ratings = _ratings(spark, sf_dir).cache()
-        model = ALS(**_ALS_PARAMS).fit(ratings)
+        disk = Path(ART_ROOT) / f"als_model_v1_{Path(sf_dir).name}"
+        if (disk / "_DONE").exists():
+            model = ALSModel.load(str(disk / "model"))
+        else:
+            model = ALS(**_ALS_PARAMS).fit(ratings)
+            model.write().overwrite().save(str(disk / "model"))
+            (disk / "_DONE").touch()
+        # factors are tiny (|users|+|items| rank-8 rows) and consumed by
+        # four queries — pin them so the loaded-model path doesn't re-read
+        # the model parquet per consumer
+        model.userFactors.cache()
+        model.itemFactors.cache()
         _ALS_CACHE[key] = (ratings, model)
     return _ALS_CACHE[key]
 
