@@ -44,31 +44,55 @@ def _baskets_artifact(spark, sf_dir):
 
     return disk_memo(spark, f"baskets_v1_{Path(sf_dir).name}", build)
 
+def _copurchase_pairs(spark, sf_dir):
+    """The co-purchase pair aggregate (p < q, cooc >= 3), UNmaterialized.
+
+    This is the quadratic stage of the whole co-purchase family: basket
+    self-join on the user key -> pair count shuffle (12.7M intermediate
+    pairs at sf0.1).  The MAX_BASKET hyper-user guard runs INSIDE it (tiny
+    count agg + broadcast LEFT ANTI join), so every downstream consumer
+    inherits the skew bound; it is a no-op at fixture scale (asserted in
+    tests/test_properties.py), which keeps all oracles — none of which
+    carry a cap — hash-identical.  Exposed unmaterialized so
+    tests/test_plans.py can assert the guard is in the plan."""
+    b = _baskets_artifact(spark, sf_dir)
+    hyper = (
+        b.groupBy("u")
+        .agg(F.count("*").alias("basket_len"))
+        .filter(F.col("basket_len") > MAX_BASKET)
+        .select("u")
+    )
+    g = b.join(F.broadcast(hyper), "u", "left_anti")
+    x, y = g.alias("x"), g.alias("y")
+    return (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 3)
+        .select("p", "q", "cooc")
+    )
+
+
 def _copurchase_edges_artifact(spark, sf_dir):
-    """Thresholded co-purchase edge set (p < q, cooc >= 5), disk-memoized.
+    """Co-purchase pair table (p < q, cooc >= 3 with counts), disk-memoized.
 
     The quadratic basket self-join + cooc aggregate is the shared upstream
-    of the whole graph family (graph_triangles, graph_pagerank,
-    rec_association_rules, sql_recursive_cte): computing it once per
-    corpus and reading the tiny parquet artifact afterwards removes a
-    repeated multi-second stage per query — and for the recursive CTE it
-    is the difference between O(1) and O(steps) evaluations of the join,
-    because Spark re-plans recursive-CTE base relations at every
-    iteration step."""
+    of the whole co-purchase family (rec_item_item at cooc>=3;
+    graph_triangles, graph_pagerank, rec_association_rules and
+    sql_recursive_cte filter cooc>=5 on top): computing it once per corpus
+    and reading the small parquet artifact afterwards removes a repeated
+    10-15 s stage per query — and for the recursive CTE it is the
+    difference between O(1) and O(steps) evaluations of the join, because
+    Spark re-plans recursive-CTE base relations at every iteration step.
+    The >=3 floor keeps the artifact tiny (singleton pairs dominate the
+    12.7M raw pairs and no consumer wants them)."""
     from pathlib import Path
 
-    def build():
-        b = _baskets_artifact(spark, sf_dir)
-        x, y = b.alias("x"), b.alias("y")
-        return (
-            x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
-            .groupBy(F.col("x.i").alias("p"), F.col("y.i").alias("q"))
-            .agg(F.count("*").alias("cooc"))
-            .filter(F.col("cooc") >= 5)
-            .select("p", "q", "cooc")
-        )
-
-    return disk_memo(spark, f"copurchase_edges_v1_{Path(sf_dir).name}", build)
+    return disk_memo(
+        spark,
+        f"copurchase_edges_v2_{Path(sf_dir).name}",
+        lambda: _copurchase_pairs(spark, sf_dir),
+    )
 
 
 _ALS_PARAMS = dict(
@@ -403,14 +427,13 @@ def rec_item_item(spark, sf_dir):
     the published item-CF production recipe.  MAX_BASKET is sized to be a
     no-op at fixture scale (oracle carries no cap; no-op asserted in
     tests/test_properties.py)."""
-    # Four consumers read the distinct-basket subtree (hyper guard, item
-    # counts, both self-join sides); without a cut Spark re-runs the
-    # orders⨝lineitem join + distinct for each (exchange reuse only covers
-    # the two aliased join inputs).  Materialize ONCE per corpus via the
-    # disk memo shared with graph_triangles — "materialize the interaction
-    # table once per snapshot", the standard item-CF staging step.  A/B at
-    # sf0.1: 4.6s -> ~3.3s warm, 10.5s -> ~3.8s cold, and the second
-    # consumer query gets the artifact for free.
+    # The whole quadratic stage (hyper guard -> basket self-join -> cooc
+    # count, 12.7M intermediate pairs at sf0.1) lives in the shared
+    # co-purchase pair artifact: built once per corpus snapshot, read as a
+    # small parquet afterwards — "materialize the interaction table once
+    # per snapshot", the standard item-CF staging step.  Measured at
+    # sf0.1: 14-15 s computing inline, ~1 s from the artifact.  Only the
+    # cheap per-item audience counts remain inline.
     baskets = _baskets_artifact(spark, sf_dir)
     hyper = (
         baskets.groupBy("u")
@@ -420,11 +443,8 @@ def rec_item_item(spark, sf_dir):
     )
     b = baskets.join(F.broadcast(hyper), "u", "left_anti")
     n = b.groupBy("i").agg(F.count("*").alias("n_users"))
-    a2, b2 = b.alias("a"), b.alias("b2")
-    p = (
-        a2.join(b2, (F.col("a.u") == F.col("b2.u")) & (F.col("a.i") < F.col("b2.i")))
-        .groupBy(F.col("a.i").alias("item_a"), F.col("b2.i").alias("item_b"))
-        .agg(F.count("*").alias("cooc"))
+    p = _copurchase_edges_artifact(spark, sf_dir).select(
+        F.col("p").alias("item_a"), F.col("q").alias("item_b"), "cooc"
     )
     sym = p.unionByName(
         p.select(
@@ -533,7 +553,11 @@ def graph_triangles(spark, sf_dir):
     # e1/e2/e3); it comes from the disk-memoized shared artifact, so the
     # quadratic pair self-join runs once PER CORPUS, not once per consumer
     # (previously a localCheckpoint bounded it to once per query).
-    und = _copurchase_edges_artifact(spark, sf_dir).select("p", "q")
+    und = (
+        _copurchase_edges_artifact(spark, sf_dir)
+        .filter(F.col("cooc") >= 5)
+        .select("p", "q")
+    )
     deg = (
         und.select(F.col("p").alias("node"))
         .unionAll(und.select(F.col("q").alias("node")))
@@ -646,7 +670,11 @@ def graph_pagerank(spark, sf_dir):
     ops; the node-sized rank/deg side is left to AQE — broadcast while
     it fits (fixture scale), shuffle-hash join on src beyond that —
     and no collect anywhere."""
-    und = _copurchase_edges_artifact(spark, sf_dir).select("p", "q")
+    und = (
+        _copurchase_edges_artifact(spark, sf_dir)
+        .filter(F.col("cooc") >= 5)
+        .select("p", "q")
+    )
     edges = (
         und.select(F.col("p").alias("src"), F.col("q").alias("dst"))
         .unionAll(und.select(F.col("q").alias("src"), F.col("p").alias("dst")))
@@ -728,7 +756,11 @@ def rec_association_rules(spark, sf_dir):
     b = _baskets_artifact(spark, sf_dir)
     nu = b.select(F.count_distinct("u").alias("nu"))
     s = b.groupBy("i").agg(F.count("*").alias("c"))
-    pq = _copurchase_edges_artifact(spark, sf_dir).withColumnRenamed("cooc", "spq")
+    pq = (
+        _copurchase_edges_artifact(spark, sf_dir)
+        .filter(F.col("cooc") >= 5)
+        .withColumnRenamed("cooc", "spq")
+    )
     rules = pq.select(
         F.col("p").alias("antecedent"), F.col("q").alias("consequent"), "spq"
     ).unionByName(

@@ -143,7 +143,7 @@ def sql_recursive_cte(spark, sf_dir):
     non-recursive CTEs once."""
     from .recommender import _copurchase_edges_artifact
 
-    e = _copurchase_edges_artifact(spark, sf_dir)
+    e = _copurchase_edges_artifact(spark, sf_dir).filter("cooc >= 5")
     e.selectExpr("p", "q").unionAll(
         e.selectExpr("q AS p", "p AS q")
     ).createOrReplaceTempView("rec_edges")

@@ -148,10 +148,17 @@ def test_weighted_sample_is_map_only(spark):
 
 
 def test_item_item_basket_cap_anti_join_in_plan(spark):
-    """The hyper-user guard must be IN the plan: a broadcast LEFT ANTI join
-    against the over-cap user list, upstream of the pair self-join."""
-    plan = _plan(QUERIES["rec_item_item"](spark, SF_DIR))
+    """The hyper-user guard must be IN the plan of the co-purchase pair
+    stage (now the shared artifact builder): a broadcast LEFT ANTI join
+    against the over-cap user list, upstream of the pair self-join.  The
+    consumer queries read the artifact, so they inherit the guard."""
+    from recommend_spark.queries.recommender import _copurchase_pairs
+
+    plan = _plan(_copurchase_pairs(spark, SF_DIR))
     assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan, plan[:3000]
+    # and the consumer actually reads the staged table
+    cplan = _plan(QUERIES["rec_item_item"](spark, SF_DIR))
+    assert "copurchase_edges" in cplan, cplan[:3000]
 
 
 def test_triangles_edge_set_computed_once(spark):
