@@ -1003,3 +1003,42 @@ def agg_hll_sketch(spark, sf_dir):
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return typed.unionByName(total).orderBy("event_type")
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CAST(qc * pc AS DECIMAL(38,0))) AS DOUBLE)
+             / (100.0 * CAST(SUM(qc) AS DOUBLE)) AS wavg_price,
+           CAST(SUM(pc) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted mean price per group next to the plain mean —
+    the weighted-statistics surface (`SUM(w*x)/SUM(w)`) that shows up in
+    every revenue-per-unit / blended-rate metric.
+
+    Hash-stable by the house recipe: both sums accumulate EXACT integer
+    cents (the cross product in DECIMAL(38,0) — max ~6e17 per row, no
+    overflow at any corpus size within decimal width), ONE double
+    conversion and ONE division each at the end.  Same single
+    partial+final aggregate shuffle as any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", qc.alias("qc"), pc.alias("pc"))
+    return c.groupBy("l_returnflag").agg(
+        (
+            F.sum((F.col("qc") * F.col("pc")).cast("decimal(38,0)")).cast("double")
+            / (100.0 * F.sum("qc").cast("double"))
+        ).alias("wavg_price"),
+        (F.sum("pc").cast("double") / (100.0 * F.count("*"))).alias("avg_price"),
+    )

@@ -628,3 +628,103 @@ def join_null_safe(spark, sf_dir):
         a.join(F.broadcast(b), a.grp.eqNullSafe(b.grp_b))
         .select("c_custkey", "s_suppkey", "grp")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, epoch_us(ts) AS t_us, 0 AS is_right, event_id,
+             CAST(NULL AS BIGINT) AS pt, CAST(NULL AS DOUBLE) AS pv
+      FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(ts) AS t_us, 1 AS is_right, event_id,
+             epoch_us(ts) AS pt, value AS pv
+      FROM events WHERE event_type = 'purchase'
+    ), win AS (
+      SELECT *,
+        last(pt IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t_us, is_right DESC, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_t,
+        last(pv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t_us, is_right DESC, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_v,
+        first(pt IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t_us, is_right DESC, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_t,
+        first(pv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t_us, is_right DESC, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_v
+      FROM merged
+    )
+    SELECT event_id,
+           CASE WHEN back_t IS NULL AND fwd_t IS NULL THEN NULL
+                WHEN fwd_t IS NULL THEN back_v
+                WHEN back_t IS NULL THEN fwd_v
+                WHEN t_us - back_t <= fwd_t - t_us THEN back_v
+                ELSE fwd_v END AS nearest_purchase_value
+    FROM win WHERE is_right = 0
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-variant as-of join: each event matched to the same user's
+    purchase with the smallest |Δt| in EITHER direction (ties prefer the
+    past) — the kdb/QuestDB `asof nearest` mode that plain backward as-of
+    (`join_asof`) can't express, used when enrichment data may arrive
+    slightly after the fact row (sensor alignment, late ticks).
+
+    Same union-merge recipe as `join_asof`, run symmetrically: ONE shuffle
+    on the user key, then two frames over one sort — backward
+    last(ignore nulls) and forward first(ignore nulls) — and a fixed CASE
+    picks the closer timestamp.  No range join, no per-row subquery; the
+    single-sort two-frame trick is what keeps this linear at any scale.
+    All comparisons are exact integer microseconds, so the oracle hash is
+    stable."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("long").alias("pt"),
+        F.lit(None).cast("double").alias("pv"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(1).alias("is_right"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("pt"),
+        F.col("value").alias("pv"),
+    )
+    order = [F.col("t_us"), F.col("is_right").desc(), F.col("event_id")]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    win = (
+        left.unionByName(right)
+        .withColumn("back_t", F.last("pt", ignorenulls=True).over(wb))
+        .withColumn("back_v", F.last("pv", ignorenulls=True).over(wb))
+        .withColumn("fwd_t", F.first("pt", ignorenulls=True).over(wf))
+        .withColumn("fwd_v", F.first("pv", ignorenulls=True).over(wf))
+    )
+    nearest = (
+        F.when(F.col("back_t").isNull() & F.col("fwd_t").isNull(), F.lit(None))
+        .when(F.col("fwd_t").isNull(), F.col("back_v"))
+        .when(F.col("back_t").isNull(), F.col("fwd_v"))
+        .when(
+            F.col("t_us") - F.col("back_t") <= F.col("fwd_t") - F.col("t_us"),
+            F.col("back_v"),
+        )
+        .otherwise(F.col("fwd_v"))
+    )
+    return win.filter(F.col("is_right") == 0).select(
+        "event_id", nearest.cast("double").alias("nearest_purchase_value")
+    )

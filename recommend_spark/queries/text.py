@@ -166,9 +166,15 @@ def text_tfidf_ml(spark, sf_dir):
         .repartition(32)
     )
     tok = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    # localCheckpoint: the hashed-TF table is consumed TWICE (the IDF fit
+    # pass and the transform pass); without a cut each one re-runs
+    # tokenize+hash over the corpus (measured ~4s of the ~10s total at
+    # sf0.1).  Checkpoint, not cache: no storage-level residue across the
+    # ~200-query shared session, and the lineage cut also keeps the fit's
+    # treeAggregate plan shallow.
     tf = HashingTF(
         inputCol="words", outputCol="tf", numFeatures=1 << 14
-    ).transform(tok)
+    ).transform(tok).localCheckpoint()
     model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = model.transform(tf)
     # emit stable scalars (vector norms), not the raw vector type

@@ -185,3 +185,31 @@ def test_minhash_lsh_inputs_parallelized(spark):
     docs = load_table(spark, SF_DIR, "documents")
     d = docs.select("doc_id", _TOKS().alias("toks")).repartition(32, "doc_id")
     assert d.rdd.getNumPartitions() == 32
+
+
+def test_bitmap_distinct_avoids_expand(spark):
+    """agg_bitmap_distinct must plan as two plain partial+final aggregates —
+    no Expand node (the COUNT(DISTINCT) rewrite) and no row explosion;
+    that's the whole point of the bitmap recipe."""
+    plan = _plan(QUERIES["agg_bitmap_distinct"](spark, SF_DIR))
+    assert "Expand" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_paragraph_dedup_broadcasts_shared_set(spark):
+    """dedup_paragraph's shared-chunk set (small by construction) must
+    broadcast back onto the chunk stream — a fact-side shuffle for that
+    join would be the 100x mistake."""
+    plan = _plan(QUERIES["dedup_paragraph"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_user_shuffle(spark):
+    """join_asof_nearest is the union-merge recipe: ONE hash exchange on
+    the user key feeds both window frames; a range join or per-row
+    subquery plan would not survive scale."""
+    plan = _plan(QUERIES["join_asof_nearest"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
