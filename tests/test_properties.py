@@ -410,3 +410,93 @@ def test_repetition_fractions_bounded(spark):
         assert r["repetitive"] == (
             r["top_word_frac"] > 0.2 or r["dup_bigram_frac"] > 0.3
         )
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee est >= true must hold on every probe row of
+    the registered query itself (collisions only ever ADD)."""
+    from tests.conftest import SF_DIR
+
+    from recommend_spark.queries import QUERIES
+
+    rows = QUERIES["agg_count_min"](spark, SF_DIR).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r["est_orders"] >= r["true_orders"], dict(r.asDict())
+
+
+def test_bitmap_distinct_equals_direct_count(spark):
+    """The bitmap recipe is EXACT: per-type results must equal a plain
+    countDistinct computed independently on the same table."""
+    from tests.conftest import SF_DIR
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["agg_bitmap_distinct"](spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_ewma_matches_python_reference(spark):
+    """ts_ewma's truncated-lag expression must equal a direct python
+    recomputation (same weights, same renormalization) on every row."""
+    from tests.conftest import SF_DIR
+
+    from recommend_spark.queries import QUERIES
+
+    out = QUERIES["ts_ewma"](spark, SF_DIR).collect()
+    series: dict[int, list[tuple[str, float]]] = {}
+    for r in out:
+        series.setdefault(r["user_id"], []).append((r["day"], r["day_value"]))
+    for u in series:
+        series[u].sort()
+    got = {(r["user_id"], r["day"]): r["ewma"] for r in out}
+    for u, pts in series.items():
+        vals = [v for _, v in pts]
+        for t, (day, _) in enumerate(pts):
+            num = den = 0.0
+            for j in range(min(t + 1, 8)):
+                w = 0.5**j
+                num += vals[t - j] * w
+                den += w
+            assert abs(got[(u, day)] - num / den) < 1e-9, (u, day)
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    """join_asof_nearest must agree with a per-event brute-force scan of
+    the same user's purchases (min |Δt|, ties to the past) on a sample."""
+    from tests.conftest import SF_DIR
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t"), "event_type", "value"
+    )
+    sample_users = [r["user_id"] for r in ev.select("user_id").distinct().limit(5).collect()]
+    local = ev.filter(F.col("user_id").isin(sample_users)).collect()
+    purchases: dict[int, list[tuple[int, float]]] = {}
+    for r in local:
+        if r["event_type"] == "purchase":
+            purchases.setdefault(r["user_id"], []).append((r["t"], r["value"]))
+    got = {
+        r["event_id"]: r["nearest_purchase_value"]
+        for r in QUERIES["join_asof_nearest"](spark, SF_DIR).collect()
+    }
+    for r in local:
+        ps = purchases.get(r["user_id"], [])
+        if not ps:
+            assert got[r["event_id"]] is None
+            continue
+        best = min(ps, key=lambda p: (abs(p[0] - r["t"]), p[0] > r["t"]))
+        assert got[r["event_id"]] == best[1], (r["event_id"], best, got[r["event_id"]])
