@@ -474,3 +474,42 @@ def scan_text(spark, sf_dir):
         p.getItem(2).cast("int").alias("s_nationkey"),
         p.getItem(3).cast("double").alias("s_acctbal"),
     )
+
+
+@register(
+    "sink_table_catalog",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_table_catalog(spark, sf_dir):
+    """Catalog-managed table round trip: `saveAsTable` registers the
+    aggregate in the session catalog (external parquet under the artifact
+    tree), and the result is read back BY NAME via `spark.table` — the
+    warehouse front door (catalog + table identity + schema-on-read)
+    rather than the path-based sinks the other sink_* ops exercise.
+
+    On a real deployment this is the Hive-metastore/Unity-catalog path:
+    the table's schema, format and location live in the catalog, writers
+    `saveAsTable`, readers `spark.table(name)` with no path coupling.
+    The table name is suffixed per corpus so sf dirs never collide; the
+    decimal-exact aggregate makes the round trip hash-stable."""
+    from pathlib import Path
+
+    suffix = Path(sf_dir).name.replace(".", "_")
+    name = f"cat_priority_summary_{suffix}"
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    agg.write.mode("overwrite").format("parquet").option(
+        "path", f"{ART}/catalog/{name}"
+    ).saveAsTable(name)
+    return spark.table(name)
