@@ -513,3 +513,63 @@ def sink_table_catalog(spark, sf_dir):
         "path", f"{ART}/catalog/{name}"
     ).saveAsTable(name)
     return spark.table(name)
+
+
+@register(
+    "scan_range",
+    oracle="""
+    SELECT CAST(range AS BIGINT) % 97 AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(range AS BIGINT)) AS BIGINT) AS total
+    FROM range(0, 1000000)
+    GROUP BY CAST(range AS BIGINT) % 97
+    """,
+)
+def scan_range(spark, sf_dir):
+    """The range source: `spark.range` generates rows ON the executors
+    with zero input I/O — the standard synthetic-data / scale-test source
+    (a billion-row stress table is one line, split evenly across tasks).
+    DuckDB's `range()` table function is the oracle twin.
+
+    One partial+final aggregate over 1M generated rows; the source itself
+    is embarrassingly parallel (each task materializes its own id range),
+    which is why it is the canonical way to drive shuffle/agg benchmarks
+    without parquet in the loop."""
+    return (
+        spark.range(0, 1_000_000)
+        .groupBy((F.col("id") % 97).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("id").cast("long").alias("total"),
+        )
+    )
+
+
+@register(
+    "meta_cache_table",
+    oracle="""
+    SELECT n_nationkey, n_name, count(*) AS n_customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def meta_cache_table(spark, sf_dir):
+    """Session cache control: `spark.catalog.cacheTable` pins a dimension
+    as an in-memory columnar relation, and the query's scan side becomes
+    InMemoryTableScan (asserted in tests/test_plans.py) — the explicit
+    caching surface (CACHE TABLE in SQL) that interactive/BI sessions use
+    for hot dims.  Caching is semantically transparent, so the oracle is
+    the plain join-aggregate; the table is uncached... NOT here — the
+    handle must stay valid while the returned DataFrame executes, and
+    cacheTable is idempotent per session, so repeat runs reuse the one
+    entry (bounded: one small dim)."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("cached_nation")
+    spark.catalog.cacheTable("cached_nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        spark.table("cached_nation")
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )

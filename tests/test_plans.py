@@ -213,3 +213,12 @@ def test_asof_nearest_single_user_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cached_dim_scans_in_memory(spark):
+    """meta_cache_table's dim side must plan as an InMemoryTableScan after
+    cacheTable — proof the cache surface actually changes the plan."""
+    df = QUERIES["meta_cache_table"](spark, SF_DIR)
+    df.count()  # materialize the cache entry
+    plan = _plan(QUERIES["meta_cache_table"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan or "In-memory table" in plan, plan[:3000]
