@@ -48,9 +48,11 @@ def _registration_order() -> list[str]:
         for qid, row in data.items():
             if not isinstance(row, dict):
                 continue
-            hash_ok = row.get("err") is None and (
-                row.get("hash_match") or row.get("rows_match")
-            )
+            # oracle-backed ops are verified ONLY on a full value-hash match:
+            # counting rows_match alone would demote a wrong-values operator
+            # (hash_match=False, rows_match=True) to the back of the prefix
+            # sample and the driver would never re-check it
+            hash_ok = row.get("err") is None and bool(row.get("hash_match"))
             # rows-only ops (no oracle) that executed cleanly count too
             rows_ok = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if hash_ok or rows_ok:

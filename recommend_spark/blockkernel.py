@@ -57,3 +57,22 @@ def fallback_buckets(parquet_path: str, dim: int) -> int:
     stays within the staging budget, capped at MAX_BUCKETS."""
     b = math.ceil(candidate_matrix_bytes(parquet_path, dim) / max_staged_bytes())
     return max(1, min(MAX_BUCKETS, b))
+
+
+def index_ordered_dot_block(a_mat, b_mat):
+    """Dense dot-product block via an index-ordered left fold over the
+    dimensions: acc[i,j] = (((0 + a[i,0]·b[j,0]) + a[i,1]·b[j,1]) + …) —
+    bit-identical to the scalar fold that Spark's ``F.aggregate`` and
+    DuckDB's ``list_reduce`` evaluate, which is what lets the broadcast
+    kernels, their bucketed cogroup twins, and the SQL oracles all
+    hash-match.  THE single definition: a BLAS matmul would be faster and
+    WRONG here (blocked/FMA accumulation order varies with shape), and a
+    second copy of this loop risks the two paths silently diverging.
+    Shared by sim_knn_join, dedup_embed_cosine and both their fallbacks.
+    """
+    import numpy as np
+
+    acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+    for k in range(b_mat.shape[1]):
+        acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
+    return acc

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
+from ..blockkernel import index_ordered_dot_block
 from ..io import load_table
 from ..registry import register
 
@@ -726,9 +727,7 @@ def dedup_embed_cosine(spark, sf_dir):
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
             # left fold in index order, init 0.0 — bit-identical to the
             # scalar fold ((0+p0)+p1)+... in both Spark and DuckDB.
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for k in range(b_mat.shape[1]):
-                acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
+            acc = index_ordered_dot_block(a_mat, b_mat)
             ia, ib = np.nonzero(
                 (a_ids[:, None] < b_ids[None, :]) & (acc >= 0.4)
             )
@@ -787,9 +786,7 @@ def _embed_pairs_bucketed(spark, sf_dir, tau):
         a_mat = np.asarray(lpdf["embedding"].to_list(), dtype=np.float64)
         b_ids = rpdf["vec_id"].to_numpy()
         b_mat = np.asarray(rpdf["embedding"].to_list(), dtype=np.float64)
-        acc = np.zeros((len(a_ids), len(b_ids)))
-        for j in range(b_mat.shape[1]):
-            acc += np.multiply.outer(a_mat[:, j], b_mat[:, j])
+        acc = index_ordered_dot_block(a_mat, b_mat)
         ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (acc >= tau))
         if not len(ia):
             return empty

@@ -44,17 +44,12 @@ def _baskets_artifact(spark, sf_dir):
 
     return disk_memo(spark, f"baskets_v1_{Path(sf_dir).name}", build)
 
-def _copurchase_pairs(spark, sf_dir):
-    """The co-purchase pair aggregate (p < q, cooc >= 3), UNmaterialized.
-
-    This is the quadratic stage of the whole co-purchase family: basket
-    self-join on the user key -> pair count shuffle (12.7M intermediate
-    pairs at sf0.1).  The MAX_BASKET hyper-user guard runs INSIDE it (tiny
-    count agg + broadcast LEFT ANTI join), so every downstream consumer
-    inherits the skew bound; it is a no-op at fixture scale (asserted in
-    tests/test_properties.py), which keeps all oracles — none of which
-    carry a cap — hash-identical.  Exposed unmaterialized so
-    tests/test_plans.py can assert the guard is in the plan."""
+def _guarded_baskets(spark, sf_dir):
+    """Basket table with the MAX_BASKET hyper-user guard applied: one tiny
+    count aggregate finds over-cap users, a broadcast LEFT ANTI join drops
+    them.  THE single definition of the guard — the pair artifact builder
+    and rec_item_item's audience counts both consume this, so the pair
+    exclusion set and the cosine denominator can never drift apart."""
     b = _baskets_artifact(spark, sf_dir)
     hyper = (
         b.groupBy("u")
@@ -62,7 +57,21 @@ def _copurchase_pairs(spark, sf_dir):
         .filter(F.col("basket_len") > MAX_BASKET)
         .select("u")
     )
-    g = b.join(F.broadcast(hyper), "u", "left_anti")
+    return b.join(F.broadcast(hyper), "u", "left_anti")
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """The co-purchase pair aggregate (p < q, cooc >= 3), UNmaterialized.
+
+    This is the quadratic stage of the whole co-purchase family: basket
+    self-join on the user key -> pair count shuffle (12.7M intermediate
+    pairs at sf0.1).  The MAX_BASKET hyper-user guard runs INSIDE it (via
+    `_guarded_baskets`), so every downstream consumer inherits the skew
+    bound; it is a no-op at fixture scale (asserted in
+    tests/test_properties.py), which keeps all oracles — none of which
+    carry a cap — hash-identical.  Exposed unmaterialized so
+    tests/test_plans.py can assert the guard is in the plan."""
+    g = _guarded_baskets(spark, sf_dir)
     x, y = g.alias("x"), g.alias("y")
     return (
         x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
@@ -434,14 +443,7 @@ def rec_item_item(spark, sf_dir):
     # per snapshot", the standard item-CF staging step.  Measured at
     # sf0.1: 14-15 s computing inline, ~1 s from the artifact.  Only the
     # cheap per-item audience counts remain inline.
-    baskets = _baskets_artifact(spark, sf_dir)
-    hyper = (
-        baskets.groupBy("u")
-        .agg(F.count("*").alias("basket_len"))
-        .filter(F.col("basket_len") > MAX_BASKET)
-        .select("u")
-    )
-    b = baskets.join(F.broadcast(hyper), "u", "left_anti")
+    b = _guarded_baskets(spark, sf_dir)
     n = b.groupBy("i").agg(F.count("*").alias("n_users"))
     p = _copurchase_edges_artifact(spark, sf_dir).select(
         F.col("p").alias("item_a"), F.col("q").alias("item_b"), "cooc"

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
+from ..blockkernel import index_ordered_dot_block
 from ..io import load_table
 from ..registry import register
 
@@ -525,9 +526,7 @@ def sim_knn_join(spark, sf_dir):
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for k in range(b_mat.shape[1]):
-                acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
+            acc = index_ordered_dot_block(a_mat, b_mat)
             # exclude self, then top-K by (cosine DESC, neighbor_id ASC):
             # lexsort is stable, last key primary
             self_mask = a_ids[:, None] == b_ids[None, :]
@@ -590,9 +589,7 @@ def _knn_join_bucketed(spark, sf_dir, k):
         a_mat = np.asarray(qpdf["embedding"].to_list(), dtype=np.float64)
         b_ids = cpdf["vec_id"].to_numpy()
         b_mat = np.asarray(cpdf["embedding"].to_list(), dtype=np.float64)
-        acc = np.zeros((len(a_ids), len(b_ids)))
-        for j in range(b_mat.shape[1]):
-            acc += np.multiply.outer(a_mat[:, j], b_mat[:, j])
+        acc = index_ordered_dot_block(a_mat, b_mat)
         self_mask = a_ids[:, None] == b_ids[None, :]
         acc_m = np.where(self_mask, -np.inf, acc)
         kk = min(k, acc_m.shape[1])
@@ -789,7 +786,10 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
     # disk layer under the session cache: the codebook is deterministic for
     # a corpus, tiny (M*K*SUB doubles = 8 KiB), and costs ~8 Spark jobs to
     # fit — the same artifact rationale as disk_memo, stored as .npy
-    disk = Path(ART_ROOT) / f"pq_codebook_v{M}_{K}_{iters}_{Path(sf_dir).name}.npy"
+    disk = (
+        Path(ART_ROOT)
+        / f"pq_codebook_v{M}x{SUB}_{K}_{iters}_{Path(sf_dir).name}.npy"
+    )
     if disk.exists():
         cents = _np.load(disk)
         _PQ_CACHE[key] = cents

@@ -746,14 +746,15 @@ def text_unigram_surprisal(spark, sf_dir):
              unnest({_SQL_TOKS}) AS w,
              unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
       FROM documents
-    ), sh AS (
+    ), tokf AS (SELECT * FROM tok WHERE w != ''),
+    sh AS (
       SELECT doc_id,
              concat_ws(' ', w,
                        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
                        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
                        lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)) AS g,
              lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
-      FROM tok
+      FROM tokf
     ), grams AS (
       SELECT DISTINCT doc_id, g FROM sh WHERE w4 IS NOT NULL
     ), bench AS (SELECT * FROM grams WHERE doc_id % 41 = 0),

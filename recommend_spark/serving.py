@@ -81,15 +81,18 @@ class RecommendationService:
         rows onto a base that already contains them and double-count their
         strengths."""
         with self._extra_lock:
-            self._ratings = self._merge(list(self._extra_rows)).cache()
+            self._ratings = self._merge(
+                self._ratings, list(self._extra_rows)
+            ).cache()
             self._extra_rows.clear()
         self._folded = None
         self._fit()
 
     # -- state ------------------------------------------------------------
 
-    def _merge(self, extra_rows: list[tuple[int, int, float]]) -> DataFrame:
-        base = self._ratings
+    def _merge(
+        self, base: DataFrame, extra_rows: list[tuple[int, int, float]]
+    ) -> DataFrame:
         if not extra_rows:
             return base
         extra = self.spark.createDataFrame(
@@ -102,9 +105,15 @@ class RecommendationService:
         )
 
     def _current_ratings(self) -> DataFrame:
-        with self._extra_lock:  # snapshot: whole batches only
+        # Snapshot BASE AND LOG under one lock: retrain() swaps the base
+        # and clears the log atomically, so reading self._ratings outside
+        # the lock could pair a post-retrain base (which already contains
+        # the appended rows) with a pre-retrain log snapshot and
+        # double-count those strengths.
+        with self._extra_lock:
+            base = self._ratings
             extra_rows = list(self._extra_rows)
-        return self._merge(extra_rows)
+        return self._merge(base, extra_rows)
 
     def _user_factors(self, user_ids: list[int]) -> DataFrame:
         """Fold-in factors for the given users over CURRENT ratings —

@@ -96,9 +96,15 @@ def run_stream(
     # A/B-measured (idle machine, sf0.1): width 8 >= width 4 on every
     # replay — the stream-stream joins and the Python state op want the
     # extra parallelism more than the tiny aggs want fewer commits.
+    # acquire and set/restore are ALL inside one try/finally: an exception
+    # while building the readStream must not leak the lock (every later
+    # replay would block forever) or the width-8 conf (every later batch
+    # query would shuffle at width 8)
     _REPLAY_LOCK.acquire()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = None
+    try:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     # 4 files per micro-batch: still a genuine multi-batch execution (2
     # batches over 8 chunks — state carried across the batch boundary,
     # watermark advances batch-to-batch) at a quarter of the per-batch
@@ -107,14 +113,13 @@ def run_stream(
     # per-batch contents; equality verified 2 vs 4 vs 8 files/trigger).
     # Watermark-timing-sensitive replays pass files_per_trigger=2
     # explicitly to keep more watermark advances in the run.
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-    )
-    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
         q = (
             build(stream)
             .writeStream.format("memory")
@@ -126,7 +131,8 @@ def run_stream(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _REPLAY_LOCK.release()
     return spark.table(name)
 
