@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytics,
     dedup,
     joins,
+    packing,
     projection,
     recommender,
     sampling,

@@ -1,0 +1,167 @@
+"""§2.13 Corpus-assembly operators: sequence packing and token budgeting.
+
+The last mile of an LLM training-data pipeline: after filtering, dedup and
+splitting (text.py, sampling.py, dedup.py), the surviving documents must be
+(a) packed into fixed-token-budget training sequences and (b) mixed under
+per-language token budgets.  Both are pure-Catalyst window plans — no
+Python in the hot path — and both follow the engine-neutral md5 determinism
+discipline of sampling.py so the DuckDB oracle reproduces them bit-for-bit.
+
+100 TB design: both operators shuffle the corpus exactly once, keyed on a
+hash bucket (packing) or language (budgeting).  The per-partition window
+sort is the only super-linear step; its input is bounded by bucket/language
+size, and the bucket count is a knob that scales with the corpus (tokens /
+target-shard-size), so no single executor ever sorts more than a shard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from ..io import load_table
+from ..registry import register
+
+#: tokens per packed training sequence (pack-and-chunk boundary)
+_PACK_BUDGET = 2048
+#: hash buckets for parallel packing (scale knob: tokens / shard size)
+_PACK_BUCKETS = 32
+#: per-language token budget for the mixture
+_LANG_BUDGET = 60000
+
+_SQL_NTOK = "len(string_split(lower(text), ' '))"
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_NTOK} AS n_tok,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % {_PACK_BUCKETS} AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), p AS (
+      SELECT bucket, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok AS strt
+      FROM t
+    )
+    SELECT bucket, strt // {_PACK_BUDGET} AS bin,
+           count(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM p GROUP BY bucket, bin
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    a deterministic hash-shuffled order and cut into {_PACK_BUDGET}-token
+    training sequences; each document is attributed to the bin where it
+    STARTS (the standard pack-then-chunk recipe — a straddling document
+    contributes its tail to the next bin, so non-final bins are exactly
+    full by construction).  Output: per (bucket, bin) document count and
+    attributed token mass — the packing manifest a dataloader shards on.
+
+    Determinism: the lay-down order is (md5(doc_id), doc_id) — engine-
+    neutral, repartition-stable, and RNG-free (same trick as
+    sample_hash_split); token counts and cumulative offsets are exact
+    integers; the bin id is integer floor-division.  Plan: ONE shuffle
+    keyed on the hash bucket feeds both the window (running token offset)
+    and the groupBy (same key — exchange reuse), so the corpus moves over
+    the wire once.  At 100 TB the bucket count scales with corpus size so
+    each in-partition sort stays shard-sized; truly huge corpora swap the
+    window for per-partition sequential packing (mapInPandas) with
+    identical semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), " "))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % _PACK_BUCKETS
+    )
+    t = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = t.withColumn("strt", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        p.withColumn("bin", F.expr(f"strt div {_PACK_BUDGET}"))
+        .groupBy("bucket", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_SQL_NTOK} AS n_tok,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS DOUBLE) / {_SQL_NTOK} AS q
+      FROM documents
+    ), r AS (
+      SELECT lang, n_tok, q,
+             sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang, count(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           min(q) AS q_floor
+    FROM r WHERE cum <= {_LANG_BUDGET}
+    GROUP BY lang
+    """,
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Quality-ranked token budgeting per language: within each language,
+    take documents in descending quality order (type-token ratio, the
+    text_quality signal) until the language's token budget is spent —
+    the data-mixing primitive that turns "we can afford N tokens of
+    language X" into a concrete reproducible document set.  Output per
+    language: documents kept, tokens spent, and the quality cutoff that
+    the budget implies (q_floor — the admission bar the budget bought).
+
+    Determinism: q is one IEEE division of exact integers (bit-identical
+    across engines, so the ORDER BY agrees), the running token spend is an
+    exact integer window sum, ties break on doc_id.  Plan: one shuffle on
+    lang feeds window + groupBy (exchange reuse).  At 100 TB a language is
+    too big for one partition's sort — the scale recipe is a two-pass
+    refinement: histogram q per language (tiny, broadcast), derive the
+    approximate cutoff, then window-sort only the boundary stratum; the
+    fixture-scale plan here is the exact single-pass version of the same
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("q"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        r.filter(F.col("cum") <= _LANG_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("q").alias("q_floor"),
+        )
+    )

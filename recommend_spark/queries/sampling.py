@@ -160,3 +160,38 @@ def sample_temperature(spark, sf_dir):
         .filter(u < F.col("keep_prob"))
         .select("doc_id", "source", "keep_prob")
     )
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 16) AS h
+    FROM orders
+    ORDER BY h, o_orderkey LIMIT 500
+    """,
+)
+def sample_reservoir(spark, sf_dir):
+    """Deterministic fixed-size uniform sample (the reservoir-sampling
+    contract without the RNG): rank every row by md5(key) and keep the k
+    smallest.  Because the hash is uniform over keys, the k winners are a
+    uniform k-subset — and unlike a classic reservoir, the SAME subset on
+    every run, any partitioning, any engine (the reproducible-eval-set
+    primitive: "the" 500 held-out orders).
+
+    Plan: ORDER BY + LIMIT compiles to TakeOrderedAndProject — each task
+    keeps a local k-heap and only k rows per task travel to the driver, so
+    at 100 TB this is a map-only pass moving O(k × tasks) rows, never a
+    global sort (plan-asserted in tests/test_plans.py).  The hash column
+    is emitted so downstream consumers can merge reservoirs: the union of
+    two reservoirs re-ranked by h is the reservoir of the union."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 16).alias("h"),
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(500)
+    )

@@ -946,3 +946,55 @@ def pipeline_mixture_weights(spark, sf_dir):
         epochs.alias("epochs"),
         (epochs * F.col("toks")).alias("effective_tokens"),
     )
+
+
+@register(
+    "text_source_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source
+    ), e AS (
+      SELECT lang, sum(c) AS n_docs, count(*) AS n_sources,
+             sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) * c) AS s
+      FROM c GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources,
+           CAST(CAST(ln(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+           - CAST(s AS DOUBLE) / n_docs AS entropy
+    FROM e
+    """,
+)
+def text_source_entropy(spark, sf_dir):
+    """Shannon entropy of the source mix per language — the corpus-
+    diversity gauge a data-mixing pipeline watches (entropy collapsing
+    toward 0 means one source dominates a language; ln(n_sources) means a
+    uniform mix).  Uses the one-pass identity
+    H = ln(N) - (1/N) * SUM(c * ln c) so no per-source probability column
+    (and no second shuffle or self-join) is ever materialized.
+
+    Determinism: ln() differs by 1 ulp across libm implementations, so
+    each count's ln goes through DECIMAL(18,6) once (the
+    text_unigram_surprisal trick); c * ln(c) and its sum are then exact
+    decimals, and the final expression is two IEEE ops on identical
+    inputs.  Plan: partial-agg count per (lang, source), re-agg per lang —
+    both map-side combinable; at 100 TB this moves one row per
+    (lang, source) pair, never a document."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    e = c.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum(
+            F.log(F.col("c").cast("double")).cast("decimal(18,6)") * F.col("c")
+        ).alias("s"),
+    )
+    return e.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (
+            F.log(F.col("n_docs").cast("double")).cast("decimal(18,6)").cast("double")
+            - F.col("s").cast("double") / F.col("n_docs")
+        ).alias("entropy"),
+    )
