@@ -222,3 +222,23 @@ def test_cached_dim_scans_in_memory(spark):
     df.count()  # materialize the cache entry
     plan = _plan(QUERIES["meta_cache_table"](spark, SF_DIR))
     assert "InMemoryRelation" in plan or "In-memory table" in plan, plan[:3000]
+
+
+def test_reservoir_plans_take_ordered(spark):
+    """sample_reservoir must compile to TakeOrderedAndProject (per-task
+    k-heap, O(k x tasks) rows moved) and never a global Sort+Exchange."""
+    plan = _plan(QUERIES["sample_reservoir"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing's window and groupBy share the bucket key: the corpus must
+    cross the wire exactly once (one hashpartitioning Exchange)."""
+    plan = _plan(QUERIES["pipeline_pack_sequences"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(bucket") <= 1, plan[:3000]
+
+
+def test_token_budget_single_shuffle(spark):
+    """Budgeting's window (lang) and groupBy (lang) reuse one exchange."""
+    plan = _plan(QUERIES["pipeline_token_budget"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(lang") <= 1, plan[:3000]
