@@ -54,6 +54,15 @@ def get_spark(app_name: str = "recommend_spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # A 200+ query session generates hundreds of WholeStageCodegen
+        # classes; the JVM's default ~240 MB code cache fills, the JIT
+        # turns itself off, and every later query runs interpreted (2-10x
+        # slower — the late-suite slowdown pattern in long bench/sweep
+        # sessions).  512 MB keeps the JIT on for the whole inventory.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
