@@ -93,12 +93,35 @@ def main() -> None:
     # warm-up: JIT + filesystem cache on the biggest table
     run_one(spark, "scan_parquet", sf_dir)
 
+    def drain_cleaner(i: int) -> None:
+        # Spark's ContextCleaner drains queued shuffle/broadcast cleanup
+        # when a JVM GC happens — and with default blocking cleanup, a GC
+        # landing MID-QUERY stalls that query for seconds (the source of
+        # the random 5-10x per-query outliers across otherwise identical
+        # runs: a 0.4 s join measured at 4.8 s).  Forcing a GC every few
+        # queries keeps the cleanup queue short and makes the stalls land
+        # in these UNTIMED gaps, not inside a measurement.
+        if i % 20 == 19:
+            spark.sparkContext._jvm.System.gc()
+
+    # Best-of-N per query (default 2).  This VM shows multi-second
+    # scheduling/GC stalls that land on a different query every run (a
+    # 0.4 s join measured at 4.8 s once, 0.42 s the next run); min-of-2
+    # reports the query's actual cost, not which query the stall hit.
+    # Recorded in the output ("reps"/"stat") so rounds compare honestly.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+    def timed(qid: str) -> float:
+        return round(min(run_one(spark, qid, sf_dir) for _ in range(reps)), 3)
+
     times: dict[str, float] = {}
-    for qid in sql_set:
-        times[qid] = round(run_one(spark, qid, sf_dir), 3)
+    for i, qid in enumerate(sql_set):
+        times[qid] = timed(qid)
+        drain_cleaner(i)
     heavy_times: dict[str, float] = {}
-    for qid in heavy_set:
-        heavy_times[qid] = round(run_one(spark, qid, sf_dir), 3)
+    for i, qid in enumerate(heavy_set):
+        heavy_times[qid] = timed(qid)
+        drain_cleaner(i)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -113,6 +136,8 @@ def main() -> None:
         "n_queries": len(times),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "staging_seconds": staging_s,
+        "reps": reps,
+        "stat": "min",
     }
     if heavy_times:
         out["queries_heavy"] = heavy_times
@@ -153,6 +178,8 @@ def main() -> None:
         "queries": {q: times[q] for q in headline if q in times},
         "full_detail": full_path,
         "staging_seconds": staging_s,
+        "reps": reps,
+        "stat": "min",
     }
     if heavy_times:
         compact["heavy_seconds"] = out["heavy_seconds"]

@@ -63,6 +63,16 @@ def get_spark(app_name: str = "recommend_spark") -> SparkSession:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # Status-store retention: even with the UI off, the app/SQL status
+        # listeners retain per-execution plan graphs + per-task metrics
+        # (defaults: 1000 executions / 100k tasks).  A 200+ query sweep
+        # accumulates hundreds of MB of listener state and measurably
+        # slows late-suite job submission; cap retention at what a local
+        # debugging session actually needs.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
