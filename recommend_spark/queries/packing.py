@@ -165,3 +165,58 @@ def pipeline_token_budget(spark, sf_dir):
             F.min("q").alias("q_floor"),
         )
     )
+
+
+@register(
+    "pipeline_curriculum",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_SQL_NTOK} AS n_tok,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS DOUBLE) / {_SQL_NTOK} AS q
+      FROM documents
+    ), p AS (
+      SELECT lang, n_tok, q,
+             ntile(4) OVER (ORDER BY q, doc_id) AS phase
+      FROM t
+    )
+    SELECT phase, lang, count(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           min(q) AS q_min, max(q) AS q_max
+    FROM p GROUP BY phase, lang
+    """,
+)
+def pipeline_curriculum(spark, sf_dir):
+    """Curriculum phase assignment: the corpus is split into 4 equal-count
+    phases by ascending quality (type-token ratio) — the easy-to-hard
+    schedule a curriculum-learning dataloader consumes — and each
+    (phase, lang) cell reports its document count, token mass, and quality
+    range.  ntile gives exactly balanced phases with a total tie-break
+    (q, doc_id), so the assignment is reproducible run-to-run.
+
+    Determinism: q is one IEEE division of exact integers (bit-identical
+    ordering across engines), ntile is rank arithmetic, min/max of doubles
+    are selections.  Plan note: a global ntile is a single-partition sort
+    — fine at fixture scale and plainly visible in the plan; the 100 TB
+    recipe replaces it with the two-pass quantile split documented in
+    pipeline_token_budget (broadcast a q-histogram, derive 3 cut points,
+    assign phases map-only) with identical semantics away from cut-point
+    ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("q"),
+    )
+    p = t.withColumn(
+        "phase", F.ntile(4).over(W.orderBy("q", "doc_id"))
+    )
+    return p.groupBy("phase", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+    )

@@ -998,3 +998,92 @@ def text_source_entropy(spark, sf_dir):
             - F.col("s").cast("double") / F.col("n_docs")
         ).alias("entropy"),
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKS}) AS w,
+             unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+      FROM documents
+    ), tok2 AS (SELECT doc_id, w, pos FROM tok WHERE w != ''),
+    bi AS (
+      SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok2
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi WHERE w2 IS NOT NULL
+      GROUP BY w1, w2
+    ), uni AS (
+      SELECT w, count(*) AS c FROM tok2 GROUP BY w
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS u, (SELECT sum(c12) FROM big) AS b
+    )
+    SELECT g.w1, g.w2, g.c12,
+           CAST(CAST(ln(CAST(g.c12 AS DOUBLE)) AS DECIMAL(18,6))
+                + 2 * CAST(ln(CAST(t.u AS DOUBLE)) AS DECIMAL(18,6))
+                - CAST(ln(CAST(t.b AS DOUBLE)) AS DECIMAL(18,6))
+                - CAST(ln(CAST(u1.c AS DOUBLE)) AS DECIMAL(18,6))
+                - CAST(ln(CAST(u2.c AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) AS pmi
+    FROM big g
+    JOIN uni u1 ON g.w1 = u1.w
+    JOIN uni u2 ON g.w2 = u2.w
+    CROSS JOIN tot t
+    WHERE g.c12 >= 5
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: bigrams whose
+    co-occurrence beats chance, PMI = ln(p12 / (p1 p2)) expanded to the
+    all-integer form ln c12 + 2 ln U − ln B − ln c1 − ln c2 (U, B = total
+    unigram/bigram mass).  The phrase-discovery primitive a tokenizer-
+    training or stopword pipeline runs upstream of BPE.
+
+    Determinism: every ln is rounded once through DECIMAL(18,6) (the
+    surprisal trick), the five terms combine in exact decimal arithmetic,
+    and one final cast emits the double — no float accumulation anywhere.
+    Plan: one token-explode shuffle produces both the bigram and unigram
+    counts; the unigram table is vocab-sized and joins back twice (w1, w2)
+    as broadcasts; totals are 1-row broadcast scalars.  The c12 >= 5
+    support floor bounds the output to genuinely recurring pairs, so at
+    100 TB the only corpus-sized stage is the token explode itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    tok = _tokens(docs)
+    bi = tok.withColumn("w2", F.lead("w").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    big = bi.groupBy(F.col("w").alias("w1"), "w2").agg(
+        F.count("*").alias("c12")
+    ).filter(F.col("c12") >= 5)
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("u")).crossJoin(
+        bi.groupBy().count().withColumnRenamed("count", "b")
+    )
+
+    def d6(col):
+        return F.log(col.cast("double")).cast("decimal(18,6)")
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                d6(F.col("c12"))
+                + F.lit(2) * d6(F.col("u"))
+                - d6(F.col("b"))
+                - d6(F.col("c1"))
+                - d6(F.col("c2"))
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+    )

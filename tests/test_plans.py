@@ -242,3 +242,11 @@ def test_token_budget_single_shuffle(spark):
     """Budgeting's window (lang) and groupBy (lang) reuse one exchange."""
     plan = _plan(QUERIES["pipeline_token_budget"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(lang") <= 1, plan[:3000]
+
+
+def test_pmi_broadcasts_vocab_tables(spark):
+    """PMI's unigram-count joins (w1, w2) and its scalar totals must all
+    broadcast — the only corpus-sized stage is the token explode."""
+    plan = _plan(QUERIES["text_pmi_collocations"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
