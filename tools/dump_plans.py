@@ -35,6 +35,9 @@ HEADLINE = {
     "agg_bitmap_distinct": "exact distinct via two constant-width aggregates (bit_or bitmap + popcount), no expanding distinct shuffle",
     "dedup_paragraph": "chunk explode, ONE hash shuffle on chunk hash, small shared set broadcast back onto the stream",
     "sql_recursive_cte": "recursion reads the staged edge artifact (parquet scan in the loop), not the quadratic derivation",
+    "pipeline_pack_sequences": "window (running offset) and per-bin agg share ONE bucket-key Exchange",
+    "sample_reservoir": "md5-rank k-sample compiles to TakeOrderedAndProject (per-task heaps)",
+    "text_pmi_collocations": "vocab-sized unigram tables broadcast back twice; corpus-sized stage is only the token explode",
 }
 
 
