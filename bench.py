@@ -59,7 +59,14 @@ def main() -> None:
     heavy_on = os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") == "1"
 
     sql_set = [q for q in sorted(ORACLES) if q not in HEAVY]
-    heavy_set = [q for q in sorted(QUERIES) if q in HEAVY] if heavy_on else []
+    # the heavy suite is every rows-only operator (ALS, sketches, LSH/IVF,
+    # codecs, streaming execution) plus the HEAVY-listed oracle ops, so the
+    # per-round record covers the FULL inventory, not just the SQL set
+    heavy_set = (
+        sorted(set(QUERIES) - set(ORACLES) | (HEAVY & set(QUERIES)))
+        if heavy_on
+        else []
+    )
 
     # Stage the artifact layer first (pair tables, edge set, ALS model, PQ
     # codebook, sink/stream fixtures) so per-query numbers measure QUERY
