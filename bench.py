@@ -97,8 +97,12 @@ def main() -> None:
 
     spark = get_spark("recommend_spark_bench")
 
-    # warm-up: JIT + filesystem cache on the biggest table
+    # warm-up: JIT + filesystem cache on the biggest table, plus one
+    # pandas-UDF query so the Python/Arrow worker pool exists before any
+    # timed mapInPandas op (worker spinup is ~2-5 s and belongs to the
+    # session, not to whichever UDF query happens to run first)
     run_one(spark, "scan_parquet", sf_dir)
+    run_one(spark, "udf_scalar_pandas", sf_dir)
 
     def drain_cleaner(i: int) -> None:
         # Spark's ContextCleaner drains queued shuffle/broadcast cleanup
