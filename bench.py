@@ -87,12 +87,19 @@ def main() -> None:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    subprocess.run(
+    stage = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "prewarm.py"), sf_dir],
         check=False,  # a failed stage just stays cold; queries still run
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
     )
+    if stage.returncode != 0:
+        # surface it — a silently-cold stage corrupts every number below
+        # (the first timed queries absorb 100+ s of artifact builds)
+        sys.stderr.write(
+            f"WARNING: prewarm subprocess failed (rc={stage.returncode}); "
+            f"staging may be cold\n{stage.stderr.decode()[-2000:]}\n"
+        )
     staging_s = round(time.perf_counter() - t_stage, 3)
 
     spark = get_spark("recommend_spark_bench")

@@ -72,3 +72,26 @@ def davg(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
 #: DuckDB-side epoch-seconds expression (keep in one place for consistency).
 def sql_epoch_s(expr: str) -> str:
     return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+def md5_int(col: Column, hexdigits: int) -> Column:
+    """First ``hexdigits`` hex digits of md5(col as string), as BIGINT.
+
+    THE single definition of the engine-neutral hash-integer trick every
+    deterministic sampling/bucketing operator builds on (hash splits,
+    md5-as-uniform Bernoulli draws, packing buckets, count-min rows):
+    md5 is md5 everywhere, so the value — and anything derived from it —
+    is identical in Spark and the DuckDB oracle, stable under
+    repartitioning, and RNG-free.  DuckDB twin: ``sql_md5_int``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, hexdigits), 16, 10).cast(
+        "long"
+    )
+
+
+def sql_md5_int(expr: str, hexdigits: int) -> str:
+    """DuckDB twin of ``md5_int``; pass a VARCHAR-typed SQL expression."""
+    return (
+        f"CAST('0x' || substring(md5({expr}), 1, {hexdigits}) AS BIGINT)"
+    )

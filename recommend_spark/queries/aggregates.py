@@ -800,21 +800,16 @@ def _cms_bucket(i: int, key: str):
 
     Engine-neutral (md5 is md5 everywhere) so the sketch — not just the
     answer — is bit-identical between Spark and the DuckDB oracle."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col(key).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 256
-    )
+    from ..canon import md5_int
+
+    return md5_int(F.concat_ws("|", F.lit(str(i)), F.col(key).cast("string")), 8) % 256
 
 
 def _cms_bucket_sql(i: int, key: str) -> str:
-    return (
-        f"CAST('0x' || substring(md5('{i}' || '|' || CAST({key} AS VARCHAR)), 1, 8)"
-        f" AS BIGINT) % 256"
-    )
+    from ..canon import sql_md5_int
+
+    salted = f"'{i}' || '|' || CAST({key} AS VARCHAR)"
+    return f"{sql_md5_int(salted, 8)} % 256"
 
 
 @register(

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
+from ..canon import md5_int
 from ..io import load_table
 from ..registry import register
 
@@ -76,11 +77,7 @@ def pipeline_pack_sequences(spark, sf_dir):
     identical semantics."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.lower(F.col("text")), " "))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % _PACK_BUCKETS
-    )
+    bucket = md5_int(F.col("doc_id"), 6) % _PACK_BUCKETS
     t = docs.select(
         "doc_id",
         n_tok.alias("n_tok"),

@@ -715,9 +715,13 @@ def graph_pagerank(spark, sf_dir):
 @register(
     "rec_association_rules",
     oracle="""
-    WITH b AS (
+    WITH b0 AS (
       SELECT DISTINCT o_custkey AS u, l_partkey AS i
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), keep AS (
+      SELECT u FROM b0 GROUP BY u HAVING COUNT(*) <= 1000
+    ), b AS (
+      SELECT b0.u, b0.i FROM b0 JOIN keep ON b0.u = keep.u
     ), n AS (
       SELECT COUNT(DISTINCT u) AS nu FROM b
     ), s AS (
@@ -748,14 +752,18 @@ def rec_association_rules(spark, sf_dir):
     the interpretable sibling of `rec_item_item`'s cosine neighbors.
 
     Plan: same bucketed pair expansion as the co-purchase family (shared
-    `_baskets_artifact`, MAX_BASKET-guarded upstream, support>=5 prunes
-    the pair tail), per-item supports are one tiny agg joined back (AQE
-    broadcasts them), and the user count enters as a broadcast 1-row
-    cross join.  Confidence/lift are single fixed divisions over exact
-    integer counts — hash-stable, fully oracle-checked.  Rules emit BOTH
+    pair artifact, support>=5 prunes the pair tail), per-item supports are
+    one tiny agg joined back (AQE broadcasts them), and the user count
+    enters as a broadcast 1-row cross join.  Supports and the user count
+    come from the SAME MAX_BASKET-guarded basket universe as the pair
+    counts (``_guarded_baskets`` — and the oracle applies the identical
+    HAVING cap), so confidence = spq/ca can never pair a guarded numerator
+    with an unguarded denominator when the hyper-user guard fires at
+    scale.  Confidence/lift are single fixed divisions over exact integer
+    counts — hash-stable, fully oracle-checked.  Rules emit BOTH
     directions (confidence is asymmetric; lift is symmetric and serves as
     the cross-check)."""
-    b = _baskets_artifact(spark, sf_dir)
+    b = _guarded_baskets(spark, sf_dir)
     nu = b.select(F.count_distinct("u").alias("nu"))
     s = b.groupBy("i").agg(F.count("*").alias("c"))
     pq = (

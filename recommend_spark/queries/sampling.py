@@ -18,21 +18,24 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from ..canon import md5_int, sql_md5_int
 from ..io import load_table
 from ..registry import register
 
 
 def _bucket(key_col: str):
     """Engine-neutral hash bucket in [0,100): first 6 md5 hex digits mod 100."""
-    return (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 100
-    )
+    return md5_int(F.col(key_col), 6) % 100
 
 
 def _sql_bucket(key_expr: str) -> str:
-    return f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 6) AS BIGINT) % 100"
+    return f"{sql_md5_int(f'CAST({key_expr} AS VARCHAR)', 6)} % 100"
+
+
+def _uniform(key_col: str):
+    """md5-as-uniform draw in [0,1): first 32 hash bits / 2^32 (one shared
+    definition for the Bernoulli samplers)."""
+    return md5_int(F.col(key_col), 8).cast("double") / 4294967296.0
 
 
 @register(
@@ -96,11 +99,7 @@ def sample_weighted(spark, sf_dir):
     stable, map-only; the same hash-as-uniform trick as sample_hash_split
     with a per-row threshold instead of a global one."""
     o = load_table(spark, sf_dir, "orders")
-    u = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / 4294967296.0
-    )
+    u = _uniform("o_orderkey")
     p = F.least(F.lit(1.0), F.col("o_totalprice") / 400000.0)
     return o.filter(u < p).select(
         "o_orderkey", "o_totalprice", p.alias("keep_prob")
@@ -150,11 +149,7 @@ def sample_temperature(spark, sf_dir):
         )
         .select("source", "keep_prob")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / 4294967296.0
-    )
+    u = _uniform("doc_id")
     return (
         d.join(F.broadcast(rate), "source")
         .filter(u < F.col("keep_prob"))

@@ -765,6 +765,26 @@ def _pq_emb(spark, sf_dir):
     )
 
 
+def _pq_assign(X, C, M, SUB):
+    """Per-subspace nearest-centroid assignment: codes + summed sq error.
+
+    THE single definition of the PQ encode kernel (mm_embed_pq and
+    sim_ivf_pq both consume it): np.argmin's tie-to-lowest-code rule is
+    part of the determinism contract both operators' gates assert, so a
+    second copy of this loop risks the two encoders silently diverging."""
+    import numpy as np
+
+    codes = np.zeros((X.shape[0], M), dtype=np.int32)
+    err = np.zeros(X.shape[0])
+    for m in range(M):
+        S = X[:, m * SUB:(m + 1) * SUB]
+        d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+        a = d.argmin(axis=1)
+        codes[:, m] = a
+        err += d[np.arange(X.shape[0]), a]
+    return codes, err
+
+
 def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
     """Train the M product-quantizer codebooks in one distributed pass per
     Lloyd iteration; memoized per (session, corpus) because both
@@ -885,14 +905,7 @@ def mm_embed_pq(spark, sf_dir):
             if not len(pdf):
                 continue
             X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
-            codes = np.zeros((len(pdf), M), dtype=np.int32)
-            err = np.zeros(len(pdf))
-            for m in range(M):
-                S = X[:, m * SUB:(m + 1) * SUB]
-                d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
-                a = d.argmin(axis=1)
-                codes[:, m] = a
-                err += d[np.arange(len(pdf)), a]
+            codes, err = _pq_assign(X, C, M, SUB)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -942,11 +955,7 @@ def sim_ivf_pq(spark, sf_dir):
             if not len(pdf):
                 continue
             X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
-            codes = np.zeros((len(pdf), M), dtype=np.int32)
-            for m in range(M):
-                S = X[:, m * SUB:(m + 1) * SUB]
-                d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
-                codes[:, m] = d.argmin(axis=1)
+            codes, _ = _pq_assign(X, C, M, SUB)
             yield pd.DataFrame(
                 {"neighbor_id": pdf["vec_id"], "codes": [c.tolist() for c in codes]}
             )

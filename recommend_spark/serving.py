@@ -52,7 +52,6 @@ class RecommendationService:
         # POST's extend must not interleave with a GET's read of the
         # append log, or a fold-in could observe half a batch.
         self._extra_lock = threading.Lock()
-        self._folded: DataFrame | None = None
         self._fit()
 
     # -- training ---------------------------------------------------------
@@ -80,13 +79,24 @@ class RecommendationService:
         the clear, the next ``_current_ratings()`` would union the same
         rows onto a base that already contains them and double-count their
         strengths."""
+        # release the previous cached generation BEFORE swapping: each
+        # retrain otherwise leaks three executor-storage entries (merged
+        # ratings + item factors + popularity) per cycle — the same
+        # un-unpersisted-cache accumulation fixed in dedup_near_minhash
+        old_ratings = self._ratings
+        old_factors = getattr(self, "_item_factors", None)
+        old_popular = getattr(self, "_popular", None)
         with self._extra_lock:
             self._ratings = self._merge(
                 self._ratings, list(self._extra_rows)
             ).cache()
             self._extra_rows.clear()
-        self._folded = None
+        for df in (old_factors, old_popular):
+            if df is not None:
+                df.unpersist()
         self._fit()
+        if old_ratings is not self._ratings:
+            old_ratings.unpersist()
 
     # -- state ------------------------------------------------------------
 

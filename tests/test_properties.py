@@ -485,10 +485,12 @@ def test_asof_nearest_matches_brute_force(spark):
     )
     sample_users = [r["user_id"] for r in ev.select("user_id").distinct().limit(5).collect()]
     local = ev.filter(F.col("user_id").isin(sample_users)).collect()
-    purchases: dict[int, list[tuple[int, float]]] = {}
+    purchases: dict[int, list[tuple[int, float, int]]] = {}
     for r in local:
         if r["event_type"] == "purchase":
-            purchases.setdefault(r["user_id"], []).append((r["t"], r["value"]))
+            purchases.setdefault(r["user_id"], []).append(
+                (r["t"], r["value"], r["event_id"])
+            )
     got = {
         r["event_id"]: r["nearest_purchase_value"]
         for r in QUERIES["join_asof_nearest"](spark, SF_DIR).collect()
@@ -498,5 +500,17 @@ def test_asof_nearest_matches_brute_force(spark):
         if not ps:
             assert got[r["event_id"]] is None
             continue
-        best = min(ps, key=lambda p: (abs(p[0] - r["t"]), p[0] > r["t"]))
+        # full tie-break of the query's (t_us, is_right DESC, event_id)
+        # window order: |dt|, then past-or-equal before future, then the
+        # LAST past candidate (largest event_id) / FIRST future candidate
+        # (smallest event_id) — without the event_id terms the brute force
+        # is data-dependent on equal-timestamp purchases
+        best = min(
+            ps,
+            key=lambda p: (
+                abs(p[0] - r["t"]),
+                p[0] > r["t"],
+                p[2] if p[0] > r["t"] else -p[2],
+            ),
+        )
         assert got[r["event_id"]] == best[1], (r["event_id"], best, got[r["event_id"]])

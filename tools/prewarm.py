@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from recommend_spark.queries import QUERIES  # noqa: E402
 from recommend_spark.session import get_spark  # noqa: E402
