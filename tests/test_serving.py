@@ -109,3 +109,35 @@ def test_retrain_clears_backlog_without_double_count(spark):
     assert svc.pending_foldin_backlog == 0
     after = svc._current_ratings().filter("user_id = 1 AND item_id = 1").collect()
     assert after[0]["strength"] == pytest.approx(base_strength + 10.0)
+
+
+def test_retrain_does_not_leak_cached_generations(spark):
+    """Each retrain swaps in a fresh cached ratings/factors/popularity
+    generation; the PREVIOUS generation must be unpersisted, so the
+    persistent-RDD count stays bounded across nightly cycles instead of
+    growing by ~3 entries per retrain."""
+    import gc
+    import time
+
+    def settled_count():
+        # the old ALS model's INTERNAL factor RDDs are not exposed for an
+        # explicit unpersist; they are reclaimed by Spark's ContextCleaner
+        # once the superseded model is unreachable — drive that path
+        # (Python gc -> py4j release -> JVM gc -> cleaner) before counting
+        # three passes: Python gc releases py4j handles, the JVM gc lets
+        # the cleaner queue the unpersists, and a further cycle drains it
+        for _ in range(3):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+        return jsc.getPersistentRDDs().size()
+
+    svc = RecommendationService(spark, SF_DIR)
+    jsc = spark.sparkContext._jsc.sc()
+    svc.add_ratings([(1, 1, 1.0)])
+    svc.retrain()
+    baseline = settled_count()
+    for k in range(3):
+        svc.add_ratings([(1, 1 + k, 1.0)])
+        svc.retrain()
+    assert settled_count() <= baseline + 1, (baseline, jsc.getPersistentRDDs().size())
