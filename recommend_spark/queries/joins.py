@@ -728,3 +728,65 @@ def join_asof_nearest(spark, sf_dir):
     return win.filter(F.col("is_right") == 0).select(
         "event_id", nearest.cast("double").alias("nearest_purchase_value")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN p.ts IS NOT NULL AND e.ts - p.ts <= INTERVAL 7 DAY
+                THEN p.value END AS recent_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance: the most recent purchase
+    at-or-before each event counts only if it is at most 7 days old —
+    the pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` bound that plain
+    backward as-of can't express (a 2-year-old "latest purchase" is noise,
+    not enrichment, in a feature pipeline).
+
+    Same single-shuffle union-merge recipe as ``join_asof``, carrying the
+    matched purchase TIME alongside its value through the window; the
+    tolerance is then one map-side comparison on exact integer
+    microseconds — no second pass, no range join, and the oracle's
+    ASOF-plus-CASE expresses the identical semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    tol_us = 7 * 24 * 3600 * 1000000
+    left = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("long").alias("pt"),
+        F.lit(None).cast("double").alias("pval"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(1).alias("is_right"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("pt"),
+        F.col("value").alias("pval"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", F.col("is_right").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("last_t", F.last("pt", ignorenulls=True).over(w))
+        .withColumn("last_v", F.last("pval", ignorenulls=True).over(w))
+    )
+    return merged.filter(F.col("is_right") == 0).select(
+        "event_id",
+        F.when(
+            F.col("last_t").isNotNull()
+            & (F.col("t_us") - F.col("last_t") <= tol_us),
+            F.col("last_v"),
+        ).alias("recent_purchase_value"),
+    )
