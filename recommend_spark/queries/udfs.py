@@ -280,3 +280,50 @@ def udf_batch_inference(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return docs.mapInPandas(infer, "doc_id long, score double, keep boolean")
+
+
+@register(
+    "udf_map_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * l_quantity AS gross
+    FROM lineitem
+    """,
+)
+def udf_map_arrow(spark, sf_dir):
+    """mapInArrow: the zero-copy Arrow-native batch surface (Spark ≥3.3) —
+    completes the Python-boundary matrix alongside row-UDF, pandas-UDF,
+    grouped map/agg, mapInPandas and UDTF.  The kernel works directly on
+    pyarrow RecordBatches with Arrow compute (no pandas materialization,
+    no object boxing), which is the right boundary for columnar libraries
+    (polars, numpy via zero-copy buffers, onnxruntime's IOBinding).
+
+    Determinism: one IEEE multiply per row — Arrow's multiply is the same
+    binary64 op Catalyst and DuckDB execute, so this op carries a full
+    value-hash oracle, proving the Arrow boundary transports values
+    bit-exactly.  Plan: narrow map, no shuffle; at 100 TB this is the
+    cheapest possible Python surface (Arrow batches stream through
+    shared-memory-sized chunks, GIL held only per-batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+
+    def gross(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.multiply(
+                        b.column("l_extendedprice"), b.column("l_quantity")
+                    ),
+                ],
+                ["l_orderkey", "l_linenumber", "gross"],
+            )
+
+    return li.mapInArrow(
+        gross, "l_orderkey long, l_linenumber int, gross double"
+    )
