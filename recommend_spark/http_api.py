@@ -39,17 +39,25 @@ def _make_handler(service: RecommendationService):
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
-            m = _TOP.match(self.path)
-            if m:
-                user_id, count = int(m.group(1)), int(m.group(2))
-                self._send(200, service.top_ratings(user_id, count))
-                return
-            m = _ONE.match(self.path)
-            if m:
-                user_id, item_id = int(m.group(1)), int(m.group(2))
-                self._send(200, service.ratings_for_items(user_id, [item_id]))
-                return
-            self._send(404, {"error": f"no route for GET {self.path}"})
+            # a service-side failure (stopped session, executor error mid
+            # collect) must come back as a 500, not a killed socket with a
+            # server-side traceback and no status line
+            try:
+                m = _TOP.match(self.path)
+                if m:
+                    user_id, count = int(m.group(1)), int(m.group(2))
+                    self._send(200, service.top_ratings(user_id, count))
+                    return
+                m = _ONE.match(self.path)
+                if m:
+                    user_id, item_id = int(m.group(1)), int(m.group(2))
+                    self._send(
+                        200, service.ratings_for_items(user_id, [item_id])
+                    )
+                    return
+                self._send(404, {"error": f"no route for GET {self.path}"})
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                self._send(500, {"error": f"{type(e).__name__}: {e}"[:500]})
 
         def do_POST(self) -> None:  # noqa: N802 (stdlib API)
             m = _POST.match(self.path)
@@ -60,11 +68,25 @@ def _make_handler(service: RecommendationService):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 pairs = json.loads(self.rfile.read(n) or b"[]")
+                # shape-check BEFORE unpacking: a dict body would iterate
+                # its keys and a 2-char string key would "unpack" into a
+                # bogus (item, strength) pair that 200s silently
+                if not isinstance(pairs, list) or not all(
+                    isinstance(p, (list, tuple)) and len(p) == 2 for p in pairs
+                ):
+                    self._send(
+                        400, {"error": "body must be [[item_id, strength], ...]"}
+                    )
+                    return
                 rows = [(user_id, int(i), float(s)) for i, s in pairs]
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad body: {e}"})
                 return
-            accepted = service.add_ratings(rows)
+            try:
+                accepted = service.add_ratings(rows)
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                self._send(500, {"error": f"{type(e).__name__}: {e}"[:500]})
+                return
             self._send(
                 200,
                 {

@@ -1,19 +1,20 @@
 """§2.11 Structured Streaming over events.
 
-Every queries() entry here executes a REAL streaming graph (file replay in
-8 micro-batches via recommend_spark.streaming.replay, availableNow trigger,
-real state stores).  The SQL-expressible ones carry a batch-semantics DuckDB
-oracle — the driver's hash check therefore proves streaming == batch, which
-is the Structured Streaming correctness contract.  Late-data/watermark
-behaviors that are micro-batch-timing dependent are rows-only and asserted
-under controlled replab orders in tests/test_streaming.py.
+Every queries() entry here executes a REAL streaming graph (multi-micro-batch
+file replay via recommend_spark.streaming.replay — 8 chunks, 4 files per
+trigger by default, availableNow, real state stores).  The SQL-expressible
+ones carry a batch-semantics DuckDB oracle — the driver's hash check
+therefore proves streaming == batch, which is the Structured Streaming
+correctness contract.  Late-data/watermark behaviors that are
+micro-batch-timing dependent are rows-only and asserted under controlled
+replay orders in tests/test_streaming.py.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..canon import dsum
+from ..canon import dsum, epoch_s
 from ..registry import register
 from ..streaming.replay import run_stream
 
@@ -40,7 +41,7 @@ def stream_tumbling(spark, sf_dir):
 
     out = run_stream(spark, sf_dir, "rs_stream_tumbling", build)
     return out.select(
-        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        epoch_s("w.start", "window_start"),
         "event_type",
         "cnt",
         "sum_value",
@@ -73,7 +74,7 @@ def stream_sliding(spark, sf_dir):
 
     out = run_stream(spark, sf_dir, "rs_stream_sliding", build)
     return out.select(
-        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        epoch_s("w.start", "window_start"),
         "cnt",
         "sum_value",
     )
@@ -116,7 +117,7 @@ def stream_session(spark, sf_dir):
     return out.select(
         "user_id",
         "n_events",
-        F.floor(F.col("w.start").cast("double")).cast("long").alias("session_start"),
+        epoch_s("w.start", "session_start"),
     )
 
 
@@ -167,7 +168,7 @@ def stream_watermark_late(spark, sf_dir):  # on micro-batch watermark timing
         files_per_trigger=2,
     )
     return out.select(
-        F.floor(F.col("w.start").cast("double")).cast("long").alias("window_start"),
+        epoch_s("w.start", "window_start"),
         "cnt",
     )
 
@@ -226,10 +227,7 @@ def stream_static_join(spark, sf_dir):
     aggregate keeps state."""
     from ..io import load_table
 
-    cust = None
-
     def build(stream):
-        nonlocal cust
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         )
@@ -256,9 +254,8 @@ def stream_sink_parquet(spark, sf_dir):
     standard exactly-once file-sink recipe).  The re-read of the sink must
     aggregate to the batch truth — which the oracle checks."""
     import shutil
-    from pathlib import Path
 
-    from ..streaming.replay import ART, materialize_chunks
+    from ..streaming.replay import ART, EVENTS_SCHEMA, materialize_chunks
 
     out_dir = ART / "stream_sink_parquet"
     chk = ART / "chk_stream_sink_parquet"
@@ -275,10 +272,7 @@ def stream_sink_parquet(spark, sf_dir):
         )
 
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        )
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
@@ -319,7 +313,8 @@ def stream_upsert_latest(spark, sf_dir):
     the batch latest-per-key query regardless of micro-batch boundaries —
     which is exactly what the oracle checks."""
     import shutil
-    from pathlib import Path
+
+    from pyspark.sql import Window as W
 
     from ..streaming.replay import ART, EVENTS_SCHEMA, materialize_chunks
 
@@ -350,8 +345,6 @@ def stream_upsert_latest(spark, sf_dir):
         if cur.exists():
             shutil.rmtree(cur)
         tmp.rename(cur)
-
-    from pyspark.sql import Window as W  # noqa: F811  (local import for clarity)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -399,8 +392,6 @@ def stream_stream_join(spark, sf_dir):
     Inner-join emission needs no watermark to fire (rows emit when the
     match arrives); the watermark only caps state, so the availableNow
     drain is complete and equals the batch interval join the oracle runs."""
-    from ..canon import epoch_s
-
     def build(stream):
         views = (
             stream.filter(F.col("event_type") == "view")
@@ -442,13 +433,19 @@ def stream_stream_join(spark, sf_dir):
 @register(
     "stream_stream_join_outer",
     oracle="""
-    WITH mx AS (SELECT max(ts) AS m FROM events),
-    v AS (
+    WITH v AS (
       SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
       FROM events WHERE event_type = 'view'
     ), p AS (
       SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
       FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+      -- the global watermark is the MIN over both inputs' watermarks
+      -- (multiple-watermark policy min, the Spark default), each fed by
+      -- its OWN filtered branch's max event time — not max(ts) over all
+      -- events, which can run ahead of both branches (e.g. a late
+      -- click event) and wrongly widen the eviction window
+      SELECT least((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p)) AS m
     ), j AS (
       SELECT v.view_id, p.purchase_id, v.v_user, v.v_ts, p.p_ts
       FROM v LEFT JOIN p
@@ -467,7 +464,11 @@ def stream_stream_join_outer(spark, sf_dir):
     follows within the hour — but in a stream, "no match" is only decidable
     once the watermark passes the view's match window.  Unmatched rows are
     emitted on state eviction at
-        v_ts < watermark - join_window = max_ts - (2h + 1h),
+        v_ts < watermark - join_window
+             = least(max view ts, max purchase ts) - (2h + 1h)
+    — the global watermark is the MIN over both inputs' watermarks (Spark's
+    default multiple-watermark policy), each computed from its own filtered
+    branch, NOT from max(ts) over the raw stream —
     so the availableNow drain equals the batch LEFT JOIN restricted to
     views older than that cutoff (younger unmatched views are still open
     state when the stream ends) plus ALL matched pairs — which is exactly
@@ -475,8 +476,6 @@ def stream_stream_join_outer(spark, sf_dir):
     semantics value-hash checkable.  Verified against the replay: the
     eviction boundary is the condition-shifted state watermark, not the
     bare watermark."""
-    from ..canon import epoch_s
-
     def build(stream):
         views = (
             stream.filter(F.col("event_type") == "view")

@@ -1,9 +1,12 @@
 """Deterministic streaming replay harness.
 
-Materializes the ``events`` fixture as N time-ordered parquet chunks, then
-runs a caller-supplied streaming graph over them with ``maxFilesPerTrigger=1``
-and an ``availableNow`` trigger — a real micro-batch execution with N
-batches, deterministic batch boundaries, and real state-store semantics.
+Materializes the ``events`` fixture as N=8 time-ordered parquet chunks, then
+runs a caller-supplied streaming graph over them with an ``availableNow``
+trigger — a real micro-batch execution with deterministic batch boundaries
+and real state-store semantics.  ``run_stream`` defaults to
+``maxFilesPerTrigger=4`` (2 data micro-batches — A/B-measured as the best
+cost/coverage point); watermark-timing-sensitive replays pass
+``files_per_trigger=2`` explicitly to get more watermark advances per run.
 
 At production scale the same graph reads a file/Kafka source continuously;
 nothing in the query changes — availableNow vs processingTime is a trigger
