@@ -92,6 +92,23 @@ def test_http_routes_over_socket(service):
                 raise AssertionError("expected HTTPError")
             except HTTPError as e:
                 assert e.code in (400, 404)
+        # wrong JSON shape must 400, not silently record garbage: a dict
+        # body's 2-char string keys would otherwise "unpack" into bogus
+        # (item, strength) pairs and return 200
+        backlog_before = service.pending_foldin_backlog
+        for bad in [{"12": 5}, [[1]], [[1, 2, 3]], "12", 7]:
+            try:
+                urlopen(
+                    Request(
+                        f"{base}/1/ratings",
+                        data=json.dumps(bad).encode(),
+                        method="POST",
+                    )
+                )
+                raise AssertionError(f"expected 400 for body {bad!r}")
+            except HTTPError as e:
+                assert e.code == 400, (bad, e.code)
+        assert service.pending_foldin_backlog == backlog_before
     finally:
         srv.shutdown()
 
