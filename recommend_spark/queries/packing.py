@@ -178,7 +178,8 @@ def pipeline_token_budget(spark, sf_dir):
              ntile(4) OVER (ORDER BY q, doc_id) AS phase
       FROM t
     )
-    SELECT phase, lang, count(*) AS n_docs, SUM(n_tok) AS total_tokens,
+    SELECT phase, lang, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            min(q) AS q_min, max(q) AS q_max
     FROM p GROUP BY phase, lang
     """,
@@ -193,7 +194,11 @@ def pipeline_curriculum(spark, sf_dir):
 
     Determinism: q is one IEEE division of exact integers (bit-identical
     ordering across engines), ntile is rank arithmetic, min/max of doubles
-    are selections.  Plan note: a global ntile is a single-partition sort
+    are selections — q_min/q_max stay unrounded (canon.py: round() itself
+    disagrees cross-engine).  The oracle casts the token sum to BIGINT:
+    DuckDB sum(BIGINT) → HUGEINT renders as float64 on the driver's pandas
+    path ('830.0' vs '830'), the probe-verified CORRECTNESS_r03 root
+    cause.  Plan note: a global ntile is a single-partition sort
     — fine at fixture scale and plainly visible in the plan; the 100 TB
     recipe replaces it with the two-pass quantile split documented in
     pipeline_token_budget (broadcast a q-histogram, derive 3 cut points,

@@ -486,17 +486,22 @@ def fn_try_safe(spark, sf_dir):
 @register(
     "mm_tensor_reshape",
     oracle="""
-    SELECT vec_id,
-           list_transform(generate_series(0, 3),
-             c -> list_transform(generate_series(1, 16),
-                    i -> CAST(embedding[c * 16 + i] AS DOUBLE))) AS chunks,
-           len(flatten(
+    WITH c AS (
+      SELECT vec_id,
              list_transform(generate_series(0, 3),
                c -> list_transform(generate_series(1, 16),
-                      i -> CAST(embedding[c * 16 + i] AS DOUBLE)))))
-             AS n_flat,
-           CAST(embedding[1] AS DOUBLE) AS first_elem
-    FROM embeddings
+                      i -> CAST(embedding[c * 16 + i] AS DOUBLE))) AS chunks,
+             CAST(embedding[1] AS DOUBLE) AS e0
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(chunks, ch ->
+             array_to_string(list_transform(ch,
+               x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',')), ';')
+             AS chunks,
+           len(flatten(chunks)) AS n_flat,
+           e0 AS first_elem
+    FROM c
     """,
 )
 def mm_tensor_reshape(spark, sf_dir):
@@ -505,16 +510,27 @@ def mm_tensor_reshape(spark, sf_dir):
     per-head analysis want), verify the flatten round-trip length, and
     keep a probe element.  Pure higher-order functions (transform over an
     index sequence + slice) — stays in Catalyst, map-only, no UDF; at any
-    scale this is a zero-shuffle projection."""
+    scale this is a zero-shuffle projection.
+
+    Output discipline: ``chunks`` is emitted as a ';'/',' joined string of
+    DECIMAL(18,6)-formatted elements — raw array<array<double>> cells crash
+    the driver canon's pandas sort (CORRECTNESS_r03), and fixed-point
+    decimal text is byte-identical across engines where raw double→string
+    is not ('1.0E-7' vs '1e-07')."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xd = "CAST(x AS DOUBLE)"
     chunks = F.expr(
         "transform(sequence(0, 3), c -> "
         "transform(slice(embedding, c * 16 + 1, 16), x -> CAST(x AS DOUBLE)))"
     )
+    chunk_str = F.expr(
+        "array_join(transform(sequence(0, 3), c -> array_join("
+        "transform(slice(embedding, c * 16 + 1, 16), "
+        "x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS STRING)), "
+        "',')), ';')"
+    )
     return emb.select(
         "vec_id",
-        chunks.alias("chunks"),
+        chunk_str.alias("chunks"),
         F.size(F.flatten(chunks)).alias("n_flat"),
         F.expr("CAST(embedding[0] AS DOUBLE)").alias("first_elem"),
     )

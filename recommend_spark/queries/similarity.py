@@ -629,9 +629,9 @@ def _knn_join_bucketed(spark, sf_dir, k):
     )
     SELECT e.vec_id, m.label,
            m.maxabs / 127 AS scale,
-           list_transform(e.embedding,
-                          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / m.maxabs)
-                                    AS INT)) AS qvec
+           array_to_string(list_transform(e.embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127 / m.maxabs)
+                            AS INT) AS VARCHAR)), ',') AS qvec
     FROM embeddings e JOIN m ON e.vec_id = m.vec_id
     """,
 )
@@ -643,7 +643,13 @@ def mm_embed_quantize(spark, sf_dir):
     engines, floor does not.  Map-only — each vector quantizes
     independently, no shuffle at any scale; floats are cast to double
     before arithmetic so both engines run the same IEEE ops (FIXTURES.md
-    Q5)."""
+    Q5).
+
+    Output discipline: ``qvec`` is emitted as a comma-joined string — raw
+    array<int> cells crash the driver canon's pandas sort
+    (CORRECTNESS_r03).  ``scale`` stays an unrounded double: one IEEE
+    division of a bit-identical max, and canon.py's verified finding is
+    that round() itself disagrees cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
@@ -651,8 +657,12 @@ def mm_embed_quantize(spark, sf_dir):
         "vec_id",
         "label",
         (maxabs / 127).alias("scale"),
-        F.transform(
-            "embedding", lambda x: F.floor(xd(x) * 127 / maxabs).cast("int")
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(xd(x) * 127 / maxabs).cast("int").cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 

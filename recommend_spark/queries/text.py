@@ -55,7 +55,7 @@ def text_tokenize_wordcount(spark, sf_dir):
     "text_stats_per_lang",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
-           sum(length(text)) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            min(length(text)) AS min_chars,
            max(length(text)) AS max_chars,
            CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
@@ -63,7 +63,14 @@ def text_tokenize_wordcount(spark, sf_dir):
     """,
 )
 def text_stats_per_lang(spark, sf_dir):
-    """Per-(lang, source) document count and char-length stats."""
+    """Per-(lang, source) document count and char-length stats.
+
+    Output discipline (CORRECTNESS_r03 root cause, probe-verified): DuckDB
+    sum(BIGINT) is HUGEINT, which its pandas path renders as float64
+    ('675.0' vs Spark's int64 '675') — the oracle casts the sum back to
+    BIGINT.  avg_chars stays an UNROUNDED double: it is one IEEE division
+    of exact integers, bit-identical across engines, and canon.py's
+    verified finding is that round() itself is what disagrees."""
     docs = load_table(spark, sf_dir, "documents")
     ln = F.length("text")
     return docs.groupBy("lang", "source").agg(
