@@ -41,23 +41,27 @@ def _make_handler(service: RecommendationService):
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
             # a service-side failure (stopped session, executor error mid
             # collect) must come back as a 500, not a killed socket with a
-            # server-side traceback and no status line
+            # server-side traceback and no status line.  The payload is
+            # COMPUTED inside the try and SENT outside it: with _send in
+            # the try, a socket death mid-write would route into the
+            # except and double-send a second status line onto the same
+            # dead connection.
             try:
+                code, payload = 404, {"error": f"no route for GET {self.path}"}
                 m = _TOP.match(self.path)
                 if m:
                     user_id, count = int(m.group(1)), int(m.group(2))
-                    self._send(200, service.top_ratings(user_id, count))
-                    return
-                m = _ONE.match(self.path)
-                if m:
-                    user_id, item_id = int(m.group(1)), int(m.group(2))
-                    self._send(
-                        200, service.ratings_for_items(user_id, [item_id])
-                    )
-                    return
-                self._send(404, {"error": f"no route for GET {self.path}"})
+                    code, payload = 200, service.top_ratings(user_id, count)
+                else:
+                    m = _ONE.match(self.path)
+                    if m:
+                        user_id, item_id = int(m.group(1)), int(m.group(2))
+                        code, payload = 200, service.ratings_for_items(
+                            user_id, [item_id]
+                        )
             except Exception as e:  # noqa: BLE001 — wire boundary
-                self._send(500, {"error": f"{type(e).__name__}: {e}"[:500]})
+                code, payload = 500, {"error": f"{type(e).__name__}: {e}"[:500]}
+            self._send(code, payload)
 
         def do_POST(self) -> None:  # noqa: N802 (stdlib API)
             m = _POST.match(self.path)

@@ -966,16 +966,17 @@ def ts_interpolate(spark, sf_dir):
                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events
     ), daily AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              count(*) AS n_events,
-             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_new_types
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_types
       FROM firsts GROUP BY 1, 2
     )
     SELECT user_id, day, n_events, n_new_types,
-           sum(n_new_types) OVER (
+           CAST(sum(n_new_types) OVER (
              PARTITION BY user_id ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS distinct_types_todate
+             AS BIGINT) AS distinct_types_todate
     FROM daily
     """,
 )
@@ -1002,8 +1003,11 @@ def win_cumulative_distinct(spark, sf_dir):
         "ts",
         F.row_number().over(wf).alias("rn"),
     )
+    # day as a yyyy-MM-dd STRING (house date discipline): DATE columns
+    # render differently on the driver's pandas path (Spark date object
+    # '2024-01-01' vs DuckDB datetime64 '2024-01-01 00:00:00')
     daily = firsts.groupBy(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_new_types"),

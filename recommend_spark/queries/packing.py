@@ -51,8 +51,8 @@ _SQL_NTOK = "len(string_split(lower(text), ' '))"
              ) - n_tok AS strt
       FROM t
     )
-    SELECT bucket, strt // {_PACK_BUDGET} AS bin,
-           count(*) AS n_docs, SUM(n_tok) AS n_tokens
+    SELECT bucket, CAST(strt // {_PACK_BUDGET} AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM p GROUP BY bucket, bin
     """,
 )
@@ -114,7 +114,7 @@ def pipeline_pack_sequences(spark, sf_dir):
              ) AS cum
       FROM t
     )
-    SELECT lang, count(*) AS n_docs, SUM(n_tok) AS total_tokens,
+    SELECT lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            min(q) AS q_floor
     FROM r WHERE cum <= {_LANG_BUDGET}
     GROUP BY lang

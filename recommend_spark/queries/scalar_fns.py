@@ -490,16 +490,16 @@ def fn_try_safe(spark, sf_dir):
       SELECT vec_id,
              list_transform(generate_series(0, 3),
                c -> list_transform(generate_series(1, 16),
-                      i -> CAST(embedding[c * 16 + i] AS DOUBLE))) AS chunks,
+                      i -> CAST(embedding[c * 16 + i] AS DOUBLE))) AS chunks_arr,
              CAST(embedding[1] AS DOUBLE) AS e0
       FROM embeddings
     )
     SELECT vec_id,
-           array_to_string(list_transform(chunks, ch ->
+           array_to_string(list_transform(chunks_arr, ch ->
              array_to_string(list_transform(ch,
                x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',')), ';')
              AS chunks,
-           len(flatten(chunks)) AS n_flat,
+           len(flatten(chunks_arr)) AS n_flat,
            e0 AS first_elem
     FROM c
     """,
@@ -516,7 +516,18 @@ def mm_tensor_reshape(spark, sf_dir):
     DECIMAL(18,6)-formatted elements — raw array<array<double>> cells crash
     the driver canon's pandas sort (CORRECTNESS_r03), and fixed-point
     decimal text is byte-identical across engines where raw double→string
-    is not ('1.0E-7' vs '1e-07')."""
+    is not ('1.0E-7' vs '1e-07').
+
+    The 1e-6 quantum, quantified (measured on the fixtures): both sides
+    serialize the SAME stored float32 cast to double — bit-identical
+    inputs, no arithmetic — so the only cross-engine risk is the decimal
+    rounding RULE disagreeing at an exact .5e-6 midpoint, and no fixture
+    element sits closer than 5.9e-7 grid units to one (sf0.001; 4.2e-6 at
+    sf0.1 — gated in tests/test_ml_quality.py).  Distinct elements DO
+    pack tighter than the quantum (min spacing ~1.9e-9), but the defect
+    class this check exists for — a wrong reshape ORDER — misplaces
+    values that differ at the ~0.1 scale (10^5 quanta), so resolution is
+    not the binding constraint."""
     emb = load_table(spark, sf_dir, "embeddings")
     chunks = F.expr(
         "transform(sequence(0, 3), c -> "

@@ -750,15 +750,19 @@ def mm_embed_pca(spark, sf_dir):
             if len(pdf):
                 X = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
                 P = (X - mu) @ basis
+                # Output discipline: comma-joined repr strings, not
+                # array<double> — raw array cells crash the driver canon's
+                # pandas sort (CORRECTNESS_r04), and repr round-trips each
+                # IEEE double exactly so the quality gates lose nothing.
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
                         "label": pdf["label"],
-                        "pc": [row.tolist() for row in P],
+                        "pc": [",".join(repr(v) for v in row) for row in P],
                     }
                 )
 
-    return emb.mapInPandas(project, "vec_id long, label int, pc array<double>")
+    return emb.mapInPandas(project, "vec_id long, label int, pc string")
 
 
 _PQ_CACHE: dict = {}
@@ -916,16 +920,19 @@ def mm_embed_pq(spark, sf_dir):
                 continue
             X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
             codes, err = _pq_assign(X, C, M, SUB)
+            # Output discipline: comma-joined code ids, not array<int> —
+            # raw array cells crash the driver canon's pandas sort
+            # (CORRECTNESS_r04); the 8 small ints serialize losslessly.
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "codes": [c.tolist() for c in codes],
+                    "codes": [",".join(str(int(v)) for v in c) for c in codes],
                     "sq_err": err,
                 }
             )
 
     return emb.mapInPandas(
-        encode, "vec_id long, codes array<int>, sq_err double"
+        encode, "vec_id long, codes string, sq_err double"
     )
 
 

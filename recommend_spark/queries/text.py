@@ -343,7 +343,7 @@ def text_langid(spark, sf_dir):
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_tok
     FROM k
     WHERE rn = 1 AND n_tok >= 10
@@ -398,8 +398,8 @@ def pipeline_corpus_stats(spark, sf_dir):
     )
     SELECT user_id,
            count(*) AS n_events,
-           SUM(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)
-             AS n_sessions,
+           CAST(SUM(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            count(DISTINCT event_type) AS n_types
     FROM o GROUP BY user_id
@@ -461,7 +461,7 @@ def pipeline_events_features(spark, sf_dir):
       FROM keep WHERE rn = 1
     )
     SELECT split, lang, count(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tok) AS DOUBLE) / count(*) AS avg_tokens
     FROM split GROUP BY split, lang
     """,
@@ -831,7 +831,7 @@ def pipeline_decontam(spark, sf_dir):
     wc AS (
       SELECT doc_id, w, count(*) AS c FROM tokf GROUP BY doc_id, w
     ), words AS (
-      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_cnt
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_cnt
       FROM wc GROUP BY doc_id
     ), bi AS (
       SELECT doc_id,
@@ -962,7 +962,7 @@ def pipeline_mixture_weights(spark, sf_dir):
       SELECT lang, source, count(*) AS c
       FROM documents GROUP BY lang, source
     ), e AS (
-      SELECT lang, sum(c) AS n_docs, count(*) AS n_sources,
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_sources,
              sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) * c) AS s
       FROM c GROUP BY lang
     )

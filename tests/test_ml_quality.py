@@ -356,8 +356,13 @@ def test_pca_quality_and_determinism(spark):
     repeat runs identical (sorted moment reduce + sign convention)."""
     import numpy as np
 
+    def parse(rows):
+        # pc is a comma-joined repr string (driver-canon discipline);
+        # float(repr(x)) == x, so the parsed matrix is bit-exact.
+        return np.array([[float(v) for v in r["pc"].split(",")] for r in rows])
+
     rows = QUERIES["mm_embed_pca"](spark, SF_DIR).collect()
-    P = np.array([r["pc"] for r in rows])
+    P = parse(rows)
     assert P.shape[1] == 8
     # centered: mean of projections ~ 0
     assert np.abs(P.mean(axis=0)).max() < 1e-9
@@ -365,8 +370,8 @@ def test_pca_quality_and_determinism(spark):
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(7)), "variance must be non-increasing"
     assert var[0] > 0, "top component must carry variance"
     rows2 = QUERIES["mm_embed_pca"](spark, SF_DIR).collect()
-    P2 = np.array([r["pc"] for r in sorted(rows2, key=lambda r: r["vec_id"])])
-    P1 = np.array([r["pc"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+    P2 = parse(sorted(rows2, key=lambda r: r["vec_id"]))
+    P1 = parse(sorted(rows, key=lambda r: r["vec_id"]))
     assert np.array_equal(P1, P2), "PCA must be run-to-run deterministic"
 
 
@@ -430,6 +435,29 @@ def test_unigram_surprisal_clear_of_decimal_rounding_boundaries():
     )
 
 
+def test_embedding_elements_clear_of_decimal_rounding_midpoints():
+    """mm_tensor_reshape / mm_embed_quantize serialize embedding elements
+    through DECIMAL(18,6); both engines round the SAME double, so the one
+    structural risk is a rounding-rule disagreement at an exact 0.5e-6
+    midpoint.  Assert every fixture element keeps a >=1e-9 margin in grid
+    units (the unigram-surprisal bar) so the agreement is structural, not
+    luck.  Measured: 5.9e-7 at sf0.001, 4.2e-6 at sf0.1."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    x = con.execute(
+        f"SELECT flatten(list(embedding)) "
+        f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    a = np.asarray(x, dtype=np.float64)
+    dist = np.abs((a * 1e6 % 1.0) - 0.5)
+    assert dist.min() > 1e-9, (
+        f"embedding element {a[dist.argmin()]} sits {dist.min():.2e} grid "
+        "units from a DECIMAL(18,6) rounding midpoint"
+    )
+
+
 def test_pq_quantization_quality_and_determinism(spark):
     """mm_embed_pq gates: (1) codes are valid codebook ids, (2) repeat runs
     are bit-identical (deterministic init + fixed fold order), (3) PQ
@@ -441,12 +469,16 @@ def test_pq_quantization_quality_and_determinism(spark):
     from recommend_spark.io import load_table
     from recommend_spark.queries import QUERIES
 
+    def codes_of(r):
+        # codes is a comma-joined int string (driver-canon discipline)
+        return tuple(int(c) for c in r["codes"].split(","))
+
     r1 = sorted(
-        (r["vec_id"], tuple(r["codes"]), r["sq_err"])
+        (r["vec_id"], codes_of(r), r["sq_err"])
         for r in QUERIES["mm_embed_pq"](spark, SF_DIR).collect()
     )
     r2 = sorted(
-        (r["vec_id"], tuple(r["codes"]), r["sq_err"])
+        (r["vec_id"], codes_of(r), r["sq_err"])
         for r in QUERIES["mm_embed_pq"](spark, SF_DIR).collect()
     )
     assert r1 == r2, "PQ is not deterministic across runs"

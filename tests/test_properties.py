@@ -472,6 +472,32 @@ def test_ewma_matches_python_reference(spark):
             assert abs(got[(u, day)] - num / den) < 1e-9, (u, day)
 
 
+def test_asof_tiebreak_invariant_no_same_instant_purchases(spark):
+    """join_asof's docstring claims 'among same-microsecond purchases the
+    latest event_id wins (fixtures have no such ties)' — the oracle's ASOF
+    JOIN would be free to pick EITHER purchase if a (user_id, ts) purchase
+    collision existed, so the parity guarantee rests on this invariant.
+    Assert it instead of trusting it (ADVICE r3: joins.py as-of
+    tie-break rested on an untested fixture invariant)."""
+    from tests.conftest import SF_DIR
+
+    from recommend_spark.io import load_table
+
+    ties = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert ties == 0, (
+        f"{ties} same-(user_id, ts) purchase collisions — join_asof's "
+        "tie-break is no longer oracle-neutral; add an event_id tie-break "
+        "to the oracle"
+    )
+
+
 def test_asof_nearest_matches_brute_force(spark):
     """join_asof_nearest must agree with a per-event brute-force scan of
     the same user's purchases (min |Δt|, ties to the past) on a sample."""
