@@ -139,7 +139,12 @@ def main() -> None:
     heavy_times: dict[str, float] = {}
     for i, qid in enumerate(heavy_set):
         heavy_times[qid] = timed(qid)
-        drain_cleaner(i)
+        # heavy ops are multi-second and individually stall-prone (r4:
+        # stream_watermark_late 4.5 s in-sweep vs 2.5 s idle) — drain
+        # every 4 ops, not 20: a ~50 ms forced GC is immaterial next to
+        # the seconds a mid-replay cleaner stall costs
+        if i % 4 == 3:
+            spark.sparkContext._jvm.System.gc()
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

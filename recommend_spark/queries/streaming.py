@@ -157,15 +157,20 @@ def stream_watermark_late(spark, sf_dir):  # on micro-batch watermark timing
             .agg(F.count("*").alias("cnt"))
         )
 
-    # 2 files/trigger (4 batches): append emission fires on watermark
-    # advances BETWEEN batches, so this one keeps the finer batching.
+    # Default batching (4 files/trigger -> 2 data batches).  The finer
+    # 2-files/trigger replay this op used through r4 bought nothing:
+    # availableNow runs a final watermark-commit pass, so the emitted
+    # window set is batching-INVARIANT (measured at sf0.1: 4318 rows at
+    # 2, 4, and 8 files/trigger) while 4 data batches doubled the
+    # per-batch scheduler + state-commit cost (2.3-2.8 s idle vs 1.7 s;
+    # 4.52 s in the r4 sweep).  2 data batches still carry state across a
+    # genuine batch boundary, which is what the prefix gate exercises.
     out = run_stream(
         spark,
         sf_dir,
         "rs_stream_watermark_late",
         build,
         output_mode="append",
-        files_per_trigger=2,
     )
     return out.select(
         epoch_s("w.start", "window_start"),
