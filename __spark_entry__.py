@@ -63,7 +63,20 @@ def _registration_order() -> list[str]:
         times = {k: float(v) for k, v in prof.get("times", {}).items()}
     except (OSError, ValueError):
         pass
-    return sorted(QUERIES, key=lambda q: (q in verified, times.get(q, 0.0), q))
+    # Ops the r4 verdict marked driver-red or judge-verified latent-red,
+    # fixed in r5 — front of the queue so the fix gets a green driver row
+    # the same round.  Self-draining: once a green CORRECTNESS row lands,
+    # `q in verified` dominates the key and they rotate to the back.
+    fix_first = {
+        "tpch_q12", "pipeline_corpus_stats", "pipeline_events_features",
+        "pipeline_training_corpus", "pipeline_pack_sequences",
+        "pipeline_token_budget", "text_repetition", "text_source_entropy",
+        "win_cumulative_distinct", "mm_embed_pca", "mm_embed_pq",
+    }
+    return sorted(
+        QUERIES,
+        key=lambda q: (q in verified, q not in fix_first, times.get(q, 0.0), q),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
