@@ -111,7 +111,7 @@ def main() -> None:
     run_one(spark, "scan_parquet", sf_dir)
     run_one(spark, "udf_scalar_pandas", sf_dir)
 
-    def drain_cleaner(i: int) -> None:
+    def drain_cleaner(i: int, every: int = 20) -> None:
         # Spark's ContextCleaner drains queued shuffle/broadcast cleanup
         # when a JVM GC happens — and with default blocking cleanup, a GC
         # landing MID-QUERY stalls that query for seconds (the source of
@@ -119,7 +119,7 @@ def main() -> None:
         # runs: a 0.4 s join measured at 4.8 s).  Forcing a GC every few
         # queries keeps the cleanup queue short and makes the stalls land
         # in these UNTIMED gaps, not inside a measurement.
-        if i % 20 == 19:
+        if i % every == every - 1:
             spark.sparkContext._jvm.System.gc()
 
     # Best-of-N per query (default 2).  This VM shows multi-second
@@ -143,8 +143,7 @@ def main() -> None:
         # stream_watermark_late 4.5 s in-sweep vs 2.5 s idle) — drain
         # every 4 ops, not 20: a ~50 ms forced GC is immaterial next to
         # the seconds a mid-replay cleaner stall costs
-        if i % 4 == 3:
-            spark.sparkContext._jvm.System.gc()
+        drain_cleaner(i, every=4)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -758,7 +758,11 @@ def mm_embed_pca(spark, sf_dir):
                     {
                         "vec_id": pdf["vec_id"],
                         "label": pdf["label"],
-                        "pc": [",".join(repr(v) for v in row) for row in P],
+                        # float(v) first: repr(np.float64) becomes
+                        # 'np.float64(0.5)' under numpy>=2, which would
+                        # corrupt the column; repr(float) is version-stable
+                        # and still round-trips the IEEE double exactly
+                        "pc": [",".join(repr(float(v)) for v in row) for row in P],
                     }
                 )
 

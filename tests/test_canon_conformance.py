@@ -28,12 +28,21 @@ safe (both engines fetch datetime64 and render identically).
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, DateType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    DecimalType,
+    MapType,
+    StructType,
+)
 
-from conftest import SF_DIR
+from tests.conftest import SF_DIR
 from recommend_spark.queries import ORACLES, QUERIES
 
-_SPARK_FORBIDDEN = (ArrayType, MapType, StructType, DateType)
+# DecimalType: Spark DECIMAL str-renders as decimal.Decimal text ('50.00')
+# while the DuckDB side fetches DECIMAL as float64 ('50.0') — same silent
+# mismatch class as DATE.  House style: cast to double before output.
+_SPARK_FORBIDDEN = (ArrayType, MapType, StructType, DateType, DecimalType)
 
 
 @pytest.mark.parametrize("qid", sorted(QUERIES))

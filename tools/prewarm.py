@@ -31,6 +31,7 @@ ARTIFACT_BUILDERS = [
     "graph_triangles",        # co-purchase edge set
     "sim_ivf_pq",             # PQ codebook (.npy)
     "als_train",              # ALS model (ml save/load)
+    "rec_eval_recall",        # train-fold ALS model (ml save/load)
     "dedup_near_jaccard",     # word-shingle pair table
     "dedup_ngram_jaccard",    # bigram-shingle pair table
     "dedup_minhash_banded",   # banded-minhash pair table
