@@ -1140,3 +1140,83 @@ def events_churn(spark, sf_dir):
         .otherwise(0)
         .alias("churned"),
     )
+
+
+@register(
+    "events_outlier_mad",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, value AS med FROM r
+      WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ), r2 AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY dev, event_id) AS rn2,
+             count(*) OVER (PARTITION BY event_type) AS n2
+      FROM d
+    ), mad AS (
+      SELECT event_type, dev AS mad FROM r2
+      WHERE rn2 = CAST(floor((n2 + 1) / 2.0) AS BIGINT)
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, d.mad
+    FROM (SELECT d.*, m2.mad FROM d JOIN mad m2 USING (event_type)) d
+    WHERE d.dev > 3 * d.mad
+    """,
+)
+def events_outlier_mad(spark, sf_dir):
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation), flag values with |v - median| > 3*MAD — the
+    heavy-tail-safe alternative to z-scores (events_anomaly_days), since
+    one whale purchase inflates a mean+stddev gate but moves a median not
+    at all.  Medians are the exact lower-median rank element (the
+    agg_quantile_disc recipe, event_id tie-break), so both engines pick
+    the identical data value and every downstream float op is per-row
+    IEEE — hash-stable with no rounding.
+
+    Scale shape: two rank windows partitioned by event_type plus two
+    broadcast joins of |types|-row tables back onto the stream — the
+    second pass is unavoidable for an exact MAD (it needs the median
+    first).  At 100 TB with few types the exact rank sort concentrates on
+    |types| reducers: the scale path swaps both medians for
+    percentile_approx sketches (the agg_approx_quantile twin), keeping
+    this exact form as the oracle-checkable reference."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = W.partitionBy("event_type")
+    r = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = r.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("long")
+    ).select("event_type", F.col("value").alias("med"))
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    r2 = d.withColumn(
+        "rn2", F.row_number().over(w.orderBy("dev", "event_id"))
+    ).withColumn("n2", F.count("*").over(w))
+    mad = r2.filter(
+        F.col("rn2") == F.floor((F.col("n2") + 1) / 2.0).cast("long")
+    ).select("event_type", F.col("dev").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )

@@ -790,3 +790,90 @@ def join_asof_tolerance(spark, sf_dir):
             F.col("last_v"),
         ).alias("recent_purchase_value"),
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), dim AS (
+      SELECT user_id, t_us AS valid_from, event_type AS state,
+             lead(t_us) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to
+      FROM seq WHERE prev_type IS NULL OR prev_type != event_type
+    ), f AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, d.state AS state_at_purchase,
+           d.valid_from AS state_since_us
+    FROM f JOIN dim d ON f.user_id = d.user_id
+      AND d.valid_from <= f.t_us
+      AND (d.valid_to IS NULL OR f.t_us < d.valid_to)
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time (PIT) join: each purchase enriched with the user's
+    state DIMENSION row that was valid at the purchase timestamp — the
+    feature-store correctness primitive (training features must reflect
+    what was knowable AT the label's time; joining the current dimension
+    row leaks the future).  The dimension is the SCD2 state history
+    derived from the event stream (the pipeline_scd2 spans, at exact
+    integer-microsecond grain).
+
+    Scale shape: NOT the naive validity-range join (O(facts x spans) under
+    Spark's nested-loop fallback).  Because SCD2 spans partition time per
+    key, "the span containing t" == "the latest span starting at-or-before
+    t", so this is the join_asof union-merge recipe: ONE shuffle on
+    user_id, one sort, one last(ignore nulls) window carrying (state,
+    valid_from) — linear at any scale, same plan at 100 TB.  Tie rule at
+    equal t_us: the dimension row sorts first (is_right desc), matching
+    the oracle's half-open [valid_from, valid_to) containment; empty
+    same-microsecond spans are superseded by construction (the LAST
+    boundary at a given t_us wins, which containment SQL agrees with
+    because the earlier span is empty)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+        F.lag("event_type").over(w_seq).alias("prev_type"),
+    )
+    dim = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "t_us",
+        F.lit(1).alias("is_right"),
+        "event_id",
+        F.col("event_type").alias("d_state"),
+        F.col("t_us").alias("d_from"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("string").alias("d_state"),
+        F.lit(None).cast("long").alias("d_from"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", F.col("is_right").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        facts.unionByName(dim)
+        .withColumn("state_at_purchase", F.last("d_state", ignorenulls=True).over(w))
+        .withColumn("state_since_us", F.last("d_from", ignorenulls=True).over(w))
+    )
+    return merged.filter(F.col("is_right") == 0).select(
+        "event_id", "state_at_purchase", "state_since_us"
+    )

@@ -190,3 +190,49 @@ def sample_reservoir(spark, sf_dir):
         .orderBy("h", "o_orderkey")
         .limit(500)
     )
+
+
+@register(
+    "sample_class_balanced",
+    oracle=f"""
+    WITH m AS (
+      SELECT min(cnt) AS m FROM (
+        SELECT count(*) AS cnt FROM embeddings GROUP BY label
+      )
+    ), r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY {sql_md5_int("CAST(vec_id AS VARCHAR)", 8)}, vec_id
+             ) AS sample_rank
+      FROM embeddings
+    )
+    SELECT vec_id, label, sample_rank FROM r, m WHERE sample_rank <= m.m
+    """,
+)
+def sample_class_balanced(spark, sf_dir):
+    """Class-balanced downsampling: every label keeps exactly min-class-size
+    rows — the class-imbalance fix for classifier training data (upsampled
+    heads drown minority labels; balancing by the SMALLEST class needs no
+    replication).  Which rows survive is decided by md5(vec_id) rank, so
+    the subsample is deterministic, engine-neutral, and repartition-stable
+    (no RNG) — the same hash-as-uniform primitive as sample_hash_split,
+    lifted from a global threshold to a per-group quota.
+
+    Scale shape: one count aggregate (|labels| rows, broadcast as a 1-row
+    scalar), one row_number window partitioned by label.  The window
+    shuffles on label — for a 100 TB corpus with few labels, the skew-safe
+    variant first filters with the uniform draw to ~2x the quota per class
+    (map-only), THEN ranks the survivors; the fixture's 10 labels x 50
+    rows need no such pre-filter."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    m = e.groupBy("label").count().agg(F.min("count").alias("m"))
+    w = W.partitionBy("label").orderBy(md5_int(F.col("vec_id"), 8), "vec_id")
+    return (
+        e.withColumn("sample_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("sample_rank") <= F.col("m"))
+        .select("vec_id", "label", "sample_rank")
+    )

@@ -573,3 +573,36 @@ def meta_cache_table(spark, sf_dir):
         .groupBy("n_nationkey", "n_name")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "sink_jsonl_shards",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def sink_jsonl_shards(spark, sf_dir):
+    """Sharded JSONL export + re-ingest round-trip — the interchange format
+    every LLM training stack consumes (one JSON object per line, fixed
+    shard count so downstream loaders can assign shards to workers).
+    Writes the corpus as 4 JSONL shards, reads them back with an explicit
+    schema (schema inference on JSON is a full extra pass — never at
+    100 TB), and returns the re-read rows; the oracle is the source table
+    itself, so the hash check proves the round-trip lossless byte-for-byte
+    (doc text escaping/unescaping included).
+
+    Scale shape: map-only write (repartition to the shard count is the
+    only exchange), map-only read.  At 100 TB the shard count comes from a
+    target shard SIZE (total/512MB), not a constant, and the write adds
+    compression (.zst) — both config, not plan, changes."""
+    from pathlib import Path
+
+    path = f"{ART}/sink_jsonl_docs_{Path(sf_dir).name}"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.repartition(4).write.mode("overwrite").json(path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return spark.read.schema(schema).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

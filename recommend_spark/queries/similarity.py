@@ -1041,3 +1041,62 @@ def sim_ivf_pq(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "adc_score")
     )
+
+
+@register(
+    "dq_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_reduce(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               (a, b) -> a + b)) AS norm,
+             len(embedding) AS dim,
+             length(list_filter(embedding, x -> NOT isfinite(x))) AS n_bad
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           count(*) FILTER (dim != 64) AS n_bad_dim,
+           count(*) FILTER (n_bad > 0) AS n_nonfinite,
+           count(*) FILTER (norm = 0.0) AS n_zero,
+           min(norm) AS min_norm,
+           max(norm) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def dq_embeddings(spark, sf_dir):
+    """Data-quality expectations for a VECTOR column — dq_checks lifted to
+    embeddings, the checks an ANN/training pipeline runs before indexing:
+    per label, the count of wrong-dimension vectors, non-finite (NaN/Inf)
+    components, exact-zero vectors (unnormalizable), and the norm range.
+
+    Determinism: the squared-norm fold is SEQUENTIAL in both engines
+    (Spark F.aggregate with 0.0 seed == DuckDB list_reduce from the first
+    element, since 0.0 + x is exact), every float32 component widens to
+    double exactly, and sqrt is IEEE-correctly-rounded everywhere — so
+    min/max norms hash-match with no rounding.  Scale shape: map-only
+    per-row expressions + one partial-aggregated groupBy on label; the
+    whole check is one pass over the corpus."""
+    inf = float("inf")
+    x = F.col("embedding").cast("array<double>")
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform(x, lambda c: c * c), F.lit(0.0), lambda a, c: a + c
+            )
+        ).alias("norm"),
+        F.size("embedding").alias("dim"),
+        F.size(
+            F.filter(x, lambda c: F.isnan(c) | (F.abs(c) == F.lit(inf)))
+        ).alias("n_bad"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.count(F.when(F.col("dim") != 64, 1)).alias("n_bad_dim"),
+        F.count(F.when(F.col("n_bad") > 0, 1)).alias("n_nonfinite"),
+        F.count(F.when(F.col("norm") == 0.0, 1)).alias("n_zero"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+    )

@@ -540,3 +540,124 @@ def test_asof_nearest_matches_brute_force(spark):
             ),
         )
         assert got[r["event_id"]] == best[1], (r["event_id"], best, got[r["event_id"]])
+
+
+def test_class_balanced_sample_is_balanced(spark):
+    """Every label keeps exactly min-class-size rows, drawn from itself."""
+    from collections import Counter
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    src = Counter(
+        r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings").select("label").collect()
+    )
+    m = min(src.values())
+    out = Counter(
+        r["label"]
+        for r in QUERIES["sample_class_balanced"](spark, SF_DIR).collect()
+    )
+    assert set(out) == set(src)
+    assert all(c == m for c in out.values()), out
+
+
+def test_point_in_time_join_no_future_leakage(spark):
+    """Every purchase gets exactly one state, the state started at-or-before
+    the purchase, and it equals a brute-force per-event recomputation."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["event_id"]: (r["state_at_purchase"], r["state_since_us"])
+        for r in QUERIES["join_point_in_time"](spark, SF_DIR).collect()
+    }
+    ev = [
+        (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ]
+    n_purchases = sum(1 for e in ev if e[3] == "purchase")
+    assert len(out) == n_purchases
+    # brute force: latest state-change boundary at-or-before each purchase
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, eid, ty in ev:
+        by_user[u].append((ts, eid, ty))
+    for u, rows in by_user.items():
+        rows.sort()
+        bounds = []  # (ts, eid, state) at each state change
+        prev = None
+        for ts, eid, ty in rows:
+            if prev is None or ty != prev:
+                bounds.append((ts, eid, ty))
+            prev = ty
+        for ts, eid, ty in rows:
+            if ty != "purchase":
+                continue
+            latest = max(b for b in bounds if (b[0], b[1]) <= (ts, eid))
+            state, since = out[eid]
+            assert state == latest[2], (u, eid)
+            assert since == int(latest[0].timestamp() * 1_000_000)
+
+
+def test_jsonl_shards_file_count_and_round_trip(spark):
+    """The export writes exactly 4 JSONL shards and loses no rows."""
+    from pathlib import Path
+
+    from recommend_spark.io import ART_ROOT, load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    n_src = load_table(spark, SF_DIR, "documents").count()
+    n_out = QUERIES["sink_jsonl_shards"](spark, SF_DIR).count()
+    assert n_out == n_src
+    shard_dir = Path(ART_ROOT) / f"sink_jsonl_docs_{Path(SF_DIR).name}"
+    parts = list(shard_dir.glob("part-*.json"))
+    assert len(parts) == 4, parts
+
+
+def test_mad_outliers_satisfy_threshold(spark):
+    """Every flagged row exceeds 3*MAD, and med/MAD are actual data values."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["events_outlier_mad"](spark, SF_DIR).collect()
+    assert rows, "fixture should contain MAD outliers"
+    vals = {
+        t: sorted(
+            r["value"]
+            for r in load_table(spark, SF_DIR, "events")
+            .filter(F.col("event_type") == t)
+            .select("value")
+            .collect()
+        )
+        for t in {r["event_type"] for r in rows}
+    }
+    for r in rows:
+        assert abs(r["value"] - r["med"]) > 3 * r["mad"]
+        assert r["med"] in vals[r["event_type"]]
+
+
+def test_dq_embeddings_clean_fixture(spark):
+    """The fixture is clean: all dims 64, no non-finite, no zero vectors,
+    norms positive and min <= max per label."""
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["dq_embeddings"](spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_bad_dim"] == 0 and r["n_nonfinite"] == 0 and r["n_zero"] == 0
+        assert 0 < r["min_norm"] <= r["max_norm"]
