@@ -222,3 +222,70 @@ def pipeline_curriculum(spark, sf_dir):
         F.min("q").alias("q_min"),
         F.max("q").alias("q_max"),
     )
+
+
+#: tokens per training chunk and stride (overlap = _CHUNK_SIZE - _CHUNK_STRIDE)
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_SQL_TOKS_F = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+
+@register(
+    "pipeline_doc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_F} AS toks FROM documents
+    ), d2 AS (
+      SELECT doc_id, toks, len(toks) AS n_tok FROM d WHERE len(toks) > 0
+    ), ex AS (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(0, n_tok - 1, {_CHUNK_STRIDE})) AS start_pos,
+             toks
+      FROM d2
+    )
+    SELECT doc_id,
+           start_pos // {_CHUNK_STRIDE} AS chunk_idx,
+           start_pos,
+           len(list_slice(toks, start_pos + 1, start_pos + {_CHUNK_SIZE})) AS n_tokens,
+           array_to_string(list_slice(toks, start_pos + 1, start_pos + {_CHUNK_SIZE}), ' ')
+             AS chunk_text
+    FROM ex
+    """,
+)
+def pipeline_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking — how long documents become
+    fixed-size training examples without losing cross-boundary context:
+    windows of 32 tokens advancing by 24 (overlap 8), last window ragged.
+    Complements
+    pipeline_pack_sequences (which concatenates SHORT docs up to a budget);
+    chunking splits LONG docs down to one.
+
+    Entirely map-side Catalyst: split → filter empties → sequence(0, n-1,
+    stride) → posexplode → slice/concat_ws.  Zero shuffles, zero Python —
+    at 100 TB this runs at scan speed and the output partitioning inherits
+    the input's, ready for the pack/shuffle stage downstream.  The window
+    start arithmetic is integer, so chunk identity is engine-exact; DuckDB
+    twin uses generate_series/list_slice with the same 1-based slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tok", F.size("toks")
+    ).filter(F.col("n_tok") > 0)
+    ex = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.col("n_tok") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("chunk_idx", "start_pos"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_pos") + 1, F.lit(_CHUNK_SIZE))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -17,6 +17,7 @@ bucket bit-for-bit (SURVEY.md §5.3 determinism discipline).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window as W
 
 from ..canon import md5_int, sql_md5_int
 from ..io import load_table
@@ -235,4 +236,106 @@ def sample_class_balanced(spark, sf_dir):
         .crossJoin(F.broadcast(m))
         .filter(F.col("sample_rank") <= F.col("m"))
         .select("vec_id", "label", "sample_rank")
+    )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    items AS (
+      SELECT p_partkey AS item_id,
+             row_number() OVER (ORDER BY p_partkey) AS rn
+      FROM part
+    ),
+    n AS (SELECT count(*) AS n_items FROM part),
+    cand AS (
+      SELECT u.user_id, gs.j,
+             1 + {sql_md5_int("CAST(u.user_id AS VARCHAR) || '#' || CAST(gs.j AS VARCHAR)", 6)} % n.n_items AS rn
+      FROM users u
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) gs
+    ),
+    negs AS (
+      SELECT c.user_id, i.item_id, min(c.j) AS first_draw
+      FROM cand c JOIN items i USING (rn)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.user_id = c.user_id AND p.item_id = i.item_id
+      )
+      GROUP BY c.user_id, i.item_id
+    )
+    SELECT user_id, item_id, neg_rank FROM (
+      SELECT user_id, item_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY first_draw, item_id
+             ) AS neg_rank
+      FROM negs
+    ) WHERE neg_rank <= 3
+    """,
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive / implicit-feedback
+    training: for every user, draw 8 candidate catalog items via the
+    engine-neutral md5(user#draw) trick, drop any the user actually bought
+    (anti-join against the positives), and keep the first 3 survivors.
+    RNG-free, so the same (user, negative) pairs come out on any cluster
+    size or partitioning — the property that makes training re-runs and
+    ablations comparable.
+
+    100 TB: the item catalog (with its row_number index) and the item
+    count are broadcast — catalogs are millions of rows while users are
+    billions, so the only shuffles are the positives' distinct and the
+    anti-join, both keyed on (user_id, item_id).  The candidate fan-out is
+    a map-side explode of a literal 1..8 sequence.  The global row_number
+    over the catalog is the one full sort; it touches only the small side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    users = o.select(F.col("o_custkey").alias("user_id")).distinct()
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    items = p.select(
+        F.col("p_partkey").alias("item_id"),
+        F.row_number().over(W.orderBy("p_partkey")).alias("rn"),
+    )
+    n = p.agg(F.count(F.lit(1)).alias("n_items"))
+    cand = (
+        users.select(
+            "user_id", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "j",
+            (
+                1
+                + md5_int(
+                    F.concat_ws("#", F.col("user_id"), F.col("j")), 6
+                )
+                % F.col("n_items")
+            ).alias("rn"),
+        )
+    )
+    negs = (
+        cand.join(F.broadcast(items), "rn")
+        .join(pos, ["user_id", "item_id"], "left_anti")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("j").alias("first_draw"))
+    )
+    w = W.partitionBy("user_id").orderBy("first_draw", "item_id")
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("user_id", "item_id", "neg_rank")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-from ..canon import r4
+from ..canon import md5_int, r4, sql_md5_int
 from ..io import ART_ROOT as ART, load_table
 from ..registry import register
 
@@ -605,4 +605,47 @@ def sink_jsonl_shards(spark, sf_dir):
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     return spark.read.schema(schema).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    SELECT {sql_md5_int("CAST(doc_id AS VARCHAR)", 6)} % 8 AS shard,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_shard_manifest(spark, sf_dir):
+    """Shard the corpus by the engine-neutral md5(doc_id) bucket, write one
+    parquet directory per shard, re-read the written files, and emit the
+    manifest a training data-loader consumes: per-shard row count, byte
+    proxy (total chars), and doc-id range.  The manifest is computed from
+    the FILES READ BACK, not the source frame, so the hash check proves
+    write+read lossless *and* that every row landed in its assigned shard.
+
+    100 TB: bucketing is map-only (hash of the key); partitionBy('shard')
+    writes each bucket as its own directory without a pre-shuffle (each
+    task streams rows to per-shard files); the manifest agg is a
+    |shards|-row groupBy.  Shard count scales as corpus_bytes /
+    target_shard_bytes — a constant here, a conf at scale.  DuckDB twin
+    aggregates the same bucket expression straight off the source table
+    (CAST AS BIGINT kills the HUGEINT SUM class per FIXTURES.md)."""
+    from pathlib import Path
+
+    path = f"{ART}/shard_manifest_docs_{Path(sf_dir).name}"
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", md5_int(F.col("doc_id"), 6) % 8
+    )
+    docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )

@@ -434,3 +434,75 @@ def win_rolling_median(spark, sf_dir):
             (F.expr(med) / 100.0).alias("med7"),
         )
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_s
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(SUM(next_s - t_s) AS BIGINT) AS held_s,
+           CAST(SUM(CAST(value * (next_s - t_s) AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(next_s - t_s) AS BIGINT) AS twa_value
+    FROM seq
+    WHERE next_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(next_s - t_s) > 0
+    """,
+)
+def win_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of `value` per user over an irregular event
+    timeline: each reading is weighted by how long it was the *current*
+    state (next event's timestamp minus its own), the correct mean for
+    unevenly sampled gauges (sensor state, account balance, price) where a
+    plain AVG over-counts bursts.  One window (lead over the user's
+    timeline) + one grouped agg — both shuffle on user_id, and AQE merges
+    them into a single exchange.
+
+    Determinism: the per-interval product value*dt is per-row IEEE (bit
+    stable cross-engine); the order-sensitive accumulation is made exact by
+    summing in DECIMAL(25,6) (canon.py dsum discipline), and the final
+    division is one IEEE op.  Ordering ties break on integer microseconds
+    + event_id (the win_lag_lead rule), but the WEIGHT is integer epoch
+    seconds: with microsecond weights the decimal sum's scaled integer
+    tops 2^53 and the decimal->double cast itself rounds differently per
+    engine (measured: 38/150 users off by 1 ulp); second weights keep the
+    scaled sum exactly double-representable.  Zero-span users (all events
+    inside one second) are dropped — 0/0 division semantics differ across
+    engines.
+
+    100 TB: map + one shuffle on user_id; the window sort is bounded by
+    per-user event count, skew handled by AQE.  No Python, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    t_s = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        t_s.alias("t_s"),
+        F.lead(t_s).over(w).alias("next_s"),
+    ).filter(F.col("next_s").isNotNull())
+    dt = F.col("next_s") - F.col("t_s")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dt).alias("held_s"),
+            (
+                F.sum((F.col("value") * dt).cast("decimal(25,6)")).cast(
+                    "double"
+                )
+                / F.sum(dt)
+            ).alias("twa_value"),
+        )
+        .filter(F.col("held_s") > 0)
+    )

@@ -661,3 +661,140 @@ def test_dq_embeddings_clean_fixture(spark):
     for r in rows:
         assert r["n_bad_dim"] == 0 and r["n_nonfinite"] == 0 and r["n_zero"] == 0
         assert 0 < r["min_norm"] <= r["max_norm"]
+
+
+def test_time_weighted_avg_matches_brute_force(spark):
+    """TWA equals a per-user brute-force recompute (floor-second weights,
+    microsecond+event_id ordering) and lies within [min, max] of value."""
+    import math
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["user_id"]: (r["n_intervals"], r["held_s"], r["twa_value"])
+        for r in QUERIES["win_time_weighted_avg"](spark, SF_DIR).collect()
+    }
+    ev = [
+        (r["user_id"], r["ts"], r["event_id"], r["value"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ]
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, eid, v in ev:
+        by_user[u].append((int(ts.timestamp() * 1_000_000), eid, v))
+    for u, rows in by_user.items():
+        rows.sort()
+        secs = [us // 1_000_000 for us, _, _ in rows]
+        dts = [secs[i + 1] - secs[i] for i in range(len(rows) - 1)]
+        vals = [v for _, _, v in rows[:-1]]
+        held = sum(dts)
+        if held == 0:
+            assert u not in out
+            continue
+        n_int, held_s, twa = out[u]
+        assert n_int == len(dts) and held_s == held
+        brute = sum(v * dt for v, dt in zip(vals, dts)) / held
+        assert math.isclose(twa, brute, rel_tol=1e-9), (u, twa, brute)
+        lo, hi = min(v for _, _, v in rows), max(v for _, _, v in rows)
+        assert lo - 1e-9 <= twa <= hi + 1e-9
+
+
+def test_negative_pairs_disjoint_from_positives(spark):
+    """No sampled negative is an observed positive; ranks are 1..3 dense
+    per user; every item comes from the catalog."""
+    from collections import defaultdict
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pos = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .collect()
+    }
+    catalog = {
+        r["p_partkey"] for r in load_table(spark, SF_DIR, "part").collect()
+    }
+    rows = QUERIES["sample_negative_pairs"](spark, SF_DIR).collect()
+    assert rows
+    ranks = defaultdict(list)
+    for r in rows:
+        assert (r["user_id"], r["item_id"]) not in pos
+        assert r["item_id"] in catalog
+        ranks[r["user_id"]].append(r["neg_rank"])
+    for u, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= 3
+
+
+def test_shard_manifest_covers_corpus(spark):
+    """Shard ids are 0..7, doc counts sum to the corpus, and each shard's
+    stats match a direct recompute of the md5 bucket."""
+    import hashlib
+    from collections import defaultdict
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    expect = defaultdict(lambda: [0, 0, None, None])
+    for r in docs:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:6], 16) % 8
+        e = expect[b]
+        e[0] += 1
+        e[1] += r["n_chars"]
+        e[2] = r["doc_id"] if e[2] is None else min(e[2], r["doc_id"])
+        e[3] = r["doc_id"] if e[3] is None else max(e[3], r["doc_id"])
+    out = QUERIES["pipeline_shard_manifest"](spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == len(docs)
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        e = expect[r["shard"]]
+        assert [r["n_docs"], r["total_chars"], r["min_doc_id"], r["max_doc_id"]] == e
+
+
+def test_doc_chunks_reconstruct_token_stream(spark):
+    """Stride-advancing chunks tile every doc: chunk i starts at 24*i, all
+    chunks have 1..32 tokens, the windows cover the full token stream, and
+    de-overlapping the chunks reproduces it exactly."""
+    from collections import defaultdict
+
+    from recommend_spark.io import load_table
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    toks = {
+        r["doc_id"]: [w for w in r["text"].lower().split(" ") if w != ""]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    chunks = defaultdict(dict)
+    for r in QUERIES["pipeline_doc_chunks"](spark, SF_DIR).collect():
+        assert r["start_pos"] == 24 * r["chunk_idx"]
+        assert 1 <= r["n_tokens"] <= 32
+        chunks[r["doc_id"]][r["chunk_idx"]] = r
+    for doc_id, full in toks.items():
+        if not full:
+            assert doc_id not in chunks
+            continue
+        cs = chunks[doc_id]
+        assert sorted(cs) == list(range(len(cs)))
+        rebuilt = []
+        for i in range(len(cs)):
+            words = cs[i]["chunk_text"].split(" ")
+            assert len(words) == cs[i]["n_tokens"]
+            rebuilt.extend(words if i == len(cs) - 1 else words[:24])
+        # the final chunk re-covers the overlap; trim to doc length
+        assert rebuilt[: len(full)] == full
+        last = cs[len(cs) - 1]
+        assert last["start_pos"] + last["n_tokens"] == len(full)
