@@ -250,3 +250,26 @@ def test_pmi_broadcasts_vocab_tables(spark):
     plan = _plan(QUERIES["text_pmi_collocations"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """TWA's lead-window and grouped agg both key on user_id: the events
+    table crosses the wire exactly once."""
+    plan = _plan(QUERIES["win_time_weighted_avg"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_doc_chunks_map_only(spark):
+    """Chunking is pure map-side Catalyst: no exchange of any kind."""
+    plan = _plan(QUERIES["pipeline_doc_chunks"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_negative_pairs_broadcasts_catalog_and_pushes_topk(spark):
+    """The item catalog and count join as broadcasts (never shuffling the
+    user fan-out), the anti-join is key-partitioned (no cartesian), and the
+    per-user top-3 is pushed below the final exchange (WindowGroupLimit)."""
+    plan = _plan(QUERIES["sample_negative_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
