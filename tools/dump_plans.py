@@ -38,6 +38,9 @@ HEADLINE = {
     "pipeline_pack_sequences": "window (running offset) and per-bin agg share ONE bucket-key Exchange",
     "sample_reservoir": "md5-rank k-sample compiles to TakeOrderedAndProject (per-task heaps)",
     "text_pmi_collocations": "vocab-sized unigram tables broadcast back twice; corpus-sized stage is only the token explode",
+    "win_time_weighted_avg": "lead window and grouped agg share ONE user_id Exchange; DECIMAL-exact partial agg",
+    "sample_negative_pairs": "item catalog + count broadcast (user fan-out never shuffles for the lookup); per-user top-3 pushed down as WindowGroupLimit",
+    "pipeline_doc_chunks": "stride-window chunking is pure map-side: zero Exchange",
 }
 
 
