@@ -273,3 +273,11 @@ def test_negative_pairs_broadcasts_catalog_and_pushes_topk(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_shard_manifest_agg_single_exchange(spark):
+    """The manifest agg over the re-read shards is one partial+final hash
+    aggregate: a single |shards|-cardinality exchange, nothing corpus-wide."""
+    plan = _plan(QUERIES["pipeline_shard_manifest"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Exchange hashpartitioning(shard" in plan, plan[:3000]
