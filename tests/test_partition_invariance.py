@@ -1,0 +1,53 @@
+"""Partition-invariance gate — the mechanical check behind every "identical
+on 1 or 1000 executors" claim in the docstrings.
+
+Each sampled operator is executed twice in the same session with radically
+different shuffle fan-outs (spark.sql.shuffle.partitions = 32 then 3,
+runtime-settable so no session restart) and must produce bit-identical
+canonicalized rows.  This is what actually breaks when a query leans on
+float accumulation order, RNG state, or zipWithIndex-style physical row
+order — the three classic partition-count leaks; the canon discipline
+(DECIMAL sums, md5-as-uniform draws, total ordering) exists precisely so
+this property holds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recommend_spark.queries import QUERIES
+from tests.conftest import SF_DIR, canon_rows
+
+# Shuffle-heavy representatives of each determinism mechanism:
+# decimal-exact aggregation, md5 sampling/bucketing, window ordering,
+# hash-join + top-k, banded LSH, sequence packing.
+_OPS = [
+    "tpch_q1",                 # decimal sums over a group-by
+    "agg_stddev_exact",        # decimal moment accumulation
+    "sample_hash_split",       # md5 bucketing (map-only)
+    "sample_negative_pairs",   # md5 draws + anti-join + window top-k
+    "win_time_weighted_avg",   # window + decimal-weighted agg
+    "events_outlier_mad",      # rank-element medians via windows
+    "text_tfidf_sql",          # broadcast idf + per-doc top-k window
+    "dedup_minhash_banded",    # banded LSH bucket join
+    "pipeline_pack_sequences", # bucketed running-offset packing
+    "pipeline_token_budget",   # per-language budget window
+]
+
+
+def _run_canon(spark, qid):
+    df = QUERIES[qid](spark, SF_DIR)
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("qid", _OPS)
+def test_result_invariant_to_shuffle_partitions(spark, qid):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _run_canon(spark, qid)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _run_canon(spark, qid)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert wide == narrow, f"{qid} output depends on shuffle partition count"
