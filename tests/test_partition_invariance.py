@@ -24,6 +24,8 @@ from tests.conftest import SF_DIR, canon_rows
 _OPS = [
     "tpch_q1",                 # decimal sums over a group-by
     "agg_stddev_exact",        # decimal moment accumulation
+    "agg_cube",                # two-level re-aggregation under Expand
+    "agg_percentile_cont",     # single-buffer multi-fraction percentile
     "sample_hash_split",       # md5 bucketing (map-only)
     "sample_negative_pairs",   # md5 draws + anti-join + window top-k
     "win_time_weighted_avg",   # window + decimal-weighted agg
