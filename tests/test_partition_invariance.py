@@ -34,6 +34,16 @@ _OPS = [
     "dedup_minhash_banded",    # banded LSH bucket join
     "pipeline_pack_sequences", # bucketed running-offset packing
     "pipeline_token_budget",   # per-language budget window
+    "dedup_simhash",           # hamming-band self-join
+    "graph_triangles",         # basket self-join + edge-set reuse
+    "events_funnel",           # ordered multi-stage window match
+    "pipeline_decontam",       # broadcast shingle-mass anti-filter
+    "agg_hll_sketch",          # HLL register max-merge (order-free)
+    "text_unigram_surprisal",  # broadcast unigram model join
+    "join_skew_salted",        # salt explode + de-salt agg
+    "rec_popularity_topk",     # distinct-rewrite two-level agg + top-k
+    "sample_temperature",      # temperature-weighted md5 sampling
+    "win_sessionize",          # gaps-and-islands session ids
 ]
 
 
