@@ -478,7 +478,10 @@ def fn_try_safe(spark, sf_dir):
             "safe_div"
         ),
         F.when(
-            F.col("o_orderpriority").rlike(r"^[+-]?\d+$"),
+            # superset of what int-cast can accept (cast itself trims
+            # whitespace, so the guard must too or it would NULL out
+            # padded numerics that try_cast parses)
+            F.col("o_orderpriority").rlike(r"^\s*[+-]?\d+\s*$"),
             F.expr("try_cast(o_orderpriority AS INT)"),
         ).alias("bad_cast"),
         F.expr(
