@@ -568,3 +568,57 @@ def test_ivf_pq_determinism_and_quality(spark):
     # random top-5 on this fixture averages ~0 cosine; require the ADC
     # retrieval to recover a solid fraction of the exact optimum
     assert np.mean(ratios) > 0.5, ratios
+
+
+def test_als_predict_pairs_scores_track_strength(spark):
+    """Pair scoring covers the requested candidate set with finite scores
+    that positively correlate with the observed interaction strength
+    (the same signal gate as training, applied through the op's surface)."""
+    import math
+
+    from recommend_spark.queries.recommender import _fit_als
+
+    ratings, _ = _fit_als(spark, SF_DIR)
+    truth = {
+        (r["user_id"], r["item_id"]): r["strength"] for r in ratings.collect()
+    }
+    rows = QUERIES["als_predict_pairs"](spark, SF_DIR).collect()
+    assert len(rows) == min(200, len(truth))
+    xs, ys = [], []
+    for r in rows:
+        assert math.isfinite(r["score"]), r
+        xs.append(truth[(r["user_id"], r["item_id"])])
+        ys.append(r["score"])
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs) or 1.0
+    vy = sum((b - my) ** 2 for b in ys) or 1.0
+    assert cov / (vx * vy) ** 0.5 > 0.05, "scores uncorrelated with strength"
+
+
+def test_als_recommend_topk_shape_and_novelty(spark):
+    """Top-k recs: <=5 per user, scores non-increasing per user with a
+    total-order tiebreak, every item popular (>=25 raters), and none
+    already seen by that user."""
+    from collections import defaultdict
+
+    from recommend_spark.queries.recommender import _fit_als
+
+    ratings, _ = _fit_als(spark, SF_DIR)
+    seen = {(r["user_id"], r["item_id"]) for r in ratings.collect()}
+    pop = {
+        r["item_id"]
+        for r in ratings.groupBy("item_id")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .filter(F.col("n") >= 25)
+        .collect()
+    }
+    per_user = defaultdict(list)
+    for r in QUERIES["als_recommend_topk"](spark, SF_DIR).collect():
+        assert (r["user_id"], r["item_id"]) not in seen, "recommended a seen item"
+        assert r["item_id"] in pop, "recommended an unpopular item"
+        per_user[r["user_id"]].append(r["score"])
+    assert per_user, "no recommendations produced"
+    for u, scores in per_user.items():
+        assert len(scores) <= 5
+        assert scores == sorted(scores, reverse=True), (u, scores)
