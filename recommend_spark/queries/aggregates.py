@@ -161,7 +161,8 @@ def agg_rollup(spark, sf_dir):
     )
     return pre.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("pre_sum").cast("double").alias("sum_qty"),
-        F.sum("pre_cnt").alias("cnt"),
+        # coalesce: count(*) is 0 (not NULL) on an empty grouping set
+        F.coalesce(F.sum("pre_cnt"), F.lit(0)).alias("cnt"),
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
     )
@@ -195,7 +196,8 @@ def agg_cube(spark, sf_dir):
     )
     return pre.cube("l_returnflag", "l_linestatus").agg(
         F.sum("pre_sum").cast("double").alias("sum_base"),
-        F.sum("pre_cnt").alias("cnt"),
+        # coalesce: count(*) is 0 (not NULL) on an empty grouping set
+        F.coalesce(F.sum("pre_cnt"), F.lit(0)).alias("cnt"),
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
     )

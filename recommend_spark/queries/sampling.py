@@ -226,8 +226,6 @@ def sample_class_balanced(spark, sf_dir):
     variant first filters with the uniform draw to ~2x the quota per class
     (map-only), THEN ranks the survivors; the fixture's 10 labels x 50
     rows need no such pre-filter."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     m = e.groupBy("label").count().agg(F.min("count").alias("m"))
     w = W.partitionBy("label").orderBy(md5_int(F.col("vec_id"), 8), "vec_id")

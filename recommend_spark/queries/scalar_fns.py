@@ -468,9 +468,13 @@ def fn_try_safe(spark, sf_dir):
     Cost lesson (measured): ANSI try_cast pays a FORMATTED JVM EXCEPTION
     per failing row (~8 µs — 1.25 s for 150k always-failing rows on one
     core), so when failure is the COMMON case the scale idiom is a regex
-    guard in front of the cast: identical NULL-on-unparseable semantics,
-    no exception machinery, 14x faster here.  try_cast stays on the
-    rare-failure path (good_cast) where the exception cost is negligible."""
+    guard in front of the cast: NULL-on-unparseable semantics matching
+    try_cast on everything but exotic padding (try_cast's trimAll also
+    strips ISO control chars and Unicode spaces, which Java \\s does not
+    match — a \\x00- or \\u00A0-padded numeric parses under try_cast but is
+    NULLed by the guard), no exception machinery, 14x faster here.
+    try_cast stays on the rare-failure path (good_cast) where the
+    exception cost is negligible."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
