@@ -1073,3 +1073,80 @@ def agg_weighted_avg(spark, sf_dir):
         ).alias("wavg_price"),
         (F.sum("pc").cast("double") / (100.0 * F.count("*"))).alias("avg_price"),
     )
+
+
+def mg_summaries(df, key_col: str, k: int):
+    """Per-Arrow-batch Misra-Gries (space-saving) compression of a key
+    stream to at most ``k`` counters, as a DataFrame of partial summaries.
+
+    Each batch's exact counts are compressed by subtracting the (k+1)-th
+    largest count from everything and keeping the positive survivors — the
+    batch-form of Misra-Gries: for every key, 0 <= true_batch - emitted
+    <= dec, where ``dec`` is the subtracted value.  One sentinel row
+    (key = -1) per batch carries ``dec`` so the undercount bound is
+    mergeable by plain SUM: after summing counters per key and summing the
+    sentinels, est <= true <= est + err_ub holds for EVERY key (absent
+    keys have est 0, so a key with true count > err_ub is guaranteed
+    present).  Vectorized (pandas value_counts, no Python per-row loop);
+    the summaries DataFrame is O(k x batches) rows regardless of corpus
+    size.  Exposed module-level so tests can drive it on skewed synthetic
+    streams."""
+    import pandas as pd
+
+    def mg(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[key_col].value_counts()
+            dec = 0
+            if len(vc) > k:
+                dec = int(vc.iloc[k])
+                vc = (vc.iloc[:k] - dec)
+                vc = vc[vc > 0]
+            out = pd.DataFrame(
+                {"key": vc.index.astype("int64"), "cnt": vc.values.astype("int64")}
+            )
+            yield pd.concat(
+                [out, pd.DataFrame({"key": [-1], "cnt": [dec]})],
+                ignore_index=True,
+            )
+
+    return df.select(F.col(key_col).cast("long").alias(key_col)).mapInPandas(
+        mg, "key long, cnt long"
+    )
+
+
+@register("agg_heavy_hitters")  # rows-only: estimates depend on batch
+# boundaries (bounds gated in tests/test_ml_quality.py)
+def agg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries / space-saving heavy hitters: the top-20 most-ordered
+    parts with GUARANTEED count bounds from one bounded-memory pass —
+    est_min <= true <= est_min + err_ub — the sketch that finds hot keys
+    without a full groupBy when the key domain is huge (the exact twin at
+    fixture scale is a plain count; the gate in tests/test_ml_quality.py
+    checks both bounds against it, and that no key with true count >
+    err_ub can be missed by the counter set).
+
+    Rows-only BY NATURE (not an oracle gap): the per-key estimates depend
+    on Arrow batch boundaries, so unlike every SQL-checked operator this
+    one is deliberately NOT partition-invariant — the invariant it does
+    keep (and the test pins) is the error bound, which holds for any
+    batching.  Scale: each task compresses its stream to <= k counters
+    vectorized in Arrow batches (no per-row Python), the merge is an
+    ordinary SUM shuffle of O(k x tasks) rows, and the top-20 is a
+    TakeOrdered over that — the corpus is touched exactly once, with
+    O(k) memory per task; err_ub quantifies the information lost, and
+    shrinks as batches grow (bigger batch -> fewer compressions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    summ = mg_summaries(li, "l_partkey", 49)
+    merged = summ.groupBy("key").agg(F.sum("cnt").alias("est_min"))
+    err = merged.filter(F.col("key") == -1).select(
+        F.col("est_min").alias("err_ub")
+    )
+    return (
+        merged.filter(F.col("key") != -1)
+        .crossJoin(F.broadcast(err))
+        .orderBy(F.col("est_min").desc(), "key")
+        .limit(20)
+        .select(F.col("key").alias("item"), "est_min", "err_ub")
+    )

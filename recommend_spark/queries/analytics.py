@@ -1220,3 +1220,155 @@ def events_outlier_mad(spark, sf_dir):
         .filter(F.col("dev") > 3 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+@register(
+    "events_session_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sess AS (
+      SELECT *, CAST(SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx
+      FROM marked
+    ), a AS (
+      SELECT event_id, user_id, session_idx, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id, session_idx ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id, session_idx ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch,
+             count(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END) OVER (
+               PARTITION BY user_id, session_idx ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS n_prior_touches
+      FROM sess
+    )
+    SELECT event_id, user_id, session_idx, first_touch, last_touch,
+           n_prior_touches
+    FROM a WHERE event_type = 'purchase'
+    """,
+)
+def events_session_attribution(spark, sf_dir):
+    """First-touch / last-touch marketing attribution: every purchase is
+    credited to the first and the last non-purchase event of ITS OWN
+    session that happened strictly before it (plus how many candidate
+    touches preceded it) — the standard attribution primitive conversion
+    reporting is built on.
+
+    Composition of two proven shapes: the win_sessionize gaps-and-islands
+    session id (30-min silence, integer-µs gap math) and
+    first/last(ignorenulls) over an UNBOUNDED-to-1-PRECEDING frame.  All
+    three attribution columns ride the SAME (user, session) window sort, so
+    Catalyst evaluates one Window node for them.  NULL first/last touch is
+    meaningful output ("purchase opened the session — nothing to credit").
+
+    Scale: one hash shuffle on user_id for the session window; the
+    per-session attribution frame reuses that partitioning (user_id,
+    session_idx is a refinement — no second exchange), so the whole query
+    is a single-shuffle window cascade over the events stream, state
+    bounded by one user's timeline.  Determinism: µs integers and a total
+    (us, event_id) order; no floats anywhere."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(w2).cast("long")
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    wp = W.partitionBy("user_id", "session_idx").orderBy(
+        "us", "event_id"
+    ).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        sess.select(
+            "event_id",
+            "user_id",
+            "session_idx",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(wp).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(wp).alias("last_touch"),
+            F.count(touch).over(wp).alias("n_prior_touches"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type AS source, max(epoch_us(ts)) AS last_us,
+             count(*) AS n_events
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(last_us) AS gmax FROM per)
+    SELECT source, last_us // 1000000 AS last_ts_s,
+           (gmax - last_us) // 1000000 AS lag_s, n_events,
+           CASE WHEN (gmax - last_us) // 1000000 > 3600 THEN 1 ELSE 0 END
+             AS is_stale
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Per-source data-freshness check: for every event source (the fixture's
+    event_type plays the source/topic role) the last-seen timestamp, its
+    staleness lag against the corpus watermark (the max timestamp across
+    ALL sources), and a >1h-stale flag — the monitoring query every
+    ingestion pipeline runs before trusting a day's data.
+
+    Scale: one partial-aggregated groupBy down to |sources| rows, then the
+    corpus watermark is an aggregate OF THAT tiny table (never a second
+    corpus scan — the per-source table is localCheckpointed because Spark
+    does not share a self-referenced subplan, so without it the watermark
+    branch would re-scan the corpus; plan-asserted one FileScan in
+    tests/test_plans.py), broadcast back as a 1-row cross join.
+    Determinism: all integer µs math, floor-divided to seconds (DIV,
+    exact); the flag is an integer CASE, no floats anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("n_events"),
+    ).localCheckpoint()
+    g = per.agg(F.max("last_us").alias("gmax"))
+    lag_s = F.expr("(gmax - last_us) DIV 1000000")
+    return per.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.expr("last_us DIV 1000000").alias("last_ts_s"),
+        lag_s.alias("lag_s"),
+        "n_events",
+        F.when(lag_s > 3600, 1).otherwise(0).alias("is_stale"),
+    )

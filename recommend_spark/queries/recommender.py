@@ -831,3 +831,182 @@ def rec_association_rules(spark, sf_dir):
         )
     )
     return out.filter(F.col("confidence") >= 0.2)
+
+
+@register(
+    "rec_sequential_markov",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey AS u, l_partkey AS item,
+             lead(l_partkey) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, l_linenumber, l_partkey
+             ) AS next_item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), c AS (
+      SELECT item, next_item, count(*) AS n_trans
+      FROM s WHERE next_item IS NOT NULL
+      GROUP BY item, next_item
+    ), tot AS (
+      SELECT item, sum(n_trans) AS n_from FROM c GROUP BY item
+    ), r AS (
+      SELECT c.item, c.next_item, c.n_trans,
+             CAST(c.n_trans AS DOUBLE) / tot.n_from AS prob,
+             row_number() OVER (
+               PARTITION BY c.item ORDER BY c.n_trans DESC, c.next_item
+             ) AS rnk
+      FROM c JOIN tot USING (item)
+    )
+    SELECT item, next_item, n_trans, prob, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def rec_sequential_markov(spark, sf_dir):
+    """Sequential (first-order Markov) next-item recommender: per customer,
+    purchases form an ordered item sequence; adjacent pairs are transition
+    counts, and each item's top-3 most likely successors (with transition
+    probability) are the "bought X, next buys Y" model — the item-level
+    sibling of events_transition_matrix and the classic baseline under
+    session-based recommenders.
+
+    Order is effectively total — (o_orderdate, o_orderkey, l_linenumber,
+    l_partkey); the fixture has duplicate line numbers within an order, and
+    any rows still tied after the item tie-break are identical items, whose
+    interchange cannot alter a transition pair — so lead() is
+    deterministic under any partitioning; transition counts are exact
+    ints and prob is one IEEE division (the events_transition_matrix
+    discipline); the top-3 tie-break is (n_trans DESC, next_item).
+
+    Scale: the orders side of the fact-fact join carries only the
+    ordering key; the sequence window is one hash shuffle on the customer
+    key, bounded by one customer's history; the transition aggregate then
+    collapses to <= |items|^2 rows (item-pair space, corpus-size-free) and
+    the per-item successor ranking windows over THAT.  At 100 TB nothing
+    after the first shuffle sees corpus-scale data."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("item"),
+        "o_orderdate",
+        "o_orderkey",
+        "l_linenumber",
+    )
+    ws = W.partitionBy("u").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber", "item"
+    )
+    pairs = (
+        seq.select("item", F.lead("item").over(ws).alias("next_item"))
+        .filter(F.col("next_item").isNotNull())
+    )
+    c = pairs.groupBy("item", "next_item").agg(F.count("*").alias("n_trans"))
+    tot = c.groupBy("item").agg(F.sum("n_trans").alias("n_from"))
+    wr = W.partitionBy("item").orderBy(F.col("n_trans").desc(), "next_item")
+    return (
+        c.join(tot, "item")
+        .select(
+            "item",
+            "next_item",
+            "n_trans",
+            (F.col("n_trans").cast("double") / F.col("n_from")).alias("prob"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def label_propagation(edges, rounds: int = 5):
+    """Synchronous weighted label propagation over a directed edge list
+    ``(src, dst, w)`` with integer weights: every node starts as its own
+    label and per round adopts the label carrying the most incoming weight
+    among its neighbors, ties broken by smallest label.
+
+    One edges-to-labels hash join + one (node, label) integer-sum
+    aggregate + one max-by-struct reduction per round (max(struct(s,
+    -label)) is max-weight-then-min-label without a second shuffle);
+    localCheckpoint per round cuts the lineage (the graph_pagerank /
+    dedup_cluster iteration recipe).  Integer weights + the total
+    tie-break make every round a pure function of the previous labeling —
+    bit-identical on any partitioning.  Module-level so the quality gate
+    can drive it on a planted-partition graph where ground truth is
+    known (the fixture's co-purchase graph is TPC-H-random and has no
+    planted communities to recover)."""
+    lbl = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(lbl.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        lbl = (
+            nbr.groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("s"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return lbl
+
+
+@register("graph_label_propagation")  # rows-only: iterative fixpoint, gates
+# (planted-partition recovery, determinism) in tests/test_ml_quality.py
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by bounded synchronous label propagation (5
+    rounds) over the degree-sparsified co-purchase graph — "which items
+    cluster into shopping neighborhoods", the unsupervised sibling of
+    graph_pagerank on the same cooc>=5 edge set.
+
+    The raw co-occurrence graph is near-complete at fixture scale (and
+    its density grows with corpus size), so the operator first keeps each
+    node's top-3 strongest edges — (cooc DESC, dst) per src, the standard
+    kNN sparsification for community detection on dense similarity graphs
+    — then symmetrizes the kept pairs.  That bounds per-node degree, so
+    every later round shuffles O(nodes x 3) rows REGARDLESS of corpus
+    size; propagation itself is `label_propagation` above (integer
+    weights, deterministic ties, one hash shuffle per round, no
+    driver-side graph, no collect).
+
+    Determinism: the sparsification window has a total order and weights
+    are exact ints, so the whole pipeline is bit-identical on any
+    partitioning (covered by the partition-invariance gate); bounded
+    rounds sidestep classic LPA's oscillation risk.  Quality is gated on
+    a planted-partition graph in tests/test_ml_quality.py (exact
+    recovery), because TPC-H co-purchases are random — there is no ground
+    truth HERE to score against."""
+    from pyspark.sql import Window as W
+
+    und = (
+        _copurchase_edges_artifact(spark, sf_dir)
+        .filter(F.col("cooc") >= 5)
+        .select("p", "q", "cooc")
+    )
+    sym = und.select(
+        F.col("p").alias("src"), F.col("q").alias("dst"),
+        F.col("cooc").alias("w"),
+    ).unionAll(
+        und.select(
+            F.col("q").alias("src"), F.col("p").alias("dst"),
+            F.col("cooc").alias("w"),
+        )
+    )
+    wk = W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    kept = sym.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 3)
+    pairs = kept.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        "w",
+    ).distinct()
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    ).localCheckpoint()
+    lbl = label_propagation(edges, rounds=5)
+    return lbl.select("node", F.col("label").alias("community")).orderBy("node")

@@ -337,3 +337,53 @@ def sample_negative_pairs(spark, sf_dir):
         .filter(F.col("neg_rank") <= 3)
         .select("user_id", "item_id", "neg_rank")
     )
+
+
+@register(
+    "sample_importance_downweight",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(CASE WHEN n_chars < 200 THEN 0.25
+                       WHEN n_chars < 400 THEN 0.5
+                       ELSE 1.0 END AS DOUBLE) AS p_keep
+      FROM documents
+    )
+    SELECT doc_id, n_chars, p_keep,
+           CAST(1.0 AS DOUBLE) / p_keep AS weight
+    FROM d
+    WHERE {sql_md5_int("CAST(doc_id AS VARCHAR)", 8)} / 4294967296.0 < p_keep
+    """,
+)
+def sample_importance_downweight(spark, sf_dir):
+    """Importance downsampling with correction weights: over-represented
+    strata (here: short boilerplate-ish documents) are kept with
+    probability p < 1, and every survivor carries weight = 1/p so any
+    downstream weighted statistic stays unbiased — the standard way to
+    shrink a skewed corpus without biasing the training mixture
+    (Horvitz-Thompson estimator).
+
+    The accept draw is the md5-as-uniform primitive (md5(doc_id) first 32
+    bits / 2^32 — engine-neutral, RNG-free, repartition-stable), shared
+    with sample_hash_split.  Determinism: p is one of {{0.25, 0.5, 1.0}}
+    (exact binary fractions, so 1/p is exactly 4, 2, 1), the draw is an
+    exact integer scaled by an exact power of two, and the comparison is a
+    single IEEE <.  Scale: map-only — filter + two projected columns, zero
+    shuffles, pushdown-friendly (the n_chars predicate and doc_id hash
+    both run at the scan)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = (
+        F.when(F.col("n_chars") < 200, 0.25)
+        .when(F.col("n_chars") < 400, 0.5)
+        .otherwise(1.0)
+    )
+    return (
+        d.withColumn("p_keep", p)
+        .filter(_uniform("doc_id") < F.col("p_keep"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "p_keep",
+            (F.lit(1.0) / F.col("p_keep")).alias("weight"),
+        )
+    )

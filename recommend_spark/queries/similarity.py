@@ -1100,3 +1100,75 @@ def dq_embeddings(spark, sf_dir):
         F.min("norm").alias("min_norm"),
         F.max("norm").alias("max_norm"),
     )
+
+
+@register(
+    "mm_embed_matryoshka",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label,
+             list_reduce(list_transform(e[1:8],  v -> v * v),
+                         (a, b) -> a + b) AS ss8,
+             list_reduce(list_transform(e[1:16], v -> v * v),
+                         (a, b) -> a + b) AS ss16,
+             list_reduce(list_transform(e[1:32], v -> v * v),
+                         (a, b) -> a + b) AS ss32,
+             list_reduce(list_transform(e,       v -> v * v),
+                         (a, b) -> a + b) AS ssf
+      FROM x
+    )
+    SELECT vec_id, label,
+           sqrt(ss8)  AS norm_8,
+           sqrt(ss16) AS norm_16,
+           sqrt(ss32) AS norm_32,
+           sqrt(ssf)  AS norm_full,
+           ss8  / ssf AS energy_8,
+           ss16 / ssf AS energy_16,
+           ss32 / ssf AS energy_32
+    FROM s
+    """,
+)
+def mm_embed_matryoshka(spark, sf_dir):
+    """Matryoshka-embedding truncation audit: for each vector, the norm of
+    its 8-, 16- and 32-dim prefixes and the fraction of the full vector's
+    energy each prefix retains — the quantities that decide whether a
+    matryoshka-trained model can serve a cheaper prefix index (renormalized
+    prefix = prefix / norm_k; no arrays are emitted, the norms ARE the
+    renormalization constants).
+
+    Determinism (the dq_embeddings recipe): float32 components widen to
+    double exactly; each squared-sum is a SEQUENTIAL fold, identical in
+    both engines (Spark's 0.0 seed is exact under 0.0 + x, matching
+    DuckDB's seedless list_reduce); sqrt is IEEE correctly-rounded; each
+    energy ratio is one IEEE division of two such folds.  Scale: pure
+    map-only per-row expressions — zero shuffles, pipelined into whatever
+    scan feeds it, embarrassingly parallel at any corpus size."""
+    x = F.col("embedding").cast("array<double>")
+
+    def ssq(arr):
+        return F.aggregate(
+            F.transform(arr, lambda c: c * c), F.lit(0.0), lambda a, c: a + c
+        )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        ssq(F.slice(x, 1, 8)).alias("ss8"),
+        ssq(F.slice(x, 1, 16)).alias("ss16"),
+        ssq(F.slice(x, 1, 32)).alias("ss32"),
+        ssq(x).alias("ssf"),
+    )
+    return v.select(
+        "vec_id",
+        "label",
+        F.sqrt("ss8").alias("norm_8"),
+        F.sqrt("ss16").alias("norm_16"),
+        F.sqrt("ss32").alias("norm_32"),
+        F.sqrt("ssf").alias("norm_full"),
+        (F.col("ss8") / F.col("ssf")).alias("energy_8"),
+        (F.col("ss16") / F.col("ssf")).alias("energy_16"),
+        (F.col("ss32") / F.col("ssf")).alias("energy_32"),
+    )

@@ -622,3 +622,83 @@ def test_als_recommend_topk_shape_and_novelty(spark):
     for u, scores in per_user.items():
         assert len(scores) <= 5
         assert scores == sorted(scores, reverse=True), (u, scores)
+
+
+def test_heavy_hitters_bounds_on_fixture(spark, ddb):
+    rows = QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 20
+    err_ub = rows[0]["err_ub"]
+    assert all(r["err_ub"] == err_ub for r in rows)
+    exact = dict(
+        ddb.execute(
+            "SELECT l_partkey, count(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        true = exact.get(r["item"], 0)
+        assert r["est_min"] <= true <= r["est_min"] + err_ub, (
+            r["item"], r["est_min"], true, err_ub,
+        )
+
+
+def test_heavy_hitters_finds_planted_hitter(spark):
+    """The Misra-Gries guarantee on a stream where a heavy hitter EXISTS
+    (the fixture's part counts are near-uniform, so the bound is vacuous
+    there): one key holds ~60% of a 5k-row stream over a 200-key tail
+    domain wider than k=9 counters — the sketch must surface it with
+    bounds that actually pin it."""
+    import pyspark.sql.functions as SF
+
+    from recommend_spark.queries.aggregates import mg_summaries
+
+    hot = spark.range(3000).select(SF.lit(7).alias("k"))
+    tail = spark.range(2000).select((100 + SF.col("id") % 200).alias("k"))
+    df = hot.unionAll(tail).repartition(4)
+    merged = (
+        mg_summaries(df, "k", 9)
+        .groupBy("key")
+        .agg(SF.sum("cnt").alias("est_min"))
+    )
+    got = {r["key"]: r["est_min"] for r in merged.collect()}
+    err_ub = got.pop(-1)
+    # any key with true count > err_ub is guaranteed present, and the
+    # planted hitter dominates every possible undercount
+    assert err_ub < 3000
+    assert 7 in got
+    assert got[7] <= 3000 <= got[7] + err_ub
+    for k, est in got.items():
+        true = 3000 if k == 7 else 10
+        assert est <= true <= est + err_ub, (k, est, true, err_ub)
+
+
+def test_label_propagation_recovers_planted_partition(spark):
+    """LPA on a graph with KNOWN communities (three 8-cliques with weak
+    bridges) must recover exactly the planted blocks; the fixture's
+    co-purchase graph is TPC-H-random, so recovery is gated here on a
+    planted-partition graph driven through the same kernel."""
+    from recommend_spark.queries.recommender import label_propagation
+
+    cliques = [list(range(b, b + 8)) for b in (0, 100, 200)]
+    pairs = [
+        (a, b, 5)
+        for cl in cliques
+        for i, a in enumerate(cl)
+        for b in cl[i + 1:]
+    ] + [(0, 100, 1), (100, 200, 1)]  # weak inter-community bridges
+    edges = spark.createDataFrame(
+        [(s, d, w) for s, d, w in pairs] + [(d, s, w) for s, d, w in pairs],
+        "src long, dst long, w long",
+    )
+    lbl = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert len(lbl) == 24
+    for cl in cliques:
+        labs = {lbl[n] for n in cl}
+        assert labs == {cl[0]}, (cl[0], labs)
+
+
+def test_label_propagation_fixture_determinism(spark):
+    a = [tuple(r) for r in QUERIES["graph_label_propagation"](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in QUERIES["graph_label_propagation"](spark, SF_DIR).collect()]
+    assert a == b and a
+    nodes = {n for n, _ in a}
+    assert all(c in nodes for _, c in a)

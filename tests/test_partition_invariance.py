@@ -44,6 +44,20 @@ _OPS = [
     "rec_popularity_topk",     # distinct-rewrite two-level agg + top-k
     "sample_temperature",      # temperature-weighted md5 sampling
     "win_sessionize",          # gaps-and-islands session ids
+    # the as-of family: union-merge correctness leans entirely on window
+    # ordering — exactly what the 32-vs-3 fan-out stresses
+    "join_asof",               # backward as-of union-merge
+    "join_asof_nearest",       # nearest-mode two-frame union-merge
+    "join_asof_tolerance",     # bounded-staleness as-of
+    "join_point_in_time",      # SCD2 point-in-time enrichment
+    # round-7 additions (agg_heavy_hitters is deliberately absent: its
+    # estimates depend on batch boundaries by design — see its docstring)
+    "events_session_attribution",  # session window + ignorenulls frames
+    "rec_sequential_markov",   # per-customer sequence window + top-k
+    "dq_freshness",            # tiny agg + broadcast watermark join
+    "mm_embed_matryoshka",     # map-only sequential folds
+    "sample_importance_downweight",  # md5-uniform accept + 1/p weights
+    "graph_label_propagation", # sparsify window + integer-weight fixpoint
 ]
 
 

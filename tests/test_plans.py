@@ -281,3 +281,28 @@ def test_shard_manifest_agg_single_exchange(spark):
     plan = _plan(QUERIES["pipeline_shard_manifest"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "Exchange hashpartitioning(shard" in plan, plan[:3000]
+
+
+def test_session_attribution_single_user_shuffle(spark):
+    """The session window and the per-(user, session) attribution frames
+    all refine the same user_id hash partitioning: the events table must
+    cross the wire exactly once."""
+    plan = _plan(QUERIES["events_session_attribution"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_matryoshka_and_importance_sample_map_only(spark):
+    for qid in ("mm_embed_matryoshka", "sample_importance_downweight"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert "Exchange" not in plan, (qid, plan[:2000])
+
+
+def test_freshness_broadcasts_watermark(spark):
+    """The corpus watermark is an aggregate of the tiny per-source table,
+    broadcast back — never a second corpus scan or a shuffled join."""
+    plan = _plan(QUERIES["dq_freshness"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan[:3000]
+    # the one corpus scan ran eagerly when the per-source table was
+    # localCheckpointed; the final plan must reference only that RDD
+    assert plan.count("FileScan") == 0, plan[:3000]
+    assert "Scan ExistingRDD" in plan, plan[:3000]
