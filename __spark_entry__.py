@@ -30,12 +30,14 @@ def _registration_order() -> list[str]:
 
     The driver's correctness sweep checks a prefix of ``queries()`` in
     registration order (50 queries in r1/r2).  To make that sample count,
-    sort so that operators with no green driver CORRECTNESS row yet come
-    FIRST, cheapest first (profiled sf0.01 wall-clock, so a fixed time
-    budget covers the maximum number of never-checked operators), and the
-    already-driver-verified ones come last.  Reads the committed
-    ``CORRECTNESS_r*.json`` records, so the order self-rotates every round
-    without further edits.
+    sort so that (1) operators with no green driver CORRECTNESS row yet
+    come FIRST, cheapest first (profiled sf0.01 wall-clock, so a fixed
+    time budget covers the maximum number of never-checked operators);
+    (2) verified operators whose source changed after their latest driver
+    row come next (tools/stale_ids.json, regenerated per round by
+    tools/staleness.py); (3) the rest rotate oldest-driver-round-first so
+    long-unsampled rows get refreshed.  Reads only committed files, so
+    the order self-rotates every round without further edits.
     """
     verified: set[str] = set()
     for rec in sorted(_HERE.glob("CORRECTNESS_r*.json")):
@@ -63,20 +65,29 @@ def _registration_order() -> list[str]:
         times = {k: float(v) for k, v in prof.get("times", {}).items()}
     except (OSError, ValueError):
         pass
-    # Ops the r4 verdict marked driver-red or judge-verified latent-red,
-    # fixed in r5 — front of the queue so the fix gets a green driver row
-    # the same round.  Self-draining: once a green CORRECTNESS row lands,
-    # `q in verified` dominates the key and they rotate to the back.
-    fix_first = {
-        "tpch_q12", "pipeline_corpus_stats", "pipeline_events_features",
-        "pipeline_training_corpus", "pipeline_pack_sequences",
-        "pipeline_token_budget", "text_repetition", "text_source_entropy",
-        "win_cumulative_distinct", "mm_embed_pca", "mm_embed_pq",
-    }
-    return sorted(
-        QUERIES,
-        key=lambda q: (q in verified, q not in fix_first, times.get(q, 0.0), q),
-    )
+    # Staleness (r6 verdict item 2): a verified id whose source was edited
+    # AFTER its latest driver row (git-blame vs record commit time, computed
+    # offline by tools/staleness.py into the committed stale_ids.json —
+    # no git calls here) ranks right after the never-verified ids, so perf
+    # rewrites get re-verified the same round.  The remaining verified ids
+    # rotate oldest-driver-round-first, draining the r2-era backlog.
+    stale: set[str] = set()
+    latest_round: dict[str, int] = {}
+    try:
+        st = json.loads((_HERE / "tools" / "stale_ids.json").read_text())
+        stale = set(st.get("stale", []))
+        latest_round = {k: int(v) for k, v in st.get("latest_round", {}).items()}
+    except (OSError, ValueError):
+        pass
+
+    def _key(q: str):
+        if q not in verified:
+            return (0, 0, times.get(q, 0.0), q)
+        if q in stale:
+            return (1, 0, times.get(q, 0.0), q)
+        return (2, latest_round.get(q, 0), times.get(q, 0.0), q)
+
+    return sorted(QUERIES, key=_key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
