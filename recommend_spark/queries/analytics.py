@@ -1372,3 +1372,211 @@ def dq_freshness(spark, sf_dir):
         "n_events",
         F.when(lag_s > 3600, 1).otherwise(0).alias("is_stale"),
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+             count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u
+    ), v AS (
+      SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 2 AS arm,
+             CAST(value AS DECIMAL(18,6)) AS dv
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT count(CASE WHEN arm = 0 THEN 1 END) AS np_a,
+             count(CASE WHEN arm = 1 THEN 1 END) AS np_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN dv END) AS DOUBLE) AS s_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN dv END) AS DOUBLE) AS s_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN dv * dv END) AS DOUBLE) AS q_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN dv * dv END) AS DOUBLE) AS q_b
+      FROM v
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z_conversion,
+           s_a / np_a AS mean_value_a,
+           s_b / np_b AS mean_value_b,
+           (s_b / np_b - s_a / np_a)
+             / sqrt(((q_a - s_a * s_a / np_a) / (np_a - 1)) / np_a
+                    + ((q_b - s_b * s_b / np_b) / (np_b - 1)) / np_b)
+             AS z_welch
+    FROM conv CROSS JOIN m
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: users are hash-assigned to two arms
+    (md5-parity — the deterministic traffic-split every experimentation
+    platform uses), then the report compares conversion (a big-ticket
+    purchase, value > 150 — chosen so the fixture rate is ~47%, never the
+    degenerate 0/1 that zeroes the pooled variance) via a two-proportion
+    z-score, and mean purchase value via a Welch z from exact moments,
+    between arms in ONE result row.
+
+    Determinism: arm assignment is the md5 primitive (engine-neutral,
+    RNG-free); conversion counts are exact ints; purchase values
+    accumulate as DECIMAL(18,6) sums and DECIMAL(38,12) squared sums
+    (order-free), and every derived statistic — rates, pooled variance,
+    Welch denominator — is a fixed chain of per-row IEEE ops on those
+    exact starting points (the agg_stddev_exact recipe), so the z-scores
+    hash-match unrounded.  Scale: one user-keyed aggregate (the
+    conversion flags), one filtered purchase-value aggregate (map-side
+    partials, 2 arms of state), and a 1x1 cross join — nothing after the
+    shuffles exceeds two rows."""
+    from ..canon import md5_int
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = md5_int(F.col("user_id"), 6) % 2
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(md5_int(F.col("user_id"), 6).__mod__(2).alias("arm"), "converted")
+    conv = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    m = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(arm.alias("arm"), dv.alias("dv"))
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).alias("np_a"),
+            F.count(F.when(F.col("arm") == 1, 1)).alias("np_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("dv"))).cast("double").alias("s_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("dv"))).cast("double").alias("s_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("dv") * F.col("dv")))
+            .cast("double")
+            .alias("q_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("dv") * F.col("dv")))
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    ma = F.col("s_a") / F.col("np_a")
+    mb = F.col("s_b") / F.col("np_b")
+    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("np_a")) / (
+        F.col("np_a") - 1
+    )
+    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("np_b")) / (
+        F.col("np_b") - 1
+    )
+    return conv.crossJoin(F.broadcast(m)).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (
+            (rb - ra)
+            / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+        ).alias("z_conversion"),
+        ma.alias("mean_value_a"),
+        mb.alias("mean_value_b"),
+        ((mb - ma) / F.sqrt(va / F.col("np_a") + vb / F.col("np_b"))).alias(
+            "z_welch"
+        ),
+    )
+
+
+@register(
+    "dq_lang_drift",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    b AS (
+      SELECT CASE WHEN doc_id * 2 <= m THEN 'early' ELSE 'late' END AS batch,
+             lang
+      FROM documents CROSS JOIN mx
+    ), c AS (
+      SELECT lang,
+             count(CASE WHEN batch = 'early' THEN 1 END) AS n_early,
+             count(CASE WHEN batch = 'late' THEN 1 END) AS n_late
+      FROM b GROUP BY lang
+    ), t AS (
+      SELECT CAST(SUM(n_early) AS BIGINT) AS t_early,
+             CAST(SUM(n_late) AS BIGINT) AS t_late
+      FROM c
+    )
+    SELECT lang, n_early, n_late,
+           CAST(n_early AS DOUBLE) / t_early AS share_early,
+           CAST(n_late AS DOUBLE) / t_late AS share_late,
+           abs(CAST(n_early AS DOUBLE) / t_early
+               - CAST(n_late AS DOUBLE) / t_late) AS drift
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_lang_drift(spark, sf_dir):
+    """Language-mix drift between two ingestion batches (the doc_id halves
+    stand in for yesterday/today): per language, its share of each batch
+    and the absolute share drift — the distribution-shift check a corpus
+    pipeline runs before a new crawl batch is allowed to move the training
+    mixture (0.5 x sum(drift) is the total-variation distance).
+
+    Scale shape: one tiny max() scalar broadcast onto the scan, one
+    partial-aggregated count to |langs| rows, batch totals re-derived from
+    THAT table (never a second corpus scan), broadcast back as one row.
+    Determinism: exact integer counts; shares and drift are single IEEE
+    divisions/subtractions of them (abs of an IEEE difference is exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    c = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("doc_id") * 2 <= F.col("m"), "early")
+            .otherwise("late")
+            .alias("batch"),
+            "lang",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("batch") == "early", 1)).alias("n_early"),
+            F.count(F.when(F.col("batch") == "late", 1)).alias("n_late"),
+        )
+        .localCheckpoint()
+    )
+    t = c.agg(
+        F.sum("n_early").cast("long").alias("t_early"),
+        F.sum("n_late").cast("long").alias("t_late"),
+    )
+    se = F.col("n_early").cast("double") / F.col("t_early")
+    sl = F.col("n_late").cast("double") / F.col("t_late")
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_early",
+        "n_late",
+        se.alias("share_early"),
+        sl.alias("share_late"),
+        F.abs(se - sl).alias("drift"),
+    )

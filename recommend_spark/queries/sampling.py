@@ -387,3 +387,98 @@ def sample_importance_downweight(spark, sf_dir):
             (F.lit(1.0) / F.col("p_keep")).alias("weight"),
         )
     )
+
+
+# Poisson(1) CDF cutpoints for the inverse-CDF bootstrap draw: P(X <= k)
+# for k = 0..6 (beyond that the residual mass is ~8e-5; the draw caps at 7).
+# Written as explicit double literals so BOTH engines compare the exact
+# same 64-bit constants.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _sql_pois1(u_expr: str) -> str:
+    branches = "".join(
+        f" WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+@register(
+    "sample_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_orderkey, o.o_totalprice, r.r AS rep,
+             {_sql_pois1(
+                 "CAST('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)"
+                 " || '#' || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT)"
+                 " / 4294967296.0"
+             )} AS w
+      FROM orders o CROSS JOIN (SELECT unnest(range(32)) AS r) r
+    )
+    SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(CAST(w * o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / SUM(w) AS boot_mean
+    FROM reps WHERE w > 0
+    GROUP BY rep
+    """,
+)
+def sample_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap: 32 resample replicates of the mean
+    order value, each row contributing a Poisson(1)-distributed integer
+    weight per replicate — the distributed-bootstrap recipe (a true
+    n-out-of-n resample needs global coordination; Poisson weights are
+    independent per row, so the whole thing is map-side).  Downstream, the
+    spread of the 32 replicate means IS the sampling-error estimate for
+    the corpus statistic.
+
+    The Poisson draw is inverse-CDF over the md5-as-uniform primitive
+    keyed on (order, replicate) — engine-neutral, RNG-free,
+    repartition-stable — against 7 explicit double CDF cutpoints shared
+    verbatim with the oracle, so every weight is bit-identical.  Replicate
+    sums accumulate w*price in exact DECIMAL (order-free), one IEEE
+    division per replicate at the end.  Scale: a 32x row expansion
+    map-side, immediately partial-aggregated to 32 groups BEFORE the
+    shuffle — per-executor state is 32 rows, wire traffic O(32 x tasks);
+    at 100 TB the expansion never materializes."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    )
+    u = (
+        md5_int(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("rep").cast("string"),
+            ),
+            8,
+        ).cast("double")
+        / 4294967296.0
+    )
+    w = F.lit(7)
+    for k, c in reversed(list(enumerate(_POIS1_CDF))):
+        w = F.when(u < F.lit(c), k).otherwise(w)
+    return (
+        reps.withColumn("w", w)
+        .filter(F.col("w") > 0)
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            (
+                F.sum(
+                    (F.col("w") * F.col("o_totalprice")).cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum("w")
+            ).alias("boot_mean"),
+        )
+    )

@@ -58,6 +58,9 @@ _OPS = [
     "mm_embed_matryoshka",     # map-only sequential folds
     "sample_importance_downweight",  # md5-uniform accept + 1/p weights
     "graph_label_propagation", # sparsify window + integer-weight fixpoint
+    "events_ab_test",          # md5 arms + exact-moment z statistics
+    "sample_bootstrap_ci",     # md5-Poisson weights + decimal replicate sums
+    "dq_lang_drift",           # integer share counts + broadcast totals
 ]
 
 

@@ -306,3 +306,13 @@ def test_freshness_broadcasts_watermark(spark):
     # localCheckpointed; the final plan must reference only that RDD
     assert plan.count("FileScan") == 0, plan[:3000]
     assert "Scan ExistingRDD" in plan, plan[:3000]
+
+
+def test_bootstrap_partial_agg_before_shuffle(spark):
+    """The 32x Poisson expansion must be partial-aggregated map-side: one
+    exchange carrying 32-group partial states, never the expanded rows."""
+    plan = _plan(QUERIES["sample_bootstrap_ci"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    head, _, _ = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in head, plan[:3000]
+    assert "partial_sum" in plan, plan[:3000]
