@@ -1580,3 +1580,61 @@ def dq_lang_drift(spark, sf_dir):
         sl.alias("share_late"),
         F.abs(se - sl).alias("drift"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type, CAST(date_part('dow', ts) AS INT)
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS overall_mean
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n,
+           CAST(c.s AS DOUBLE) / c.n AS dow_mean,
+           t.overall_mean,
+           (CAST(c.s AS DOUBLE) / c.n) / t.overall_mean AS seasonal_idx
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Multiplicative day-of-week seasonality: per event type, each
+    weekday's mean value against the type's overall mean — the seasonal
+    index table (idx > 1 = above-trend weekday) that forecasting and
+    anomaly baselines divide out before comparing days.
+
+    Determinism: weekday means are the davg recipe (exact DECIMAL(18,6)
+    sums, one IEEE division); the overall mean RE-AGGREGATES the same
+    decimal partials (exact, order-free) rather than re-scanning, and the
+    index is one further IEEE division — a fixed per-row chain, no
+    rounding.  Day-of-week is integer calendar math, identical in both
+    engines (Spark dayofweek()-1 == DuckDB dow, Sunday=0).  Scale: one
+    partial-aggregated groupBy to |types| x 7 rows; the totals derive
+    from THAT table and broadcast back — one corpus pass, two tiny
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    t = c.groupBy("event_type").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("long")).alias(
+            "overall_mean"
+        )
+    )
+    dow_mean = F.col("s").cast("double") / F.col("n")
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        dow_mean.alias("dow_mean"),
+        "overall_mean",
+        (dow_mean / F.col("overall_mean")).alias("seasonal_idx"),
+    )

@@ -877,3 +877,60 @@ def join_point_in_time(spark, sf_dir):
     return merged.filter(F.col("is_right") == 0).select(
         "event_id", "state_at_purchase", "state_since_us"
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, p.value AS next_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND p.ts >= e.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each event, the same user's NEXT purchase
+    value at-or-after it (pandas ``merge_asof(direction='forward')``) —
+    the label-construction join behind "time to next conversion" targets,
+    completing the as-of family (backward `join_asof`, nearest,
+    tolerance, point-in-time).
+
+    Same union-merge recipe as `join_asof`, mirrored: one shuffle on the
+    user key, one window ordered (time, LEFT-before-right, event_id) with
+    a current-row-to-UNBOUNDED-FOLLOWING frame taking ``first(value
+    ignore nulls)`` — left rows sort before right rows at equal
+    timestamps so ``p.ts >= e.ts`` ties are included, matching DuckDB
+    forward-ASOF semantics; among same-microsecond purchases the earliest
+    event_id wins (fixtures have no such ties — verified for the
+    backward twin).  Scale: identical plan family to `join_asof` — a
+    single hash exchange at any cluster size, never a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("is_right"),
+        "event_id",
+        F.lit(None).cast("double").alias("pval"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.lit(1).alias("is_right"),
+            "event_id",
+            F.col("value").alias("pval"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "is_right", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_purchase_value", F.first("pval", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_right") == 0).select(
+        "event_id", r4("next_purchase_value", "next_purchase_value")
+    )

@@ -61,6 +61,8 @@ _OPS = [
     "events_ab_test",          # md5 arms + exact-moment z statistics
     "sample_bootstrap_ci",     # md5-Poisson weights + decimal replicate sums
     "dq_lang_drift",           # integer share counts + broadcast totals
+    "join_asof_forward",       # forward union-merge window ordering
+    "ts_seasonal_decompose",   # decimal re-aggregated seasonal indices
 ]
 
 

@@ -316,3 +316,12 @@ def test_bootstrap_partial_agg_before_shuffle(spark):
     head, _, _ = plan.partition("Exchange hashpartitioning")
     assert "HashAggregate" in head, plan[:3000]
     assert "partial_sum" in plan, plan[:3000]
+
+
+def test_asof_forward_single_user_shuffle(spark):
+    """The forward as-of mirrors join_asof's union-merge: one hash
+    exchange on the user key, never a range join."""
+    plan = _plan(QUERIES["join_asof_forward"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
