@@ -1638,3 +1638,151 @@ def ts_seasonal_decompose(spark, sf_dir):
         "overall_mean",
         (dow_mean / F.col("overall_mean")).alias("seasonal_idx"),
     )
+
+
+def markov_removal_effects(counts, channels):
+    """Removal-effect attribution on a first-order Markov conversion chain
+    (Anderl et al.): given transition counts over states {'START', the
+    channels, 'CONV', 'DROP'}, the conversion probability from START is
+    the absorbing-chain solve p = (I - Q)^-1 r; channel c's removal
+    effect is the relative drop in that probability when c is deleted
+    (its mass becomes non-converting), and attribution shares normalize
+    the effects.
+
+    Pure function of exact integer counts -> deterministic (the linear
+    solve is a fixed small-matrix computation, |channels|+1 unknowns).
+    Module-level so the quality gate can drive it on hand-solvable
+    chains."""
+    import numpy as np
+
+    out_totals = {}
+    for (src, _), n in counts.items():
+        out_totals[src] = out_totals.get(src, 0) + n
+
+    def conv_prob(excluded=None):
+        trans = ["START"] + [c for c in channels if c != excluded]
+        idx = {s: i for i, s in enumerate(trans)}
+        n = len(trans)
+        Q = np.zeros((n, n))
+        r = np.zeros(n)
+        for (src, dst), cnt in counts.items():
+            if src not in idx:
+                continue
+            p = cnt / out_totals[src]
+            if dst == "CONV":
+                r[idx[src]] += p
+            elif dst in idx:
+                Q[idx[src], idx[dst]] += p
+            # dst == 'DROP' or the excluded channel: lost mass
+        p_all = np.linalg.solve(np.eye(n) - Q, r)
+        return float(p_all[idx["START"]])
+
+    p_full = conv_prob()
+    effects = {
+        c: (p_full - conv_prob(excluded=c)) / p_full if p_full > 0 else 0.0
+        for c in channels
+    }
+    total = sum(effects.values())
+    shares = {
+        c: (e / total if total > 0 else 0.0) for c, e in effects.items()
+    }
+    return p_full, effects, shares
+
+
+@register("rec_markov_attribution")  # rows-only: absorbing-chain solve,
+# gates (hand-solvable chains, share axioms, determinism) in test_ml_quality
+def rec_markov_attribution(spark, sf_dir):
+    """Markov-chain (removal-effect) marketing attribution: sessions become
+    channel paths START -> ... -> CONV (first purchase) | DROP (no
+    purchase); each non-purchase channel is credited by how much the
+    session-level conversion probability falls when that channel is
+    removed from the chain — the data-driven alternative to the
+    first/last-touch heuristics of events_session_attribution.
+
+    The DISTRIBUTED part reduces the corpus to a |states|^2 transition
+    matrix: sessionize (one user-key shuffle), truncate each session at
+    its first purchase, lead() pairs plus virtual START/CONV/DROP
+    endpoints, count.  Only that channel-cardinality-bounded matrix (at
+    most ~6x6 here, never corpus-sized) crosses to the driver for the
+    absorbing-chain solve — the same scalar-handoff pattern as
+    rec_eval_recall, legitimate at ANY corpus size because its dimensions
+    are the channel vocabulary, not the data.  Deterministic: exact
+    integer counts -> fixed small solve; partition-invariant (gated)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_session").over(w2).cast("long")
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    wsf = ws.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = sess.select(
+        "user_id",
+        "sid",
+        "us",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(ws).alias("rn"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.row_number().over(ws))
+        )
+        .over(wsf)
+        .alias("first_p"),
+    ).filter(F.col("first_p").isNull() | (F.col("rn") <= F.col("first_p")))
+    stated = ranked.withColumn(
+        "state",
+        F.when(F.col("state") == "purchase", "CONV").otherwise(F.col("state")),
+    )
+    pairs = stated.select(
+        F.col("state").alias("src"),
+        F.coalesce(
+            F.lead("state").over(ws),
+            F.when(F.col("state") != "CONV", "DROP"),
+        ).alias("dst"),
+        F.when(F.col("rn") == 1, F.col("state")).alias("first_state"),
+    )
+    trans = (
+        pairs.filter((F.col("src") != "CONV") & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .count()
+        .unionByName(
+            pairs.filter(F.col("first_state").isNotNull())
+            .groupBy(
+                F.lit("START").alias("src"),
+                F.col("first_state").alias("dst"),
+            )
+            .count()
+        )
+    )
+    counts = {(r["src"], r["dst"]): r["count"] for r in trans.collect()}
+    channels = sorted(
+        ({s for s, _ in counts} | {d for _, d in counts})
+        - {"START", "CONV", "DROP"}
+    )
+    p_full, effects, shares = markov_removal_effects(counts, channels)
+    return spark.createDataFrame(
+        [
+            (c, p_full, effects[c], shares[c])
+            for c in channels
+        ],
+        "channel string, p_conversion double, removal_effect double, "
+        "attribution_share double",
+    )

@@ -506,3 +506,103 @@ def win_time_weighted_avg(spark, sf_dir):
         )
         .filter(F.col("held_s") > 0)
     )
+
+
+@register(
+    "win_match_recognize",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sess AS (
+      SELECT *, CAST(SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx
+      FROM marked
+    ), s AS (
+      SELECT user_id, session_idx,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY us, event_id) AS seq
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id, session_idx, seq,
+           CAST(length(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+             AS n_view_to_purchase,
+           CASE WHEN regexp_matches(seq, 'v[^p]*p') THEN 1 ELSE 0 END
+             AS converted
+    FROM s
+    """,
+)
+def win_match_recognize(spark, sf_dir):
+    """MATCH_RECOGNIZE-style row-pattern matching (the SQL:2016 feature
+    Spark lacks): within each 30-minute session, count non-overlapping
+    occurrences of the pattern ``VIEW (not-PURCHASE)* PURCHASE`` — the
+    "browse led to a purchase" motif — by folding the session's ordered
+    event-type initials into one string and running a regular expression
+    over it.  Sequences-as-strings is the standard scale trick for
+    row-pattern queries: state per session is its event count, and the
+    regex engine does the automaton work.
+
+    Determinism: the fold order is total ((us, event_id) — sort_array on
+    (us, event_id, initial) structs == the oracle's ordered string_agg),
+    initials are distinct per type, and greedy non-overlapping regex
+    counting is identical in Java regex and RE2 for this
+    backtracking-free pattern.  Scale: the session id is the
+    win_sessionize cascade (one user-key shuffle) and the collect is one
+    further (user, session) aggregate whose state is one session's
+    events — never a corpus-sized collection."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        F.substring("event_type", 1, 1).alias("i"),
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(w2).cast("long")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("us"), F.col("event_id"), F.col("i")))
+            ),
+            lambda c: c["i"],
+        ),
+        "",
+    )
+    pat = r"v[^p]*p"
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            "session_idx",
+            "seq",
+            F.length("seq").cast("int").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pat)).cast("int").alias(
+                "n_view_to_purchase"
+            ),
+            F.when(F.col("seq").rlike(pat), 1).otherwise(0).alias("converted"),
+        )
+    )

@@ -702,3 +702,39 @@ def test_label_propagation_fixture_determinism(spark):
     assert a == b and a
     nodes = {n for n, _ in a}
     assert all(c in nodes for _, c in a)
+
+
+def test_markov_removal_effects_hand_chains():
+    """The absorbing-chain kernel on chains small enough to solve by hand."""
+    from recommend_spark.queries.analytics import markov_removal_effects
+
+    # single path START -> a -> b -> CONV: removing either kills all
+    # conversion, so both effects are 1 and shares split evenly
+    counts = {("START", "a"): 10, ("a", "b"): 10, ("b", "CONV"): 10}
+    p, eff, sh = markov_removal_effects(counts, ["a", "b"])
+    assert abs(p - 1.0) < 1e-12
+    assert abs(eff["a"] - 1.0) < 1e-12 and abs(eff["b"] - 1.0) < 1e-12
+    assert abs(sh["a"] - 0.5) < 1e-12 and abs(sh["b"] - 0.5) < 1e-12
+
+    # branch: a converts, b drops — all credit to a
+    counts = {
+        ("START", "a"): 5, ("a", "CONV"): 5,
+        ("START", "b"): 5, ("b", "DROP"): 5,
+    }
+    p, eff, sh = markov_removal_effects(counts, ["a", "b"])
+    assert abs(p - 0.5) < 1e-12
+    assert abs(eff["a"] - 1.0) < 1e-12 and abs(eff["b"]) < 1e-12
+    assert abs(sh["a"] - 1.0) < 1e-12
+
+
+def test_markov_attribution_fixture_axioms(spark):
+    rows = QUERIES["rec_markov_attribution"](spark, SF_DIR).collect()
+    assert rows
+    chans = [r["channel"] for r in rows]
+    assert "START" not in chans and "CONV" not in chans and "DROP" not in chans
+    assert all(0.0 <= r["removal_effect"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["attribution_share"] <= 1.0 for r in rows)
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-9
+    assert all(0.0 < r["p_conversion"] <= 1.0 for r in rows)
+    again = QUERIES["rec_markov_attribution"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

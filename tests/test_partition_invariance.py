@@ -63,6 +63,8 @@ _OPS = [
     "dq_lang_drift",           # integer share counts + broadcast totals
     "join_asof_forward",       # forward union-merge window ordering
     "ts_seasonal_decompose",   # decimal re-aggregated seasonal indices
+    "win_match_recognize",     # ordered session-string fold + regex
+    "rec_markov_attribution",  # exact-count matrix -> fixed small solve
 ]
 
 
