@@ -173,7 +173,15 @@ def events_transition_matrix(spark, sf_dir):
         )
         .filter(F.col("to_type").isNotNull())
     )
-    c = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    # localCheckpoint: c feeds both tot and the output join; without the
+    # cut Spark re-runs the corpus window for each branch (no
+    # self-referenced subplan sharing) — the same one-scan fix as
+    # dq_freshness / rec_sequential_markov.
+    c = (
+        t.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+        .localCheckpoint()
+    )
     tot = c.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
     return (
         c.join(F.broadcast(tot), "from_type")

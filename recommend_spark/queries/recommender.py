@@ -901,11 +901,19 @@ def rec_sequential_markov(spark, sf_dir):
         seq.select("item", F.lead("item").over(ws).alias("next_item"))
         .filter(F.col("next_item").isNotNull())
     )
-    c = pairs.groupBy("item", "next_item").agg(F.count("*").alias("n_trans"))
+    # localCheckpoint: c feeds both the per-item totals and the ranked
+    # output, and Spark does not share a self-referenced subplan — without
+    # the cut the corpus scan + sequence window run TWICE (verified in the
+    # plan).  c is <= |items|^2 rows, so the materialization is trivial.
+    c = (
+        pairs.groupBy("item", "next_item")
+        .agg(F.count("*").alias("n_trans"))
+        .localCheckpoint()
+    )
     tot = c.groupBy("item").agg(F.sum("n_trans").alias("n_from"))
     wr = W.partitionBy("item").orderBy(F.col("n_trans").desc(), "next_item")
     return (
-        c.join(tot, "item")
+        c.join(F.broadcast(tot), "item")
         .select(
             "item",
             "next_item",

@@ -325,3 +325,14 @@ def test_asof_forward_single_user_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_ops_single_corpus_pass(spark):
+    """Both Markov-transition ops checkpoint the tiny pair-count table so
+    the totals branch never re-runs the corpus window: the final plan must
+    reference only the materialized RDD (zero file scans — the one corpus
+    scan happened eagerly at checkpoint time)."""
+    for qid in ("rec_sequential_markov", "events_transition_matrix"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        assert plan.count("FileScan") == 0, (qid, plan[:2000])
+        assert "Scan ExistingRDD" in plan, (qid, plan[:2000])
