@@ -640,9 +640,12 @@ def events_active_users(spark, sf_dir):
     table — |days| x avg-DAU rows, independent of raw event volume; the
     day grid broadcasts."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: act feeds the day grid, DAU and WAU branches; the
+    # cut makes this ONE corpus scan + three passes over the small
+    # (day, user) activity table instead of three corpus scans
     act = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint()
     days = act.select("d").distinct()
     dau = act.groupBy("d").agg(F.count("*").alias("dau"))
     a = act.select(F.col("d").alias("ad"), "user_id")
@@ -1452,40 +1455,47 @@ def events_ab_test(spark, sf_dir):
     from ..canon import md5_int
 
     ev = load_table(spark, sf_dir, "events")
-    arm = md5_int(F.col("user_id"), 6) % 2
-    u = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
-            ).otherwise(0)
-        ).alias("converted")
-    ).select(md5_int(F.col("user_id"), 6).__mod__(2).alias("arm"), "converted")
-    conv = u.agg(
-        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
-        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
-        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
-        .cast("long")
-        .alias("conv_a"),
-        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
-        .cast("long")
-        .alias("conv_b"),
+    # ONE corpus pass: a single per-user aggregate carries the conversion
+    # flag AND the purchase-value moments (decimal partials re-aggregate
+    # exactly, so the global sums equal the direct event-level sums
+    # bit-for-bit and the unchanged oracle still hash-matches); both
+    # report branches then derive from the tiny per-user table.
+    dv = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")
     )
-    dv = F.col("value").cast("decimal(18,6)")
-    m = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(arm.alias("arm"), dv.alias("dv"))
+    u = (
+        ev.groupBy("user_id")
         .agg(
-            F.count(F.when(F.col("arm") == 0, 1)).alias("np_a"),
-            F.count(F.when(F.col("arm") == 1, 1)).alias("np_b"),
-            F.sum(F.when(F.col("arm") == 0, F.col("dv"))).cast("double").alias("s_a"),
-            F.sum(F.when(F.col("arm") == 1, F.col("dv"))).cast("double").alias("s_b"),
-            F.sum(F.when(F.col("arm") == 0, F.col("dv") * F.col("dv")))
-            .cast("double")
-            .alias("q_a"),
-            F.sum(F.when(F.col("arm") == 1, F.col("dv") * F.col("dv")))
-            .cast("double")
-            .alias("q_b"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+            F.count(dv).alias("np"),
+            F.sum(dv).alias("s"),
+            F.sum(dv * dv).alias("q"),
         )
+        .select(
+            (md5_int(F.col("user_id"), 6) % 2).alias("arm"),
+            "converted", "np", "s", "q",
+        )
+        .localCheckpoint()
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    conv = u.agg(
+        F.count(F.when(a0, 1)).alias("n_a"),
+        F.count(F.when(a1, 1)).alias("n_b"),
+        F.sum(F.when(a0, F.col("converted")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(a1, F.col("converted")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    m = u.agg(
+        F.sum(F.when(a0, F.col("np")).otherwise(0)).alias("np_a"),
+        F.sum(F.when(a1, F.col("np")).otherwise(0)).alias("np_b"),
+        F.sum(F.when(a0, F.col("s"))).cast("double").alias("s_a"),
+        F.sum(F.when(a1, F.col("s"))).cast("double").alias("s_b"),
+        F.sum(F.when(a0, F.col("q"))).cast("double").alias("q_a"),
+        F.sum(F.when(a1, F.col("q"))).cast("double").alias("q_b"),
     )
     ra = F.col("conv_a").cast("double") / F.col("n_a")
     rb = F.col("conv_b").cast("double") / F.col("n_b")
@@ -1631,7 +1641,7 @@ def ts_seasonal_decompose(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-    )
+    ).localCheckpoint()  # |types| x 7 rows; totals derive from THIS, not a re-scan
     t = c.groupBy("event_type").agg(
         (F.sum("s").cast("double") / F.sum("n").cast("long")).alias(
             "overall_mean"

@@ -140,7 +140,10 @@ def sample_temperature(spark, sf_dir):
     scan, so at 100 TB this is one partial-agg pass plus a map-only
     filter — no shuffle of the corpus itself."""
     d = load_table(spark, sf_dir, "documents")
-    mass = d.groupBy("source").agg(F.sum("n_chars").alias("m"))
+    # localCheckpoint: mass feeds both the min() scalar and the rate table;
+    # the cut keeps this at the 2-pass minimum (one aggregate pass + one
+    # filter pass) instead of re-scanning the corpus for the minimum
+    mass = d.groupBy("source").agg(F.sum("n_chars").alias("m")).localCheckpoint()
     lo = mass.agg(F.min("m").alias("m_min"))
     rate = (
         mass.crossJoin(F.broadcast(lo))
