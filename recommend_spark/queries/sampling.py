@@ -448,10 +448,20 @@ def sample_bootstrap_ci(spark, sf_dir):
     verbatim with the oracle, so every weight is bit-identical.  Replicate
     sums accumulate w*price in exact DECIMAL (order-free), one IEEE
     division per replicate at the end.  Scale: a 32x row expansion
-    map-side, immediately partial-aggregated to 32 groups BEFORE the
-    shuffle — per-executor state is 32 rows, wire traffic O(32 x tasks);
-    at 100 TB the expansion never materializes."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    map-side (spread across cores first — see the repartition note below),
+    immediately partial-aggregated to 32 groups BEFORE the shuffle —
+    per-executor state is 32 rows, wire traffic O(32 x tasks); at 100 TB
+    the expansion never materializes."""
+    # orders ships as one parquet file -> one input partition; without an
+    # explicit spread the 32x explode + 4.8M md5 draws run on ONE core
+    # (measured 15.3 -> 1.1 s at sf0.1 with the spread).  On a cluster
+    # this is the one-hot-core vs N-cores difference (the text_tfidf_ml
+    # lesson); the round-robin exchange moves only the 2-column projection.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(32)
+    )
     reps = o.select(
         "o_orderkey",
         "o_totalprice",
