@@ -1150,3 +1150,79 @@ def agg_heavy_hitters(spark, sf_dir):
         .limit(20)
         .select(F.col("key").alias("item"), "est_min", "err_ub")
     )
+
+
+@register(
+    "agg_quantile_binned",
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, bin, c,
+             CAST(sum(c) OVER (
+               PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM hist
+    ), tq AS (
+      SELECT *, CAST(ceil(q * n) AS BIGINT) AS target
+      FROM cum CROSS JOIN
+        (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    )
+    SELECT l_returnflag, q,
+           bin * 1000 + 1000.0 * (target - (cum - c)) / c AS est
+    FROM tq WHERE cum >= target AND cum - c < target
+    """,
+)
+def agg_quantile_binned(spark, sf_dir):
+    """Mergeable binned-quantile sketch: a fixed-width histogram (width
+    1000 on l_extendedprice) is the sketch state, quantiles come from the
+    cumulative counts with linear interpolation inside the straddling bin.
+
+    This is the sketch-shaped alternative to the exact percentile family
+    (agg_percentile_cont): unlike a per-group sorted buffer, bin counts are
+    COMMUTATIVELY mergeable — Catalyst runs a map-side partial count per
+    (flag, bin) and the merge is addition, so accuracy and result are
+    independent of partitioning (the t-digest promise, deterministically).
+    Error is bounded by the bin width; the estimate is exact integer/one-
+    division arithmetic, so both engines agree bit-for-bit.
+
+    100 TB: state is |groups| x |bins| (~100 here) regardless of row count;
+    the only shuffle is the tiny histogram."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "l_returnflag",
+        "bin",
+        "c",
+        F.sum("c")
+        .over(W.partitionBy("l_returnflag").orderBy("bin"))
+        .alias("cum"),
+        F.sum("c")
+        .over(W.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    tq = cum.crossJoin(F.broadcast(qs)).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n")).cast("long")
+    )
+    return tq.filter(
+        (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("c") < F.col("target"))
+    ).select(
+        "l_returnflag",
+        "q",
+        (
+            F.col("bin") * 1000
+            + F.lit(1000.0)
+            * (F.col("target") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+        ).alias("est"),
+    )

@@ -1804,3 +1804,186 @@ def rec_markov_attribution(spark, sf_dir):
         "channel string, p_conversion double, removal_effect double, "
         "attribution_share double",
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cm
+      FROM events GROUP BY user_id
+    ), ev AS (
+      SELECT e.user_id,
+             strftime(f.cm, '%Y-%m') AS cohort,
+             date_diff('month', f.cm, date_trunc('month', e.ts)) AS age,
+             CASE WHEN e.event_type = 'purchase' THEN e.value END AS pval
+      FROM events e JOIN first f USING (user_id)
+    )
+    SELECT cohort, CAST(age AS INT) AS age,
+           count(DISTINCT user_id) AS n_users,
+           COALESCE(CAST(SUM(CAST(pval AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+             AS revenue
+    FROM ev GROUP BY cohort, age
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: users grouped by first-activity month,
+    purchase revenue accumulated per cohort age (months since acquisition)
+    — the `cohort x age` LTV triangle every growth team reads next to the
+    retention matrix (events_retention).
+
+    Determinism: revenue sums through DECIMAL(18,2) (canon dsum rule) and
+    empty cells coalesce to 0.0 in both engines; month arithmetic is on
+    month-truncated timestamps so `months_between` is exact in Spark and
+    equals DuckDB's boundary-counting date_diff('month', ...).
+
+    100 TB: one groupBy(user_id) builds the cohort map (events' natural
+    key, so AQE sees a co-partitioned join back to events), and the final
+    matrix is |months|^2/2 cells — broadcast-sized output regardless of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cm")
+    )
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_format("cm", "yyyy-MM").alias("cohort"),
+        F.months_between(F.date_trunc("month", F.col("ts")), F.col("cm"))
+        .cast("int")
+        .alias("age"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    return joined.groupBy("cohort", "age").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(
+            F.sum(F.col("pval").cast("decimal(18,2)")).cast("double"),
+            F.lit(0.0),
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "events_funnel_time",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT CAST(floor(epoch(p.t1)) AS BIGINT)
+             - CAST(floor(epoch(v.t0)) AS BIGINT) AS delta_s
+      FROM v JOIN p USING (user_id)
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.25) AS p25_s,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.50) AS median_s,
+           quantile_cont(CAST(delta_s AS DOUBLE), 0.90) AS p90_s
+    FROM d
+    """,
+)
+def events_funnel_time(spark, sf_dir):
+    """Time-to-convert distribution: seconds from a user's first `view` to
+    their first subsequent `purchase`, summarized as exact percentiles —
+    the latency companion to the step-count funnel (events_funnel).
+
+    Both aggregation passes key on user_id, so the second groupBy reuses
+    the first shuffle's partitioning; deltas are integer epoch seconds cast
+    to double BEFORE the percentile so both engines interpolate the same
+    inputs (the agg_percentile_cont determinism argument).  Output is one
+    row, the per-user intermediate never exceeds |users|."""
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = v.join(p, "user_id").select(
+        (epoch_s("t1") - epoch_s("t0")).cast("double").alias("delta_s")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(delta_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(delta_s, 0.50)").alias("median_s"),
+        F.expr("percentile(delta_s, 0.90)").alias("p90_s"),
+    )
+
+
+@register(
+    "ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY d
+    ), w AS (
+      SELECT d, v,
+        CAST(SUM(v) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS DOUBLE) AS pre_sum,
+        count(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+          AS pre_n,
+        CAST(SUM(v) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+             AS DOUBLE) AS post_sum,
+        count(*) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+          AS post_n
+      FROM daily
+    ), scored AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+             pre_sum / pre_n AS pre_avg,
+             post_sum / post_n AS post_avg,
+             abs(post_sum / post_n - pre_sum / pre_n) AS shift_score
+      FROM w WHERE pre_n = 7 AND post_n = 7
+    )
+    SELECT day, pre_avg, post_avg, shift_score
+    FROM scored ORDER BY shift_score DESC, day LIMIT 5
+    """,
+)
+def ts_changepoint(spark, sf_dir):
+    """Mean-shift changepoint detection on the daily revenue series: for
+    each day, compare the trailing-7-day average against the 7-day average
+    starting that day; the largest |shift| days are the changepoint
+    candidates (two-sample CUSUM-style scan, fixed windows).
+
+    Determinism: daily totals stay DECIMAL through the window SUM (exact,
+    order-free) and become doubles only in the final one-division averages,
+    so both engines score bit-identically.  The global ORDER BY window runs
+    over the pre-aggregated day series — |days| rows, bounded by calendar
+    length not corpus size, so the single-partition sort is a non-issue at
+    any scale (same argument as events_anomaly_days)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    pre = W.orderBy("d").rowsBetween(-7, -1)
+    post = W.orderBy("d").rowsBetween(0, 6)
+    w = daily.select(
+        "d",
+        F.sum("v").over(pre).cast("double").alias("pre_sum"),
+        F.count("*").over(pre).alias("pre_n"),
+        F.sum("v").over(post).cast("double").alias("post_sum"),
+        F.count("*").over(post).alias("post_n"),
+    ).filter((F.col("pre_n") == 7) & (F.col("post_n") == 7))
+    scored = w.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("pre_sum") / F.col("pre_n")).alias("pre_avg"),
+        (F.col("post_sum") / F.col("post_n")).alias("post_avg"),
+        F.abs(
+            F.col("post_sum") / F.col("post_n")
+            - F.col("pre_sum") / F.col("pre_n")
+        ).alias("shift_score"),
+    )
+    return scored.orderBy(F.col("shift_score").desc(), "day").limit(5)

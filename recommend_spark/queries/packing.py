@@ -289,3 +289,79 @@ def pipeline_doc_chunks(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+@register(
+    "pipeline_interleave_shards",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), p AS (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM d
+    ), sz AS (
+      SELECT shard AS s2, count(*) AS n FROM p GROUP BY shard
+    )
+    SELECT p.doc_id, p.shard, p.pos,
+           CAST(SUM(least(sz.n, p.pos - 1))
+                + SUM(CASE WHEN sz.s2 < p.shard AND sz.n >= p.pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS step
+    FROM p CROSS JOIN sz
+    GROUP BY p.doc_id, p.shard, p.pos
+    """,
+)
+def pipeline_interleave_shards(spark, sf_dir):
+    """Deterministic interleaved training order: documents are md5-hashed
+    into 8 shards, shuffled WITHIN each shard by md5 (pos), and the global
+    training step of every document under round-robin shard reading is
+    computed ARITHMETICALLY — step = docs at earlier positions across all
+    shards + earlier shards still alive at this position — instead of via
+    a global ORDER BY.
+
+    That is the point at 100 TB: a training-order manifest normally costs
+    a single-partition global sort; here the only wide ops are the per-
+    shard window (each sorts one shard, the standard packing bound) and a
+    broadcast of the 8-row shard-size table, so the epoch permutation
+    materializes shard-parallel and the round-robin property is exact even
+    with unequal shard sizes (a shard drops out of the rotation once
+    exhausted).  Everything derives from md5 — reproducible epoch order,
+    no RNG (SURVEY §5.3)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        (md5_int(F.col("doc_id"), 6) % 8).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    p = d.select(
+        "doc_id",
+        "shard",
+        F.row_number()
+        .over(W.partitionBy("shard").orderBy("h", "doc_id"))
+        .alias("pos"),
+    )
+    sz = p.groupBy(F.col("shard").alias("s2")).agg(F.count("*").alias("n"))
+    return (
+        p.crossJoin(F.broadcast(sz))
+        .groupBy("doc_id", "shard", "pos")
+        .agg(
+            (
+                F.sum(F.least(F.col("n"), F.col("pos") - 1))
+                + F.sum(
+                    F.when(
+                        (F.col("s2") < F.col("shard"))
+                        & (F.col("n") >= F.col("pos")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("step")
+        )
+    )

@@ -1018,3 +1018,79 @@ def graph_label_propagation(spark, sf_dir):
     ).localCheckpoint()
     lbl = label_propagation(edges, rounds=5)
     return lbl.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT a.i AS src, b2.i AS dst
+      FROM b a JOIN b b2 ON a.u = b2.u AND a.i < b2.i
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), adj AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+      SELECT src AS node, count(*) AS d FROM adj GROUP BY src
+    ), sh AS (
+      SELECT x.dst AS a, y.dst AS b, count(*) AS shared
+      FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2
+    )
+    SELECT s.a, s.b, s.shared,
+           CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared) AS jaccard
+    FROM sh s JOIN deg da ON s.a = da.node JOIN deg db ON s.b = db.node
+    ORDER BY jaccard DESC, a, b LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction on the co-purchase graph: for
+    item pairs sharing at least one common neighbor, score
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and return the strongest pairs — the
+    classic structural-similarity / link-prediction baseline (items whose
+    purchase contexts overlap even if never co-bought themselves).
+
+    The intersection comes from the WEDGE join (adjacency self-joined on
+    the shared neighbor, dst<dst dedup) — candidates are generated only
+    through common neighbors, never all-pairs, so the cost is sum(deg²)
+    over nodes, bounded at scale by the cooc>=5 sparsity floor plus the
+    same top-k-per-node neighbor sparsification lever label_propagation
+    uses.  Degrees are a node-sized aggregate that broadcasts onto the
+    pair stream; one division per output row keeps the score engine-
+    deterministic.  Edge set reads from the disk-memoized corpus artifact
+    (one quadratic basket join per corpus, shared with the whole
+    co-purchase family)."""
+    und = (
+        _copurchase_edges_artifact(spark, sf_dir)
+        .filter(F.col("cooc") >= 5)
+        .select("p", "q")
+    )
+    adj = und.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
+        und.select(F.col("q").alias("src"), F.col("p").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    sh = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    return (
+        sh.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+    )

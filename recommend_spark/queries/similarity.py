@@ -1172,3 +1172,86 @@ def mm_embed_matryoshka(spark, sf_dir):
         (F.col("ss16") / F.col("ssf")).alias("energy_16"),
         (F.col("ss32") / F.col("ssf")).alias("energy_32"),
     )
+
+
+@register("sim_rerank_mmr")  # rows-only: greedy rerank is inherently iterative
+def sim_rerank_mmr(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified rerank: for each query
+    (vec_id < 10), take the exact top-20 cosine candidates, then greedily
+    pick 5 maximizing ``0.7*relevance - 0.3*max_sim_to_already_picked`` —
+    the standard redundancy-suppression step between retrieval and serving
+    (search results, RAG contexts, recommendation slates).
+
+    Retrieval stays fully distributed (the sim_cosine_topk plan widened to
+    k=20, WindowGroupLimit prunes per partition); only the greedy loop —
+    20 candidates x 5 picks per query, O(k²) on a 20-row slice — runs in
+    an Arrow-batched applyInPandas per query group, which is exactly the
+    work shape applyInPandas is for.  Ties break by (score, candidate
+    rank), and candidate order entering the loop is totally ordered
+    (cosine desc, neighbor_id), so the output is partitioning-independent.
+    Quality gate: tests/test_ml_quality.py (first pick = argmax relevance,
+    picks ⊆ candidates, intra-set similarity never above the plain top-5's).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        _dot(F.col("qe"), F.col("ce")).alias("relevance"),
+        "ce",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("neighbor_id")
+    )
+    cands = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 20
+    )
+
+    LAM = 0.7
+
+    def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        vecs = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+        rel = pdf["relevance"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        out = []
+        for rank in range(1, min(5, n) + 1):
+            best_i, best_s = -1, -np.inf
+            for i in range(n):
+                if i in picked:
+                    continue
+                max_sim = (
+                    float(np.max(vecs[picked] @ vecs[i])) if picked else 0.0
+                )
+                s = LAM * rel[i] - (1.0 - LAM) * max_sim
+                if s > best_s:  # strict: ties keep the earlier (higher-rel) cand
+                    best_i, best_s = i, s
+            picked.append(best_i)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(pdf["neighbor_id"].iloc[best_i]),
+                    float(rel[best_i]),
+                    float(best_s),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return cands.groupBy("query_id").applyInPandas(
+        rerank,
+        "query_id long, rank int, neighbor_id long, relevance double, "
+        "mmr_score double",
+    )

@@ -1094,3 +1094,153 @@ def text_pmi_collocations(spark, sf_dir):
             .alias("pmi"),
         )
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','of','and','to','in','is')))
+                  AS BIGINT) AS stop_cnt
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words < 10 THEN 'too_short'
+                  WHEN n_words > 5000 THEN 'too_long'
+                  WHEN sum_len < 2 * n_words OR sum_len > 12 * n_words
+                    THEN 'word_len'
+                  WHEN stop_cnt * 50 < n_words THEN 'no_stopwords'
+             END AS fail_reason
+      FROM m
+    )
+    SELECT doc_id, n_words, fail_reason, fail_reason IS NULL AS keep
+    FROM r
+    """,
+)
+def pipeline_quality_filter(spark, sf_dir):
+    """Gopher-style rule-based quality filter: per document, length bounds,
+    mean-word-length band, and minimum stopword density, reported as a
+    keep flag plus the FIRST failing rule (the audit trail a corpus
+    curation pipeline keeps for filter-rate dashboards).
+
+    Zero-shuffle by construction: every rule evaluates on the token array
+    with Catalyst higher-order functions (filter/aggregate) — no explode,
+    no groupBy, a pure narrow map over documents, which is exactly what a
+    100 TB filter pass must be.  Determinism: all thresholds compare
+    integers (mean-word-length bounds become ``2*n <= sum_len <= 12*n``,
+    density becomes ``stop_cnt*50 >= n``), so no float ever reaches a
+    predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_TOKS(), lambda x: x != "")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("sum_len"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"),
+            )
+        )
+        .cast("long")
+        .alias("stop_cnt"),
+    )
+    r = m.select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("n_words") < 10, "too_short")
+        .when(F.col("n_words") > 5000, "too_long")
+        .when(
+            (F.col("sum_len") < 2 * F.col("n_words"))
+            | (F.col("sum_len") > 12 * F.col("n_words")),
+            "word_len",
+        )
+        .when(F.col("stop_cnt") * 50 < F.col("n_words"), "no_stopwords")
+        .alias("fail_reason"),
+    )
+    return r.withColumn("keep", F.col("fail_reason").isNull())
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w,
+             unnest(generate_series(1, len({_SQL_TOKS}))) AS pos
+      FROM documents
+    ), tokf AS (SELECT * FROM tok WHERE w != ''),
+    bg AS (
+      SELECT doc_id,
+             w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM tokf
+    ), bgf AS (SELECT doc_id, b FROM bg WHERE b IS NOT NULL),
+    freq AS (SELECT b, count(*) AS c FROM bgf GROUP BY b),
+    tot AS (SELECT sum(c) AS t FROM freq),
+    surp AS (
+      SELECT b, CAST(-ln(CAST(c AS DOUBLE) / t) AS DECIMAL(18,6)) AS s
+      FROM freq CROSS JOIN tot
+    )
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           CAST(SUM(surp.s) AS DOUBLE) AS total_surprisal,
+           CAST(SUM(surp.s) AS DOUBLE) / count(*) AS avg_surprisal
+    FROM bgf g JOIN surp ON g.b = surp.b
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Bigram language-model surprisal per document — the second-order
+    upgrade of text_unigram_surprisal: -ln p(bigram) under corpus bigram
+    frequencies, summed and averaged per document.  High average bigram
+    surprisal flags incoherent word-order (gibberish that unigram stats
+    miss); low flags boilerplate.
+
+    Same determinism contract as the unigram op: each DISTINCT bigram's
+    surprisal rounds once through DECIMAL(18,6) (ln differs by 1 ulp
+    across libm builds), per-document totals are exact decimal sums.  One
+    doc_id-keyed window shuffle forms bigrams, the frequency table is
+    vocabulary²-bounded-by-corpus and broadcasts back onto the stream."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    bgf = (
+        tok.select(
+            "doc_id",
+            F.concat(F.col("w"), F.lit(" "), F.lead("w").over(wspec)).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    freq = bgf.groupBy("b").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    surp = (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            (-F.log(F.col("c").cast("double") / F.col("t")))
+            .cast("decimal(18,6)"),
+        )
+        .select("b", "s")
+    )
+    return (
+        bgf.join(F.broadcast(surp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s").cast("double").alias("total_surprisal"),
+            (F.sum("s").cast("double") / F.count("*")).alias("avg_surprisal"),
+        )
+    )

@@ -738,3 +738,42 @@ def test_markov_attribution_fixture_axioms(spark):
     assert all(0.0 < r["p_conversion"] <= 1.0 for r in rows)
     again = QUERIES["rec_markov_attribution"](spark, SF_DIR).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_mmr_rerank_gates(spark):
+    """sim_rerank_mmr: picks come from the exact top-20, the first pick is
+    the relevance argmax, and the diversified set is never MORE redundant
+    than the plain top-5 (the one property MMR must deliver)."""
+    import numpy as np
+
+    mmr = QUERIES["sim_rerank_mmr"](spark, SF_DIR).collect()
+    exact = QUERIES["sim_cosine_topk"](spark, SF_DIR).collect()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    emb = {i: np.array(v, dtype=np.float64) for i, v in zip(ids, vecs)}
+
+    by_q: dict[int, list] = {}
+    for r in sorted(mmr, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    top5 = {}
+    for r in exact:
+        top5.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == set(top5)
+
+    def avg_pairwise(ids_):
+        v = np.stack([emb[i] for i in ids_])
+        sims = v @ v.T
+        n = len(ids_)
+        return (sims.sum() - np.trace(sims)) / (n * (n - 1))
+
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        picks = [r["neighbor_id"] for r in rows]
+        assert len(set(picks)) == 5
+        # rank-1 pick is the relevance argmax = exact top-1 neighbor
+        assert picks[0] == top5[qid][0]
+        # MMR must not be more redundant than the plain top-5
+        assert avg_pairwise(picks) <= avg_pairwise(top5[qid]) + 1e-9

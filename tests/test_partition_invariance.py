@@ -65,6 +65,14 @@ _OPS = [
     "ts_seasonal_decompose",   # decimal re-aggregated seasonal indices
     "win_match_recognize",     # ordered session-string fold + regex
     "rec_markov_attribution",  # exact-count matrix -> fixed small solve
+    # round-7 second batch
+    "agg_quantile_binned",     # mergeable histogram sketch (the claim itself)
+    "text_bigram_surprisal",   # per-doc window bigrams + broadcast LM join
+    "pipeline_interleave_shards",  # per-shard windows + arithmetic step
+    "graph_jaccard_neighbors", # wedge join + broadcast degree join
+    "events_cohort_ltv",       # cohort join + decimal revenue cells
+    "events_funnel_time",      # two user-keyed aggs + exact percentiles
+    "ts_changepoint",          # decimal window sums over the day series
 ]
 
 

@@ -798,3 +798,52 @@ def test_doc_chunks_reconstruct_token_stream(spark):
         assert rebuilt[: len(full)] == full
         last = cs[len(cs) - 1]
         assert last["start_pos"] + last["n_tokens"] == len(full)
+
+
+def test_interleave_shards_is_round_robin_permutation(spark):
+    """pipeline_interleave_shards: steps form a permutation of 0..N-1 and
+    reading in step order cycles shards round-robin (a shard reappears
+    only after every other still-alive shard has been visited)."""
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["pipeline_interleave_shards"](spark, SF_DIR).collect()
+    n = len(rows)
+    steps = sorted(r["step"] for r in rows)
+    assert steps == list(range(n))
+    # reconstruct expected round-robin order independently
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    expect = []
+    pos = 0
+    while len(expect) < n:
+        for s in sorted(by_shard):
+            if pos < len(by_shard[s]):
+                expect.append(by_shard[s][pos])
+        pos += 1
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["step"])]
+    assert got == expect
+
+
+def test_quantile_binned_within_bin_width(spark, ddb):
+    """agg_quantile_binned: every sketch estimate sits within one bin
+    width (1000) of the exact continuous quantile."""
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+    from tests.conftest import SF_DIR
+
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in QUERIES["agg_quantile_binned"](spark, SF_DIR).collect()
+    }
+    exact = {}
+    for q in (0.5, 0.9, 0.99):
+        for f, v in ddb.execute(
+            f"SELECT l_returnflag, quantile_cont(l_extendedprice, {q}) "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).fetchall():
+            exact[(f, q)] = v
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= 1000.0, (k, est[k], v)
