@@ -1226,3 +1226,30 @@ def agg_quantile_binned(spark, sf_dir):
             / F.col("c")
         ).alias("est"),
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_orderstatus = 'F')    AS any_finished,
+           count(*) FILTER (o_totalprice > 200000) AS n_big,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean(spark, sf_dir):
+    """Boolean aggregate family: BOOL_AND / BOOL_OR / filtered COUNT per
+    group — the assertion-style aggregates data-quality SQL leans on
+    (`every row satisfies P`, `any row satisfies Q`).  All three are
+    single-bit/counter states with trivially commutative merges, so the
+    map-side partial aggregation is maximal and the shuffle carries one
+    row per (group, flag)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.count("*").alias("n"),
+    )

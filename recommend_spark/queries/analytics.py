@@ -1987,3 +1987,162 @@ def ts_changepoint(spark, sf_dir):
         ).alias("shift_score"),
     )
     return scored.orderBy(F.col("shift_score").desc(), "day").limit(5)
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+      FROM events GROUP BY d
+    ), w AS (
+      SELECT xc,
+             lag(xc, 1) OVER (ORDER BY d) AS y1,
+             lag(xc, 7) OVER (ORDER BY d) AS y7
+      FROM daily
+    ), p AS (
+      SELECT 1 AS lag, xc, y1 AS yc FROM w WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT 7 AS lag, xc, y7 AS yc FROM w WHERE y7 IS NOT NULL
+    ), s AS (
+      SELECT lag, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+               AS sxy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+               AS sx2,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+               AS sy2
+      FROM p GROUP BY lag
+    )
+    SELECT lag, n,
+           (sxy - sx * sy / n)
+             / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS autocorr
+    FROM s
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series — the
+    seasonality diagnostic read before fitting any forecast (lag-7 high ⇒
+    weekly cycle; both near zero ⇒ white noise).
+
+    Determinism follows agg_corr exactly: daily totals become exact
+    integer cents (DECIMAL sum ×100), all five moments accumulate as
+    integer/DECIMAL(38,0) sums — order-free — and doubles appear only in
+    the final fixed expression tree.  The lag windows run on the
+    pre-aggregated day series (|days| rows, calendar-bounded), so the
+    unpartitioned window is a non-issue; the heavy work is the one daily
+    groupBy."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("xc")
+    )
+    wd = W.orderBy("d")
+    w = daily.select(
+        "xc",
+        F.lag("xc", 1).over(wd).alias("y1"),
+        F.lag("xc", 7).over(wd).alias("y7"),
+    )
+    p = (
+        w.filter(F.col("y1").isNotNull())
+        .select(F.lit(1).alias("lag"), "xc", F.col("y1").alias("yc"))
+        .unionAll(
+            w.filter(F.col("y7").isNotNull()).select(
+                F.lit(7).alias("lag"), "xc", F.col("y7").alias("yc")
+            )
+        )
+    )
+    s = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        (F.sum("xc").cast("double") / 100.0).alias("sx"),
+        (F.sum("yc").cast("double") / 100.0).alias("sy"),
+        (
+            F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("sxy"),
+        (
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("sx2"),
+        (
+            F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("sy2"),
+    )
+    return s.select(
+        "lag",
+        "n",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.sqrt(
+                (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("sy2") - F.col("sy") * F.col("sy") / F.col("n"))
+            )
+        ).alias("autocorr"),
+    )
+
+
+@register(
+    "events_inter_event_time",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
+      FROM events
+    ), gf AS (SELECT event_type, CAST(gap_s AS DOUBLE) AS gap_s
+              FROM g WHERE gap_s IS NOT NULL)
+    SELECT event_type, count(*) AS n_gaps,
+           quantile_cont(gap_s, 0.5) AS median_gap_s,
+           quantile_cont(gap_s, 0.9) AS p90_gap_s,
+           CAST(SUM(CAST(gap_s AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+             AS avg_gap_s
+    FROM gf GROUP BY event_type
+    """,
+)
+def events_inter_event_time(spark, sf_dir):
+    """Inter-event arrival-time profile: the seconds since the same user's
+    PREVIOUS event (any type), summarized per the later event's type —
+    median / p90 / mean gap.  The cadence fingerprint behind session-gap
+    tuning (win_sessionize's 1800 s) and bot detection (events_bot_burst):
+    this op is where those thresholds come from.
+
+    One user-keyed window shuffle (events' natural key) computes gaps;
+    ties on ts break by event_id so the lag is totally ordered; integer-
+    second gaps cast to double BEFORE the percentile so both engines
+    interpolate identical inputs, and the mean divides one exact decimal
+    sum."""
+    from pyspark.sql import Window as W
+
+    from ..canon import epoch_s
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (epoch_s("ts") - epoch_s(F.lag("ts").over(wu))).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    gf = g.select("event_type", F.col("gap_s").cast("double").alias("gap_s"))
+    return gf.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+        F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+        (
+            F.sum(F.col("gap_s").cast("decimal(18,0)")).cast("double")
+            / F.count("*")
+        ).alias("avg_gap_s"),
+    )

@@ -160,3 +160,36 @@ def sql_recursive_cte(spark, sf_dir):
         FROM reach GROUP BY node
         """
     )
+
+
+_SQL_CORR = """
+    SELECT c.c_custkey, c.c_acctbal,
+           (SELECT count(*) FROM {orders} o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 200000)
+"""
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle=_SQL_CORR.format(orders="orders", customer="customer"),
+)
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated subqueries through the SQL front door: a scalar
+    correlated COUNT in the projection plus a correlated EXISTS filter —
+    the classic pair every SQL port exercises first.
+
+    Catalyst DECORRELATES both (RewriteCorrelatedScalarSubquery turns the
+    scalar count into a left outer aggregate join; the EXISTS becomes a
+    left semi join), so what executes is two keyed joins against orders —
+    no nested-loop per-row subquery ever exists at any scale, and both
+    shuffles share the o_custkey key.  One dialect-shared SQL string is
+    the oracle."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlcs_{t}")
+    return spark.sql(
+        _SQL_CORR.format(orders="sqlcs_orders", customer="sqlcs_customer")
+    )

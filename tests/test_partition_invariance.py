@@ -73,6 +73,9 @@ _OPS = [
     "events_cohort_ltv",       # cohort join + decimal revenue cells
     "events_funnel_time",      # two user-keyed aggs + exact percentiles
     "ts_changepoint",          # decimal window sums over the day series
+    "ts_autocorr",             # integer-cent moment sums under lag unions
+    "events_inter_event_time", # user-keyed lag window + exact-mean agg
+    "sql_correlated_subquery", # decorrelated scalar-agg + semi joins
 ]
 
 
