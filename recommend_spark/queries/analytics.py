@@ -2146,3 +2146,91 @@ def events_inter_event_time(spark, sf_dir):
             / F.count("*")
         ).alias("avg_gap_s"),
     )
+
+
+@register(
+    "ts_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY d
+    ), w AS (
+      SELECT d, v,
+             max(v) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(v AS DOUBLE) AS revenue,
+           CAST(peak AS DOUBLE) AS peak,
+           CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE) AS drawdown
+    FROM w
+    ORDER BY drawdown DESC, day LIMIT 5
+    """,
+)
+def ts_drawdown(spark, sf_dir):
+    """Maximum-drawdown scan over the daily revenue series: running peak
+    (cumulative max) vs the day's value, drawdown = (peak−v)/peak, worst
+    five days reported — the stability metric ops dashboards track for
+    any cumulative KPI.
+
+    Determinism: daily totals and the running MAX stay DECIMAL (max is
+    order-free; the window is a prefix frame over the sorted day series),
+    the subtraction is exact decimal, and the single division happens in
+    double at the end.  As with ts_changepoint, the unpartitioned window
+    runs over the |days|-row pre-aggregate — calendar-bounded at any
+    corpus size."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    scored = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("v").cast("double").alias("revenue"),
+        F.max("v").over(w).cast("double").alias("peak"),
+        (
+            (F.max("v").over(w) - F.col("v")).cast("double")
+            / F.max("v").over(w).cast("double")
+        ).alias("drawdown"),
+    )
+    return scored.orderBy(F.col("drawdown").desc(), "day").limit(5)
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, sum(n) AS total FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           CAST(h.n AS DOUBLE) / t.total AS share
+    FROM h JOIN t USING (event_type)
+    """,
+)
+def events_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profile per event type: counts and within-type
+    share for each of the 24 hours — the diurnal fingerprint behind
+    traffic shaping, anomaly baselines, and bot heuristics (humans have a
+    night; scripts don't).
+
+    One count aggregate reduces the corpus to ≤ |types|×24 rows; the
+    per-type totals re-aggregate THAT (never the corpus) and join back
+    broadcast.  Share is one integer division per output row."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )

@@ -1282,3 +1282,46 @@ def dedup_paragraph(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT md5(norm) AS norm_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM n GROUP BY md5(norm)
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Canonicalizing exact dedup: lowercase, strip non-alphanumerics,
+    collapse runs of spaces, THEN hash — catches trivially-reformatted
+    copies (case, punctuation, whitespace) that byte-exact dedup_exact
+    misses, at identical cost: the normalization is a narrow map and the
+    only shuffle is the hash groupBy with min-doc_id keeper (same
+    deterministic-keeper discipline as dedup_exact).
+
+    Both engines apply the same two regexes (character class + space run —
+    semantics identical between Java regex and RE2) and md5 is md5
+    everywhere, so the group keys match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ).alias("norm"),
+    )
+    return norm.groupBy(F.md5("norm").alias("norm_hash")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )

@@ -1094,3 +1094,99 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(20)
     )
+
+
+#: user-user CF skew guard: items bought by more than this many distinct
+#: customers are excluded from the pair expansion (a hyper-popular item
+#: contributes |audience|² pairs and near-zero similarity signal).  Sized a
+#: pure 15x+ guard: no fixture item's audience comes near it (asserted in
+#: tests/test_properties.py), so the uncapped oracle hashes identically.
+MAX_AUDIENCE = 1000
+
+
+@register(
+    "rec_user_user",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), n AS (
+      SELECT u, count(*) AS n_items FROM b GROUP BY u
+    ), p AS (
+      SELECT a.u AS user_a, b2.u AS user_b, count(*) AS cooc
+      FROM b a JOIN b b2 ON a.i = b2.i AND a.u < b2.u
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), sym AS (
+      SELECT user_a, user_b, cooc FROM p
+      UNION ALL
+      SELECT user_b, user_a, cooc FROM p
+    ), scored AS (
+      SELECT s.user_a, s.user_b, s.cooc,
+             s.cooc / sqrt(CAST(na.n_items * nb.n_items AS DOUBLE)) AS cos_sim
+      FROM sym s
+      JOIN n na ON s.user_a = na.u
+      JOIN n nb ON s.user_b = nb.u
+    )
+    SELECT user_a, user_b, cooc, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY user_a ORDER BY cos_sim DESC, user_b) <= 3
+    """,
+)
+def rec_user_user(spark, sf_dir):
+    """User-user collaborative filtering: cosine over binary baskets
+    (cooc / sqrt(|A|·|B|)), top-3 most-similar customers per customer —
+    the neighborhood-CF dual of rec_item_item, used for social-proof
+    recommendations and account-sharing detection.
+
+    The pair expansion self-joins baskets on the ITEM key, so the skew
+    axis flips: hyper-popular items (not hyper-active users) explode the
+    join, and the MAX_AUDIENCE guard drops them before the quadratic stage
+    — a no-op at fixture scale (asserted), exactly like MAX_BASKET on the
+    item-item side.  Basket sizes broadcast onto the symmetric pair
+    stream; per-user top-3 prunes via WindowGroupLimit before the final
+    exchange."""
+    b = _baskets_artifact(spark, sf_dir)
+    hyper_items = (
+        b.groupBy("i")
+        .agg(F.count("*").alias("audience"))
+        .filter(F.col("audience") > MAX_AUDIENCE)
+        .select("i")
+    )
+    g = b.join(F.broadcast(hyper_items), "i", "left_anti")
+    n = g.groupBy("u").agg(F.count("*").alias("n_items"))
+    x, y = g.alias("x"), g.alias("y")
+    p = (
+        x.join(y, (F.col("x.i") == F.col("y.i")) & (F.col("x.u") < F.col("y.u")))
+        .groupBy(F.col("x.u").alias("user_a"), F.col("y.u").alias("user_b"))
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 3)
+    )
+    sym = p.unionAll(
+        p.select(
+            F.col("user_b").alias("user_a"),
+            F.col("user_a").alias("user_b"),
+            "cooc",
+        )
+    )
+    na = F.broadcast(n.select(F.col("u").alias("user_a"), F.col("n_items").alias("na")))
+    nb = F.broadcast(n.select(F.col("u").alias("user_b"), F.col("n_items").alias("nb")))
+    scored = (
+        sym.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "cooc",
+            (
+                F.col("cooc")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(F.col("cos_sim").desc(), "user_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_a", "user_b", "cooc", "cos_sim")
+    )

@@ -76,6 +76,10 @@ _OPS = [
     "ts_autocorr",             # integer-cent moment sums under lag unions
     "events_inter_event_time", # user-keyed lag window + exact-mean agg
     "sql_correlated_subquery", # decorrelated scalar-agg + semi joins
+    "rec_user_user",           # item-keyed pair join + symmetric top-k
+    "dedup_normalized",        # normalize map + md5 keeper groupBy
+    "ts_drawdown",             # decimal prefix-max window
+    "events_hourly_profile",   # two-level count aggregate + share join
 ]
 
 

@@ -336,3 +336,53 @@ def test_transition_ops_single_corpus_pass(spark):
         plan = _plan(QUERIES[qid](spark, SF_DIR))
         assert plan.count("FileScan") == 0, (qid, plan[:2000])
         assert "Scan ExistingRDD" in plan, (qid, plan[:2000])
+
+
+def test_quality_filter_zero_shuffle(spark):
+    """The Gopher-rule filter claims a pure narrow map: all rules evaluate
+    through higher-order functions, so NO exchange of any kind."""
+    plan = _plan(QUERIES["pipeline_quality_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_interleave_shards_no_global_sort(spark):
+    """The training-order manifest claims the global step is computed
+    arithmetically: per-shard windows only (hash exchange on shard), the
+    8-row size table broadcasts, and no SinglePartition exchange exists."""
+    plan = _plan(QUERIES["pipeline_interleave_shards"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the EXISTS into a semi/existence join and the
+    scalar COUNT subquery into an aggregate-then-join — no per-row
+    subquery execution node may survive."""
+    plan = _plan(QUERIES["sql_correlated_subquery"](spark, SF_DIR))
+    assert "Subquery" not in plan or "SubqueryExec" not in plan, plan[:3000]
+    assert "ExistenceJoin" in plan or "LeftSemi" in plan or "SortMergeJoin" in plan, plan[:3000]
+
+
+def test_quantile_binned_partial_agg_before_shuffle(spark):
+    """The histogram sketch must partial-aggregate map-side: the first
+    HashAggregate pair appears below the (flag, bin) exchange, so the
+    shuffle carries |groups|x|bins| rows, not the table."""
+    plan = _plan(QUERIES["agg_quantile_binned"](spark, SF_DIR))
+    first_exchange = plan.find("Exchange hashpartitioning")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_exchange != -1
+    # executedPlan prints top-down: the FINAL agg precedes the exchange,
+    # and a partial agg must appear after (i.e. below) it
+    assert "partial_count" in plan or "count" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_user_user_broadcasts_sizes_and_pushes_topk(spark):
+    """rec_user_user: basket sizes join as broadcasts onto the pair stream
+    and the per-user top-3 prunes below the final exchange."""
+    plan = _plan(QUERIES["rec_user_user"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]

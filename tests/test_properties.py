@@ -847,3 +847,21 @@ def test_quantile_binned_within_bin_width(spark, ddb):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) <= 1000.0, (k, est[k], v)
+
+
+def test_user_user_audience_cap_is_noop_at_fixture_scale(spark):
+    """MAX_AUDIENCE must not bite on fixture data, or the uncapped oracle
+    would diverge (same contract as the MAX_BASKET assertion)."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.queries.recommender import (
+        MAX_AUDIENCE,
+        _baskets_artifact,
+    )
+    from tests.conftest import SF_DIR
+
+    b = _baskets_artifact(spark, SF_DIR)
+    worst = (
+        b.groupBy("i").agg(F.count("*").alias("aud")).agg(F.max("aud")).first()[0]
+    )
+    assert worst <= MAX_AUDIENCE / 10, worst
