@@ -41,6 +41,11 @@ HEADLINE = {
     "win_time_weighted_avg": "lead window and grouped agg share ONE user_id Exchange; DECIMAL-exact partial agg",
     "sample_negative_pairs": "item catalog + count broadcast (user fan-out never shuffles for the lookup); per-user top-3 pushed down as WindowGroupLimit",
     "pipeline_doc_chunks": "stride-window chunking is pure map-side: zero Exchange",
+    "pipeline_quality_filter": "Gopher rules via higher-order functions: pure narrow map, zero Exchange",
+    "pipeline_interleave_shards": "global training order with NO SinglePartition exchange: per-shard windows + 8-row broadcast",
+    "agg_quantile_binned": "histogram sketch: partial+final count merge, shuffle carries |groups|x|bins| rows",
+    "sql_correlated_subquery": "EXISTS and scalar COUNT decorrelated into keyed joins sharing one o_custkey shuffle",
+    "rec_user_user": "item-keyed pair join; basket sizes broadcast; per-user top-3 as WindowGroupLimit",
 }
 
 
