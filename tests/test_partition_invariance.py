@@ -80,6 +80,7 @@ _OPS = [
     "dedup_normalized",        # normalize map + md5 keeper groupBy
     "ts_drawdown",             # decimal prefix-max window
     "events_hourly_profile",   # two-level count aggregate + share join
+    "graph_bfs_distances",     # frontier rounds: integer min under unions
 ]
 
 
