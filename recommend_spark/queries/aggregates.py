@@ -1253,3 +1253,66 @@ def agg_boolean(spark, sf_dir):
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS DECIMAL(10,0)) AS i
+      FROM orders
+    ), s AS (
+      SELECT pri, count(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(i * x) AS DOUBLE) AS six
+      FROM r GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority, n,
+           (2.0 * six - (n + 1) * sx) / (n * sx) AS gini
+    FROM s
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the standard
+    inequality index (0 = all orders equal, →1 = one order dominates),
+    computed from the rank-weighted sum identity
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending sort.
+
+    Determinism: both Σ terms accumulate as exact DECIMALs (i cast to
+    DECIMAL(10,0) keeps the product inside DECIMAL(28,2) — no double ever
+    sums), ranks are total-ordered (value, then orderkey — and equal
+    values make Σi·x invariant under tie permutation anyway), and the
+    final expression is one fixed double computation.  One rank window +
+    one aggregate, both keyed on the group column."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .cast("decimal(10,0)")
+        .alias("i"),
+    )
+    s = r.groupBy("pri").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    return s.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        (
+            (F.lit(2.0) * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            / (F.col("n") * F.col("sx"))
+        ).alias("gini"),
+    )

@@ -2234,3 +2234,81 @@ def events_hourly_profile(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("share"),
     )
+
+
+@register(
+    "dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT sum(n) AS total FROM c),
+    e AS (
+      SELECT * FROM (VALUES
+        (1, 3.0102999566398119e-1), (2, 1.7609125905568124e-1),
+        (3, 1.2493873660829993e-1), (4, 9.691001300805642e-2),
+        (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+        (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+        (9, 4.575749056067514e-2)) AS v(digit, expected)
+    )
+    SELECT e.digit, coalesce(c.n, 0) AS n,
+           CAST(coalesce(c.n, 0) AS DOUBLE) / t.total AS obs_share,
+           CAST(e.expected AS DOUBLE) AS exp_share,
+           (CAST(coalesce(c.n, 0) AS DOUBLE) / t.total
+              - CAST(e.expected AS DOUBLE))
+             * (CAST(coalesce(c.n, 0) AS DOUBLE) / t.total
+                - CAST(e.expected AS DOUBLE))
+             / CAST(e.expected AS DOUBLE) AS chi2_term
+    FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+    """,
+)
+def dq_benford(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals: observed vs
+    expected leading-digit shares plus each digit's chi-square
+    contribution — the classic fabricated-data / unit-mixing detector for
+    financial columns.
+
+    The leading digit comes from the STRING head of floor(value) (both
+    engines truncate identically), never from log10 (libm-dependent); the
+    nine Benford expectations are shared double literals, so every output
+    double is the same fixed expression in both engines.  One
+    9-cardinality count aggregate; the scalar total broadcasts."""
+    ev = load_table(spark, sf_dir, "orders")
+    d = ev.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        [
+            (1, 0.30102999566398119), (2, 0.17609125905568124),
+            (3, 0.12493873660829993), (4, 0.09691001300805642),
+            (5, 0.07918124604762482), (6, 0.06694678963061322),
+            (7, 0.05799194697768673), (8, 0.05115252244738129),
+            (9, 0.04575749056067514),
+        ],
+        "digit int, expected double",
+    )
+    obs = (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total"))
+    return (
+        expected.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            obs.alias("obs_share"),
+            F.col("expected").alias("exp_share"),
+            (
+                (obs - F.col("expected"))
+                * (obs - F.col("expected"))
+                / F.col("expected")
+            ).alias("chi2_term"),
+        )
+    )

@@ -365,3 +365,46 @@ def pipeline_interleave_shards(spark, sf_dir):
             .alias("step")
         )
     )
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_NTOK} AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             least(CAST(n_tok // 64 AS BIGINT), 16) AS bucket
+      FROM t
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           min(n_tok) AS min_tok, max(n_tok) AS max_tok
+    FROM b GROUP BY bucket
+    """,
+)
+def pipeline_length_buckets(spark, sf_dir):
+    """Sequence-length distribution report: documents histogrammed into
+    64-token buckets (top-coded at bucket 16 = 1024+) with per-bucket doc
+    counts, token mass, and range — the table every training-data team
+    reads before choosing pack length and truncation policy
+    (pipeline_pack_sequences' _PACK_BUDGET came from exactly this view).
+
+    Integer token counts, integer bucketing, integer aggregates — nothing
+    to canonicalize — and the whole thing is one map + one
+    17-cardinality-keyed count aggregate: map-side partials reduce the
+    shuffle to |buckets| rows per task at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+    b = docs.select(
+        F.least(
+            F.floor(ntok / 64).cast("long"), F.lit(16).cast("long")
+        ).alias("bucket"),
+        ntok.cast("long").alias("n_tok"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+    )

@@ -81,6 +81,9 @@ _OPS = [
     "ts_drawdown",             # decimal prefix-max window
     "events_hourly_profile",   # two-level count aggregate + share join
     "graph_bfs_distances",     # frontier rounds: integer min under unions
+    "agg_gini",                # rank window + exact decimal rank-weighted sums
+    "pipeline_length_buckets", # map bucketing + integer aggregate
+    "dq_benford",              # digit counts + broadcast scalar total
 ]
 
 
