@@ -334,9 +334,18 @@ def pipeline_interleave_shards(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return interleave_steps(docs)
+
+
+def interleave_steps(docs, n_shards: int = 8):
+    """The round-robin interleave kernel (see pipeline_interleave_shards):
+    (doc_id) -> (doc_id, shard, pos, step) where step is the global
+    round-robin training position, computed without a global sort.
+    Exposed module-level so tests can drive it with planted id sets
+    (tests/test_properties.py hypothesis case)."""
     d = docs.select(
         "doc_id",
-        (md5_int(F.col("doc_id"), 6) % 8).alias("shard"),
+        (md5_int(F.col("doc_id"), 6) % n_shards).alias("shard"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     p = d.select(

@@ -865,3 +865,44 @@ def test_user_user_audience_cap_is_noop_at_fixture_scale(spark):
         b.groupBy("i").agg(F.count("*").alias("aud")).agg(F.max("aud")).first()[0]
     )
     assert worst <= MAX_AUDIENCE / 10, worst
+
+
+def test_interleave_kernel_round_robin_on_planted_ids():
+    """Hypothesis-planted id sets through the interleave kernel: for ANY
+    id set and shard count, steps are a permutation of 0..N-1 and the
+    step order is exactly the round-robin reconstruction."""
+    from hypothesis import given, settings, strategies as st
+
+    from recommend_spark.queries.packing import interleave_steps
+    from recommend_spark.session import get_spark
+
+    spark = get_spark("recommend_spark_tests")
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10**9),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        ),
+        n_shards=st.sampled_from([2, 3, 8]),
+    )
+    def check(ids, n_shards):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        rows = interleave_steps(docs, n_shards).collect()
+        n = len(rows)
+        assert sorted(r["step"] for r in rows) == list(range(n))
+        by_shard: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+            by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+        expect, pos = [], 0
+        while len(expect) < n:
+            for s in sorted(by_shard):
+                if pos < len(by_shard[s]):
+                    expect.append(by_shard[s][pos])
+            pos += 1
+        got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["step"])]
+        assert got == expect
+
+    check()
