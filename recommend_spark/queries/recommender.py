@@ -1244,8 +1244,17 @@ def graph_bfs_distances(spark, sf_dir):
         .limit(1)
         .select("node", F.lit(0).alias("dist"))
     )
+    return bfs_distances(adj, seed, max_hops=4)
+
+
+def bfs_distances(adj, seed, max_hops: int):
+    """The bounded-frontier BFS kernel (see graph_bfs_distances): given a
+    directed adjacency (src, dst) and seed rows (node, dist), returns
+    (node, dist) with the minimum hop distance <= max_hops.  Module-level
+    so tests can drive it with planted graphs of known distances
+    (tests/test_properties.py)."""
     dists = seed.localCheckpoint()
-    for _ in range(4):
+    for _ in range(max_hops):
         frontier = dists.join(
             adj, dists["node"] == adj["src"]
         ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))

@@ -906,3 +906,33 @@ def test_interleave_kernel_round_robin_on_planted_ids():
         assert got == expect
 
     check()
+
+
+def test_bfs_kernel_on_planted_graphs(spark):
+    """The BFS kernel on graphs with hand-computable distances: a path
+    (0-1-2-3-4-5) truncates at the hop bound, and a star reaches every
+    leaf at distance 1 regardless of degree."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.queries.recommender import bfs_distances
+
+    def sym(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    seed = spark.createDataFrame([(0, 0)], "node long, dist int")
+
+    path = sym([(i, i + 1) for i in range(5)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(path, seed, 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes 4,5 beyond the bound
+
+    star = sym([(0, i) for i in range(1, 8)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(star, seed, 4).collect()}
+    assert got == {0: 0, **{i: 1 for i in range(1, 8)}}
+
+    # two components: the island is never reached
+    two = sym([(0, 1), (5, 6)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(two, seed, 4).collect()}
+    assert got == {0: 0, 1: 1}
