@@ -1221,30 +1221,17 @@ def sim_rerank_mmr(spark, sf_dir):
         pdf = pdf.sort_values("rn").reset_index(drop=True)
         vecs = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
         rel = pdf["relevance"].to_numpy()
-        n = len(pdf)
-        picked: list[int] = []
-        out = []
-        for rank in range(1, min(5, n) + 1):
-            best_i, best_s = -1, -np.inf
-            for i in range(n):
-                if i in picked:
-                    continue
-                max_sim = (
-                    float(np.max(vecs[picked] @ vecs[i])) if picked else 0.0
-                )
-                s = LAM * rel[i] - (1.0 - LAM) * max_sim
-                if s > best_s:  # strict: ties keep the earlier (higher-rel) cand
-                    best_i, best_s = i, s
-            picked.append(best_i)
-            out.append(
-                (
-                    int(pdf["query_id"].iloc[0]),
-                    rank,
-                    int(pdf["neighbor_id"].iloc[best_i]),
-                    float(rel[best_i]),
-                    float(best_s),
-                )
+        sel = mmr_select(rel, vecs, k=5, lam=LAM)
+        out = [
+            (
+                int(pdf["query_id"].iloc[0]),
+                rank,
+                int(pdf["neighbor_id"].iloc[i]),
+                float(rel[i]),
+                float(score),
             )
+            for rank, (i, score) in enumerate(sel, start=1)
+        ]
         return pd.DataFrame(
             out,
             columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"],
@@ -1255,3 +1242,29 @@ def sim_rerank_mmr(spark, sf_dir):
         "query_id long, rank int, neighbor_id long, relevance double, "
         "mmr_score double",
     )
+
+
+def mmr_select(rel, vecs, k: int, lam: float):
+    """The MMR greedy kernel (see sim_rerank_mmr): candidates ordered by
+    descending relevance, pick k maximizing
+    ``lam*rel[i] - (1-lam)*max_sim(i, picked)``; strict > keeps the
+    earlier (higher-relevance) candidate on ties.  Returns
+    [(index, mmr_score), ...] in pick order.  Module-level and pure numpy
+    so tests can pin hand-computable diversification cases."""
+    import numpy as np
+
+    n = len(rel)
+    picked: list[int] = []
+    out: list[tuple[int, float]] = []
+    for _ in range(min(k, n)):
+        best_i, best_s = -1, -np.inf
+        for i in range(n):
+            if i in picked:
+                continue
+            max_sim = float(np.max(vecs[picked] @ vecs[i])) if picked else 0.0
+            s = lam * rel[i] - (1.0 - lam) * max_sim
+            if s > best_s:
+                best_i, best_s = i, s
+        picked.append(best_i)
+        out.append((best_i, float(best_s)))
+    return out

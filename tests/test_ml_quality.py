@@ -777,3 +777,42 @@ def test_mmr_rerank_gates(spark):
         assert picks[0] == top5[qid][0]
         # MMR must not be more redundant than the plain top-5
         assert avg_pairwise(picks) <= avg_pairwise(top5[qid]) + 1e-9
+
+
+def test_mmr_kernel_hand_case():
+    """Hand-computable diversification: three candidates where the greedy
+    must SKIP the second-most-relevant (a near-duplicate of the first)
+    in favor of the orthogonal third."""
+    import numpy as np
+
+    from recommend_spark.queries.similarity import mmr_select
+
+    v1 = np.array([1.0, 0.0])
+    v2 = np.array([0.999, 0.0447213595])  # ~same direction as v1
+    v3 = np.array([0.0, 1.0])
+    vecs = np.stack([v1, v2, v3])
+    rel = np.array([1.0, 0.95, 0.5])
+    sel = mmr_select(rel, vecs, k=3, lam=0.7)
+    order = [i for i, _ in sel]
+    # pick1: argmax rel = 0.  pick2: cand1 scores .7*.95-.3*.999=.365,
+    # cand2 scores .7*.5-.3*0=.35 -> cand1 barely wins... verify exactly:
+    s1 = 0.7 * 0.95 - 0.3 * float(v1 @ v2)
+    s2 = 0.7 * 0.5 - 0.3 * 0.0
+    expected_second = 1 if s1 > s2 else 2
+    assert order[0] == 0
+    assert order[1] == expected_second
+    assert sorted(order) == [0, 1, 2]
+    # with a stronger diversity weight the duplicate must lose
+    sel_div = mmr_select(rel, vecs, k=2, lam=0.5)
+    assert [i for i, _ in sel_div] == [0, 2]
+
+
+def test_mmr_kernel_tie_keeps_higher_relevance():
+    import numpy as np
+
+    from recommend_spark.queries.similarity import mmr_select
+
+    vecs = np.eye(3)
+    rel = np.array([0.9, 0.9, 0.9])
+    sel = mmr_select(rel, vecs, k=3, lam=0.7)
+    assert [i for i, _ in sel] == [0, 1, 2]
