@@ -2276,8 +2276,8 @@ def dq_benford(spark, sf_dir):
     nine Benford expectations are shared double literals, so every output
     double is the same fixed expression in both engines.  One
     9-cardinality count aggregate; the scalar total broadcasts."""
-    ev = load_table(spark, sf_dir, "orders")
-    d = ev.filter(F.col("o_totalprice") >= 1).select(
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
         F.substring(
             F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
         )
