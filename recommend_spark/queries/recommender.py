@@ -1265,3 +1265,108 @@ def bfs_distances(adj, seed, max_hops: int):
             .localCheckpoint()
         )
     return dists
+
+
+@register(
+    "rec_eval_hitrate",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey AS u, l_partkey AS item,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC,
+                        l_linenumber DESC, l_partkey DESC) AS rd,
+             lead(l_partkey) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, l_linenumber, l_partkey
+             ) AS next_item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), train AS (
+      SELECT item, next_item, count(*) AS n
+      FROM s WHERE next_item IS NOT NULL AND rd >= 3
+      GROUP BY 1, 2
+    ), top3 AS (
+      SELECT item, next_item FROM (
+        SELECT item, next_item,
+               row_number() OVER (
+                 PARTITION BY item ORDER BY n DESC, next_item) AS rnk
+        FROM train) t WHERE rnk <= 3
+    ), test AS (
+      SELECT p.u, p.item AS prev_item, l.item AS actual
+      FROM (SELECT u, item FROM s WHERE rd = 2) p
+      JOIN (SELECT u, item FROM s WHERE rd = 1) l USING (u)
+    )
+    SELECT count(*) AS n_eval_users,
+           CAST(count(*) FILTER (t3.next_item IS NOT NULL) AS BIGINT)
+             AS n_hits,
+           CAST(count(*) FILTER (t3.next_item IS NOT NULL) AS DOUBLE)
+             / count(*) AS hitrate3
+    FROM test LEFT JOIN top3 t3
+      ON test.prev_item = t3.item AND test.actual = t3.next_item
+    """,
+)
+def rec_eval_hitrate(spark, sf_dir):
+    """Leave-last-out evaluation of the sequential recommender
+    (rec_sequential_markov's exact transition semantics): every customer's
+    FINAL purchase is held out, the transition model trains on everything
+    before it (each user's last transition excluded — so no test edge ever
+    reaches the counts), and hit-rate@3 asks how often the held-out item
+    appears in the trained top-3 successors of the preceding item.
+
+    Unlike rec_eval_recall (ALS, rows-only), this eval is fully
+    ORACLE-BACKED: splits come from rank positions in the same total
+    order both engines share, counts are integers, and the single output
+    row divides once.  Two user-keyed windows share one shuffle; the
+    transition aggregate and top-3 prune mirror the production query, so
+    the eval measures exactly the model that serves.  100 TB: eval cost
+    equals one extra pass over the purchase stream — the train/test split
+    is a rank predicate, never a data copy (same staging argument as
+    rec_eval_recall's train-fold rewrite, recommender.py:654)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("item"),
+        "o_orderdate",
+        "o_orderkey",
+        "l_linenumber",
+    )
+    asc = W.partitionBy("u").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber", "item"
+    )
+    desc = W.partitionBy("u").orderBy(
+        F.col("o_orderdate").desc(),
+        F.col("o_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("item").desc(),
+    )
+    s = seq.select(
+        "u",
+        "item",
+        F.row_number().over(desc).alias("rd"),
+        F.lead("item").over(asc).alias("next_item"),
+    )
+    train = (
+        s.filter(F.col("next_item").isNotNull() & (F.col("rd") >= 3))
+        .groupBy("item", "next_item")
+        .agg(F.count("*").alias("n"))
+    )
+    rnk = W.partitionBy("item").orderBy(F.col("n").desc(), "next_item")
+    top3 = (
+        train.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("item").alias("prev_item"), F.col("next_item").alias("pred"))
+    )
+    prev = s.filter(F.col("rd") == 2).select("u", F.col("item").alias("prev_item"))
+    last = s.filter(F.col("rd") == 1).select("u", F.col("item").alias("actual"))
+    test = prev.join(last, "u")
+    scored = test.join(
+        top3,
+        (test["prev_item"] == top3["prev_item"]) & (test["actual"] == top3["pred"]),
+        "left",
+    )
+    return scored.agg(
+        F.count("*").alias("n_eval_users"),
+        F.count("pred").alias("n_hits"),
+        (F.count("pred").cast("double") / F.count("*")).alias("hitrate3"),
+    )

@@ -84,6 +84,7 @@ _OPS = [
     "agg_gini",                # rank window + exact decimal rank-weighted sums
     "pipeline_length_buckets", # map bucketing + integer aggregate
     "dq_benford",              # digit counts + broadcast scalar total
+    "rec_eval_hitrate",        # rank-split windows + transition top-k
 ]
 
 
