@@ -2312,3 +2312,77 @@ def dq_benford(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "ts_seasonal_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY d
+    ), dw AS (
+      SELECT d, v, CAST(isodow(d) AS INT) AS dow FROM daily
+    ), per_dow AS (
+      SELECT dow, sum(v) AS sv, count(*) AS n FROM dw GROUP BY dow
+    ), tot AS (
+      SELECT sum(v) AS sall, count(*) AS nall FROM dw
+    ), scored AS (
+      SELECT strftime(dw.d, '%Y-%m-%d') AS day, dw.dow,
+             CAST(dw.v AS DOUBLE) AS revenue,
+             (CAST(p.sv AS DOUBLE) / p.n)
+               / (CAST(t.sall AS DOUBLE) / t.nall) AS dow_index,
+             CAST(dw.v AS DOUBLE)
+               / ((CAST(t.sall AS DOUBLE) / t.nall)
+                  * ((CAST(p.sv AS DOUBLE) / p.n)
+                     / (CAST(t.sall AS DOUBLE) / t.nall))) AS resid_ratio
+      FROM dw JOIN per_dow p ON dw.dow = p.dow CROSS JOIN tot t
+    )
+    SELECT day, dow, revenue, dow_index, resid_ratio,
+           abs(resid_ratio - 1.0) AS deviation
+    FROM scored ORDER BY deviation DESC, day LIMIT 5
+    """,
+)
+def ts_seasonal_outliers(spark, sf_dir):
+    """Seasonally-adjusted outlier scan: daily revenue divided by its
+    day-of-week multiplicative index (per-dow mean over overall mean), the
+    five days whose residual ratio strays furthest from 1.0 — the
+    anomaly detector that does NOT page on every weekend (a raw z/MAD scan
+    flags the weekly cycle itself; events_outlier_mad is that baseline).
+
+    Day-of-week uses the ISO convention on BOTH sides (DuckDB isodow =
+    Spark weekday+1), the index and residual are the same fixed double
+    expression tree over exact decimal sums, and everything joins at
+    |days| x 7 scale — two tiny aggregates broadcast back onto the
+    calendar-bounded day series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    dw = daily.select(
+        "d", "v", (F.weekday("d") + 1).cast("int").alias("dow")
+    )
+    per_dow = dw.groupBy("dow").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    tot = dw.agg(F.sum("v").alias("sall"), F.count("*").alias("nall"))
+    overall_mean = F.col("sall").cast("double") / F.col("nall")
+    dow_index = (F.col("sv").cast("double") / F.col("n")) / overall_mean
+    scored = (
+        dw.join(F.broadcast(per_dow), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.col("v").cast("double").alias("revenue"),
+            dow_index.alias("dow_index"),
+            (F.col("v").cast("double") / (overall_mean * dow_index)).alias(
+                "resid_ratio"
+            ),
+        )
+    )
+    return (
+        scored.withColumn("deviation", F.abs(F.col("resid_ratio") - 1.0))
+        .orderBy(F.col("deviation").desc(), "day")
+        .limit(5)
+    )

@@ -1268,3 +1268,72 @@ def mmr_select(rel, vecs, k: int, lam: float):
         picked.append(best_i)
         out.append((best_i, float(best_s)))
     return out
+
+
+@register(
+    "mm_embed_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(CAST(embedding AS DOUBLE[])) AS xv,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings
+    ), xi AS (
+      SELECT dim, CAST(floor(xv * 1000000000.0) AS BIGINT) AS q FROM x
+    ), s AS (
+      SELECT dim, count(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(count(*) FILTER (abs(q) < 10000000) AS BIGINT)
+               AS n_near_zero
+      FROM xi GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           s1 / n / 1000000000.0 AS mean,
+           (s2 / n - (s1 / n) * (s1 / n)) / 1e18 AS variance,
+           n_near_zero
+    FROM s
+    """,
+)
+def mm_embed_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health profile: mean, variance, and
+    near-zero count for each of the 64 dims — the table that exposes dead
+    dimensions (variance ~ 0), biased dims (|mean| >> 0), and collapsed
+    encoders before any downstream ANN/PQ work trusts the vectors
+    (complements dq_embeddings' per-vector norm checks).
+
+    Determinism without rows-only surrender: each component quantizes to
+    integer nano-units via floor(x * 1e9) — per-row IEEE multiply + floor,
+    engine-identical — so the two moments accumulate as exact
+    integer/DECIMAL(38,0) sums and the mean/variance are fixed double
+    expressions.  One explode + one 64-ary aggregate with map-side
+    partials; state is |dims| regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xv"
+        )
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("xv") * 1000000000.0).cast("long").alias("q"),
+    )
+    s = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+        F.count_if(F.abs(F.col("q")) < 10000000).alias("n_near_zero"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        (F.col("s1") / F.col("n") / 1000000000.0).alias("mean"),
+        (
+            (
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            )
+            / F.lit(1e18)
+        ).alias("variance"),
+        "n_near_zero",
+    )

@@ -85,6 +85,8 @@ _OPS = [
     "pipeline_length_buckets", # map bucketing + integer aggregate
     "dq_benford",              # digit counts + broadcast scalar total
     "rec_eval_hitrate",        # rank-split windows + transition top-k
+    "ts_seasonal_outliers",    # dow-index broadcast over decimal dailies
+    "mm_embed_dim_stats",      # nano-unit integer moment aggregation
 ]
 
 
