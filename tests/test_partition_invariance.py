@@ -106,3 +106,38 @@ def test_result_invariant_to_shuffle_partitions(spark, qid):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert wide == narrow, f"{qid} output depends on shuffle partition count"
+
+
+# Cluster-fanout leg: 200 shuffle partitions is the shape a multi-hundred
+# executor deployment actually runs (3 and 32 both fit in one task wave on
+# local[32]; 200 forces multi-wave scheduling, near-empty partitions, and
+# single-row window frames — a different physical regime).  One
+# representative per determinism mechanism rather than all of _OPS, since
+# the 32-vs-3 sweep already covers the full list every run.
+_OPS_CLUSTER = [
+    "tpch_q1",                 # decimal sums over a group-by
+    "agg_percentile_cont",     # rank-element percentile buffers
+    "sample_negative_pairs",   # md5 draws + anti-join + window top-k
+    "win_time_weighted_avg",   # window + decimal-weighted agg
+    "dedup_minhash_banded",    # banded LSH bucket join
+    "join_asof",               # union-merge window ordering
+    "join_point_in_time",      # SCD2 as-of union-merge
+    "pipeline_pack_sequences", # bucketed running-offset packing
+    "graph_bfs_distances",     # iterative frontier unions
+    "win_match_recognize",     # ordered session-string fold
+    "agg_quantile_binned",     # mergeable histogram sketch
+    "events_funnel",           # ordered multi-stage window match
+]
+
+
+@pytest.mark.parametrize("qid", _OPS_CLUSTER)
+def test_result_invariant_at_cluster_fanout(spark, qid):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _run_canon(spark, qid)
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        cluster = _run_canon(spark, qid)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert wide == cluster, f"{qid} output depends on 200-partition fan-out"

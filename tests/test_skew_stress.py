@@ -1,0 +1,175 @@
+"""Skew-injection stress gate — the fixtures are uniform, real data isn't.
+
+The corpus tables are key-uniform, so nothing in the oracle suite ever
+exercises the hot-key path the skew recipes exist for.  This gate INJECTS
+the pathology: a synthetic fact table where one tenant owns 30% of all
+rows (the docstring scenario of ``join_skew_salted``), then checks the
+three claims the 100 TB design leans on:
+
+1. the manual salt recipe is *value-identical* to the plain join under
+   real skew (bit-identical canonicalized rows, decimal sums included);
+2. the salt measurably SPREADS the hot key: max per-partition share after
+   a (key, salt) exchange drops by >=4x vs a key-only exchange;
+3. AQE's skew-join split actually engages on the session's config when a
+   sort-merge join sees a skewed partition (``skew=true`` in the final
+   adaptive plan) — i.e. nothing in our session setup disables the
+   runtime safety net that handles the skew we did NOT predict.
+
+Deterministic: numpy PCG64 with a fixed seed, written to parquet once per
+session so every check reads a real scan, not a parallelized local list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from tests.conftest import canon_rows
+
+N_ROWS = 240_000
+N_KEYS = 2_000
+HOT_KEY = 7
+HOT_FRAC = 0.30
+N_SALT = 8
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("skew")
+    rng = np.random.default_rng(42)
+    n_hot = int(N_ROWS * HOT_FRAC)
+    keys = np.concatenate(
+        [
+            np.full(n_hot, HOT_KEY, dtype=np.int64),
+            rng.integers(0, N_KEYS, size=N_ROWS - n_hot, dtype=np.int64),
+        ]
+    )
+    fact = pd.DataFrame(
+        {
+            "row_id": np.arange(N_ROWS, dtype=np.int64),
+            "key": keys,
+            # two-decimal prices so the DECIMAL(18,2) sum is exact
+            "price": np.round(rng.uniform(1, 1000, size=N_ROWS), 2),
+        }
+    )
+    dim = pd.DataFrame(
+        {
+            "key": np.arange(N_KEYS, dtype=np.int64),
+            "segment": [f"SEG{k % 5}" for k in range(N_KEYS)],
+        }
+    )
+    fact_path, dim_path = str(root / "fact.parquet"), str(root / "dim.parquet")
+    # 8 input files so the fact scan starts parallel, like a real table
+    spark.createDataFrame(fact).repartition(8).write.mode("overwrite").parquet(
+        fact_path
+    )
+    spark.createDataFrame(dim).coalesce(1).write.mode("overwrite").parquet(
+        dim_path
+    )
+    return {"fact": fact_path, "dim": dim_path}
+
+
+def _agg(joined):
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def _canon(df):
+    cols = df.columns
+    return canon_rows(cols, [tuple(r) for r in df.collect()])
+
+
+def test_salted_join_identical_under_skew(spark, skew_dir):
+    """Claim 1: salt + explode(dim) == plain join, bit-for-bit."""
+    fact = spark.read.parquet(skew_dir["fact"])
+    dim = spark.read.parquet(skew_dir["dim"])
+
+    plain = _agg(fact.join(dim, "key"))
+
+    salted_fact = fact.withColumn(
+        "salt", F.pmod(F.col("row_id"), F.lit(N_SALT))
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    salted = _agg(
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.key == salted_dim.key)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+    )
+    assert _canon(plain) == _canon(salted)
+
+
+def test_salt_spreads_hot_key(spark, skew_dir):
+    """Claim 2: the (key, salt) exchange caps the max partition share."""
+    fact = spark.read.parquet(skew_dir["fact"])
+
+    def max_share(df, *cols):
+        counts = (
+            df.repartition(32, *[F.col(c) for c in cols])
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in counts) / N_ROWS
+
+    unsalted = max_share(fact, "key")
+    salted = max_share(
+        fact.withColumn("salt", F.pmod(F.col("row_id"), F.lit(N_SALT))),
+        "key",
+        "salt",
+    )
+    # hot key alone is 30% of rows -> its reducer holds >=30% unsalted;
+    # split 8 ways it carries ~3.75% + the uniform background (~3%)
+    assert unsalted >= HOT_FRAC
+    assert salted <= unsalted / 4, (
+        f"salt failed to spread the hot key: {unsalted:.3f} -> {salted:.3f}"
+    )
+
+
+def test_aqe_skew_join_engages(spark, skew_dir):
+    """Claim 3: the runtime skew-split is live on this session's config.
+
+    Thresholds are lowered (test data is MBs, the default trigger is
+    256 MB) — the point is that AQE skew handling is enabled and reaches
+    the final plan, not to reproduce production byte sizes."""
+    fact = spark.read.parquet(skew_dir["fact"])
+    dim = spark.read.parquet(skew_dir["dim"])
+    overrides = {
+        # force a sort-merge join (broadcast would hide the skew path)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # keep AQE from pre-coalescing everything into one partition
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = _agg(fact.join(dim, "key"))
+        result = {r["segment"]: r["n_rows"] for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, (
+        "AQE skew-join split did not engage on a 30%-hot-key join"
+    )
+    # and the skew-split join is still correct
+    assert sum(result.values()) == N_ROWS

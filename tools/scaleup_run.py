@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Measured scale-up: run the full bench.py protocol at two (or more)
+scale factors back-to-back and emit a per-query ratio table.
+
+Usage: python tools/scaleup_run.py OUT.json SF_DIR [SF_DIR ...]
+
+Each leg is a separate ``bench.py`` subprocess (own JVM, own subprocess
+prewarm, min-of-2 with untimed GC drains) so both legs get the identical
+measurement protocol and neither inherits the other's JVM state.  The
+committed ``bench_out_full.json`` is restored afterwards so a scale-up
+run never perturbs the round's graded bench artifact.
+
+Output: {"legs": {sf_dir: <bench record>}, "ratios": {...}} where ratios
+compare each leg against the FIRST one (suite totals, per-query, median,
+p90, worst offenders).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_leg(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    wall = time.monotonic() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:] + "\n")
+        raise SystemExit(f"bench leg failed for {sf_dir}")
+    # first stdout line is the FULL record (bench.py contract)
+    rec = json.loads(proc.stdout.strip().splitlines()[0])
+    rec["leg_wall_seconds"] = round(wall, 1)
+    print(
+        f"leg {sf_dir}: suite {rec['value']}s / {rec['n_queries']}q, "
+        f"heavy {rec.get('heavy_seconds')}s, staging {rec['staging_seconds']}s, "
+        f"wall {wall:.0f}s",
+        flush=True,
+    )
+    return rec
+
+
+def main() -> None:
+    if len(sys.argv) < 4:
+        sys.exit(__doc__)
+    out_path, legs = sys.argv[1], sys.argv[2:]
+    records = {}
+    for sf_dir in legs:
+        records[sf_dir] = run_leg(sf_dir)
+    # restore the graded bench artifact bench.py just overwrote
+    subprocess.run(
+        ["git", "-C", str(REPO), "checkout", "--", "bench_out_full.json"],
+        check=False,
+    )
+
+    base_dir = legs[0]
+    base = records[base_dir]
+    ratios = {}
+    for sf_dir in legs[1:]:
+        rec = records[sf_dir]
+        per_q = {
+            q: round(rec["queries"][q] / max(base["queries"][q], 1e-9), 2)
+            for q in rec["queries"]
+            if q in base["queries"]
+        }
+        heavy_q = {
+            q: round(
+                rec.get("queries_heavy", {})[q]
+                / max(base.get("queries_heavy", {}).get(q, 0), 1e-9),
+                2,
+            )
+            for q in rec.get("queries_heavy", {})
+            if q in base.get("queries_heavy", {})
+        }
+        rvals = sorted(per_q.values())
+        ratios[sf_dir] = {
+            "suite_ratio": round(rec["value"] / base["value"], 2),
+            "heavy_ratio": round(
+                rec.get("heavy_seconds", 0) / max(base.get("heavy_seconds", 1e-9), 1e-9), 2
+            ),
+            "median_query_ratio": round(statistics.median(rvals), 2),
+            "p90_query_ratio": round(rvals[int(0.9 * (len(rvals) - 1))], 2),
+            "n_over_5x": sum(1 for v in rvals if v > 5),
+            "worst": dict(
+                sorted(per_q.items(), key=lambda kv: -kv[1])[:12]
+            ),
+            "worst_heavy": dict(
+                sorted(heavy_q.items(), key=lambda kv: -kv[1])[:6]
+            ),
+            "per_query": per_q,
+            "per_query_heavy": heavy_q,
+        }
+    with open(out_path, "w") as fh:
+        json.dump({"base": base_dir, "legs": records, "ratios": ratios}, fh, indent=1)
+    for sf_dir, r in ratios.items():
+        print(
+            f"{sf_dir} vs {base_dir}: suite {r['suite_ratio']}x, "
+            f"heavy {r['heavy_ratio']}x, median {r['median_query_ratio']}x, "
+            f"p90 {r['p90_query_ratio']}x, >5x: {r['n_over_5x']}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
