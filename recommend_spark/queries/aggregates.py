@@ -1025,7 +1025,7 @@ def agg_hll_sketch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
-    ).localCheckpoint()  # consumed twice: per-type rows + the union row
+    ).localCheckpoint(eager=False)  # consumed twice: per-type rows + the union row
     typed = per.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est_users")
     )

@@ -180,7 +180,7 @@ def events_transition_matrix(spark, sf_dir):
     c = (
         t.groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n_trans"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = c.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
     return (
@@ -645,7 +645,7 @@ def events_active_users(spark, sf_dir):
     # (day, user) activity table instead of three corpus scans
     act = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     days = act.select("d").distinct()
     dau = act.groupBy("d").agg(F.count("*").alias("dau"))
     a = act.select(F.col("d").alias("ad"), "user_id")
@@ -1373,7 +1373,7 @@ def dq_freshness(spark, sf_dir):
     per = ev.groupBy(F.col("event_type").alias("source")).agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
         F.count("*").alias("n_events"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     g = per.agg(F.max("last_us").alias("gmax"))
     lag_s = F.expr("(gmax - last_us) DIV 1000000")
     return per.crossJoin(F.broadcast(g)).select(
@@ -1480,7 +1480,7 @@ def events_ab_test(spark, sf_dir):
             (md5_int(F.col("user_id"), 6) % 2).alias("arm"),
             "converted", "np", "s", "q",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a0, a1 = F.col("arm") == 0, F.col("arm") == 1
     conv = u.agg(
@@ -1582,7 +1582,7 @@ def dq_lang_drift(spark, sf_dir):
             F.count(F.when(F.col("batch") == "early", 1)).alias("n_early"),
             F.count(F.when(F.col("batch") == "late", 1)).alias("n_late"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     t = c.agg(
         F.sum("n_early").cast("long").alias("t_early"),
@@ -1641,7 +1641,7 @@ def ts_seasonal_decompose(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-    ).localCheckpoint()  # |types| x 7 rows; totals derive from THIS, not a re-scan
+    ).localCheckpoint(eager=False)  # |types| x 7 rows; totals derive from THIS, not a re-scan
     t = c.groupBy("event_type").agg(
         (F.sum("s").cast("double") / F.sum("n").cast("long")).alias(
             "overall_mean"
@@ -2009,12 +2009,12 @@ def ts_changepoint(spark, sf_dir):
       SELECT lag, count(*) AS n,
              CAST(SUM(xc) AS DOUBLE) / 100.0 AS sx,
              CAST(SUM(yc) AS DOUBLE) / 100.0 AS sy,
-             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
-               AS sxy,
-             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
-               AS sx2,
-             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
-               AS sy2
+             CAST(SUM(CAST(CAST(xc AS DECIMAL(19,0)) * yc AS DECIMAL(38,0)))
+                  AS DOUBLE) / 10000.0 AS sxy,
+             CAST(SUM(CAST(CAST(xc AS DECIMAL(19,0)) * xc AS DECIMAL(38,0)))
+                  AS DOUBLE) / 10000.0 AS sx2,
+             CAST(SUM(CAST(CAST(yc AS DECIMAL(19,0)) * yc AS DECIMAL(38,0)))
+                  AS DOUBLE) / 10000.0 AS sy2
       FROM p GROUP BY lag
     )
     SELECT lag, n,
@@ -2031,7 +2031,10 @@ def ts_autocorr(spark, sf_dir):
     Determinism follows agg_corr exactly: daily totals become exact
     integer cents (DECIMAL sum ×100), all five moments accumulate as
     integer/DECIMAL(38,0) sums — order-free — and doubles appear only in
-    the final fixed expression tree.  The lag windows run on the
+    the final fixed expression tree.  The cross-products promote one
+    operand to DECIMAL(19,0) BEFORE multiplying (both engines), so the
+    product itself is computed in decimal — a long×long product would
+    silently wrap in non-ANSI Spark once daily cents exceed ~3e9.  The lag windows run on the
     pre-aggregated day series (|days| rows, calendar-bounded), so the
     unpartitioned window is a non-issue; the heavy work is the one daily
     groupBy."""
@@ -2063,21 +2066,27 @@ def ts_autocorr(spark, sf_dir):
         (F.sum("xc").cast("double") / 100.0).alias("sx"),
         (F.sum("yc").cast("double") / 100.0).alias("sy"),
         (
-            F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).cast(
-                "double"
-            )
+            F.sum(
+                (F.col("xc").cast("decimal(19,0)") * F.col("yc")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
             / 10000.0
         ).alias("sxy"),
         (
-            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast(
-                "double"
-            )
+            F.sum(
+                (F.col("xc").cast("decimal(19,0)") * F.col("xc")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
             / 10000.0
         ).alias("sx2"),
         (
-            F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast(
-                "double"
-            )
+            F.sum(
+                (F.col("yc").cast("decimal(19,0)") * F.col("yc")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
             / 10000.0
         ).alias("sy2"),
     )

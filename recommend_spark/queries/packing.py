@@ -402,9 +402,16 @@ def pipeline_length_buckets(spark, sf_dir):
     Integer token counts, integer bucketing, integer aggregates — nothing
     to canonicalize — and the whole thing is one map + one
     17-cardinality-keyed count aggregate: map-side partials reduce the
-    shuffle to |buckets| rows per task at any corpus size."""
+    shuffle to |buckets| rows per task at any corpus size.
+
+    Token convention: the raw whitespace split WITHOUT empty-token
+    filtering, i.e. exactly ``_SQL_NTOK`` — the same count
+    pipeline_pack_sequences budgets with, so bucket boundaries and pack
+    bins agree on every document (including ones with doubled/leading
+    spaces; pinned by tests/test_packing.py::test_length_buckets_whitespace
+    on a planted double-space doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    ntok = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+    ntok = F.size(F.split(F.lower(F.col("text")), " "))
     b = docs.select(
         F.least(
             F.floor(ntok / 64).cast("long"), F.lit(16).cast("long")

@@ -908,7 +908,7 @@ def rec_sequential_markov(spark, sf_dir):
     c = (
         pairs.groupBy("item", "next_item")
         .agg(F.count("*").alias("n_trans"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = c.groupBy("item").agg(F.sum("n_trans").alias("n_from"))
     wr = W.partitionBy("item").orderBy(F.col("n_trans").desc(), "next_item")
@@ -1015,7 +1015,7 @@ def graph_label_propagation(spark, sf_dir):
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lbl = label_propagation(edges, rounds=5)
     return lbl.select("node", F.col("label").alias("community")).orderBy("node")
 

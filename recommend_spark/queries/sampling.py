@@ -143,7 +143,7 @@ def sample_temperature(spark, sf_dir):
     # localCheckpoint: mass feeds both the min() scalar and the rate table;
     # the cut keeps this at the 2-pass minimum (one aggregate pass + one
     # filter pass) instead of re-scanning the corpus for the minimum
-    mass = d.groupBy("source").agg(F.sum("n_chars").alias("m")).localCheckpoint()
+    mass = d.groupBy("source").agg(F.sum("n_chars").alias("m")).localCheckpoint(eager=False)
     lo = mass.agg(F.min("m").alias("m_min"))
     rate = (
         mass.crossJoin(F.broadcast(lo))

@@ -1282,7 +1282,8 @@ def mmr_select(rel, vecs, k: int, lam: float):
     ), s AS (
       SELECT dim, count(*) AS n,
              CAST(SUM(q) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST(q AS DECIMAL(19,0)) * q AS DECIMAL(38,0)))
+                  AS DOUBLE) AS s2,
              CAST(count(*) FILTER (abs(q) < 10000000) AS BIGINT)
                AS n_near_zero
       FROM xi GROUP BY dim
@@ -1319,7 +1320,13 @@ def mm_embed_dim_stats(spark, sf_dir):
     s = x.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum("q").cast("double").alias("s1"),
-        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        # promote to decimal BEFORE the multiply: a long*long q*q would
+        # silently wrap in non-ANSI Spark once any |component| exceeds ~3.0
+        F.sum(
+            (F.col("q").cast("decimal(19,0)") * F.col("q")).cast(
+                "decimal(38,0)"
+            )
+        )
         .cast("double")
         .alias("s2"),
         F.count_if(F.abs(F.col("q")) < 10000000).alias("n_near_zero"),

@@ -181,7 +181,7 @@ def text_tfidf_ml(spark, sf_dir):
     # treeAggregate plan shallow.
     tf = HashingTF(
         inputCol="words", outputCol="tf", numFeatures=1 << 14
-    ).transform(tok).localCheckpoint()
+    ).transform(tok).localCheckpoint(eager=False)
     model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = model.transform(tf)
     # emit stable scalars (vector norms), not the raw vector type

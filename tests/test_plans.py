@@ -1,5 +1,13 @@
 """Physical-plan assertions — SURVEY §5.4: the 100 TB shape must be visible
-in the plan, not just hoped for."""
+in the plan, not just hoped for.
+
+Construction-cost contract: building a registered query is cheap — multi-
+consumer intermediates use ``localCheckpoint(eager=False)`` so plan dumps
+here never trigger a scan.  The ONE exception is the iterative-fixpoint
+family (dedup_cluster, graph_pagerank, graph_label_propagation,
+graph_bfs_distances): their per-round loops checkpoint EAGERLY during
+construction (measured fastest, and the loop logic depends on real
+materialization), so merely constructing them runs the rounds."""
 
 from __future__ import annotations
 
@@ -361,8 +369,22 @@ def test_correlated_subquery_decorrelates(spark):
     scalar COUNT subquery into an aggregate-then-join — no per-row
     subquery execution node may survive."""
     plan = _plan(QUERIES["sql_correlated_subquery"](spark, SF_DIR))
-    assert "Subquery" not in plan or "SubqueryExec" not in plan, plan[:3000]
-    assert "ExistenceJoin" in plan or "LeftSemi" in plan or "SortMergeJoin" in plan, plan[:3000]
+    # no per-row subquery node of ANY flavor survives decorrelation
+    assert "InSubquery" not in plan, plan[:3000]
+    assert "ScalarSubquery" not in plan, plan[:3000]
+    assert "SubqueryExec" not in plan, plan[:3000]
+    # the EXISTS became a semi/existence join ...
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan[:3000]
+    # ... and the scalar COUNT became aggregate-then-outer-join: a count
+    # aggregate keyed on the correlation key feeds a LeftOuter join
+    assert "LeftOuter" in plan, plan[:3000]
+    assert "count(1)" in plan and "HashAggregate" in plan, plan[:3000]
+    agg_pos = plan.find("functions=[count(1)]")
+    outer_pos = plan.find("LeftOuter")
+    assert agg_pos != -1 and outer_pos != -1 and outer_pos < agg_pos, (
+        "count aggregate must sit BELOW the outer join (plan prints "
+        "top-down): " + plan[:3000]
+    )
 
 
 def test_quantile_binned_partial_agg_before_shuffle(spark):

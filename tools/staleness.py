@@ -12,9 +12,22 @@ for every registered query id
   - locate its function's line span (inspect on the decorated function —
     the span includes the @register decorator, so ORACLE edits count);
   - ``git blame -L`` that span and take the newest committer timestamp;
+  - ALSO blame the spans of every module-level name the operator's source
+    (transitively) references — oracle SQL fragments like _SQL_NTOK,
+    constants like MAX_AUDIENCE, shared helpers like _baskets_artifact —
+    found by AST-walking the module's top-level defs/assignments and
+    word-matching their names in the operator's source text, then
+    expanding through helper-to-helper references;
   - find the latest CORRECTNESS_r{N}.json containing the id and take that
     file's git commit timestamp;
-  - stale  :=  blame_newest > correctness_commit.
+  - stale  :=  max(own_span_newest, referenced_spans_newest) >
+    correctness_commit.
+
+Dependency-scoped (not whole-file) so that adding a NEW operator plus its
+private helpers to a module does not flag every old verified operator in
+that file — only ops whose actual inputs changed go back in the rotation.
+Word-matching over-approximates (a name in a comment counts); that errs
+toward re-verification, never toward silent drift.
 
 Writes tools/stale_ids.json: {"head": sha, "stale": [...],
 "latest_round": {qid: N}} — committed, so the rotation (which must stay
@@ -26,6 +39,7 @@ just reads it.  Re-run after any perf rewrite of a verified operator:
 
 from __future__ import annotations
 
+import ast
 import inspect
 import json
 import re
@@ -63,11 +77,13 @@ def main() -> None:
 
     # newest blame timestamp per (file, line span); blame each file once
     spans: dict[str, list[tuple[str, int, int]]] = defaultdict(list)
+    op_names: dict[str, set[str]] = defaultdict(set)
     for qid, fn in QUERIES.items():
         src = inspect.unwrap(fn)
         file = inspect.getsourcefile(src)
         lines, start = inspect.getsourcelines(src)
         spans[file].append((qid, start, start + len(lines) - 1))
+        op_names[file].add(src.__name__)
 
     stale: list[str] = []
     for file, items in spans.items():
@@ -81,10 +97,49 @@ def main() -> None:
                 cur_ts = int(ln.split()[1])
             elif ln.startswith("\t"):
                 line_ts.append(cur_ts)
+        # module-level shared names (helpers, constants, SQL fragments):
+        # name -> (span, source segment), excluding registered op functions
+        text = Path(file).read_text()
+        tree = ast.parse(text)
+        src_lines = text.splitlines()
+        shared: dict[str, tuple[int, int, str]] = {}
+        for node in tree.body:
+            names: list[str] = []
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in op_names[file]:
+                    continue
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                names = [node.target.id]
+            if not names:
+                continue
+            a, b = node.lineno, node.end_lineno
+            seg = "\n".join(src_lines[a - 1 : b])
+            for nm in names:
+                shared[nm] = (a, b, seg)
+
+        def refs(segment: str) -> set[str]:
+            """Shared names word-referenced by a source segment, transitively."""
+            found: set[str] = set()
+            frontier = [segment]
+            while frontier:
+                seg = frontier.pop()
+                for nm, (_, _, nseg) in shared.items():
+                    if nm not in found and re.search(rf"\b{re.escape(nm)}\b", seg):
+                        found.add(nm)
+                        frontier.append(nseg)
+            return found
+
         for qid, a, b in items:
             if qid not in latest_round:
                 continue  # never driver-verified: rotation fronts it anyway
             newest = max(line_ts[a - 1 : b])
+            own_seg = "\n".join(src_lines[a - 1 : b])
+            for nm in refs(own_seg):
+                ha, hb, _ = shared[nm]
+                newest = max(newest, max(line_ts[ha - 1 : hb]))
             rec_ts = round_commit_ts.get(latest_round[qid], 0)
             if newest > rec_ts:
                 stale.append(qid)
