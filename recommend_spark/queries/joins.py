@@ -934,3 +934,121 @@ def join_asof_forward(spark, sf_dir):
     return merged.filter(F.col("is_right") == 0).select(
         "event_id", r4("next_purchase_value", "next_purchase_value")
     )
+
+
+_SSJ_TAU = 0.5
+
+
+@register(
+    "join_set_similarity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ), pr AS (
+      SELECT doc_id, toks FROM d WHERE doc_id % 20 = 0
+    ), co AS (
+      SELECT doc_id, toks FROM d WHERE doc_id % 20 <> 0
+    ), pairs AS (
+      SELECT pr.doc_id AS probe_id, co.doc_id AS match_id,
+             len(list_intersect(pr.toks, co.toks)) AS n_common,
+             CAST(len(list_intersect(pr.toks, co.toks)) AS DOUBLE)
+               / (len(pr.toks) + len(co.toks)
+                  - len(list_intersect(pr.toks, co.toks))) AS jaccard
+      FROM pr JOIN co ON TRUE
+    )
+    SELECT probe_id, match_id, n_common, jaccard
+    FROM pairs WHERE jaccard >= {_SSJ_TAU}
+    """,
+)
+def join_set_similarity(spark, sf_dir):
+    """R-S set-similarity JOIN via prefix filtering: match a probe
+    relation (5% of documents) against the corpus on token-set Jaccard
+    >= {_SSJ_TAU} — the retrieval-join dual of dedup_near_jaccard's
+    self-join (different relations, different survivor semantics: every
+    qualifying cross-relation pair, not a dedup keeper set).
+
+    Algorithm (PPJoin's lossless prefix filter, single-sided): order the
+    vocabulary by ascending global frequency; a probe with |r| tokens
+    only needs its |r| - ceil(tau*|r|) + 1 RAREST tokens indexed —
+    any corpus set s with Jaccard >= tau shares >= ceil(tau*|r|) tokens
+    with r, which cannot all hide in the suffix.  Candidates come from
+    an equi-join on prefix tokens with |s| size bounds
+    [ceil(tau*|r|), floor(|r|/tau)], then exact rescoring.  The DuckDB
+    oracle is the quadratic join — identical result set by the lemma.
+
+    100 TB: no cross join anywhere — candidate generation is a
+    token-keyed shuffle whose volume is governed by rare-token postings
+    (the frequency ordering is exactly what keeps hot tokens out of
+    prefixes); rescoring touches only candidates.  The vocabulary rank
+    table is |vocab|-sized and broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    toks = docs.select(
+        "doc_id", F.size("toks").alias("nt"), F.explode("toks").alias("tok")
+    )
+    # global rarity order; |vocab| rows, single pass + broadcast back
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vrank = vocab.select(
+        "tok",
+        F.row_number()
+        .over(W.orderBy("c", "tok"))
+        .alias("trank"),
+    )
+    ranked = toks.join(F.broadcast(vrank), "tok").select(
+        "doc_id",
+        "nt",
+        "tok",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("trank"))
+        .alias("pos"),
+    )
+    is_probe = F.col("doc_id") % 20 == 0
+    prefix = ranked.filter(is_probe).filter(
+        F.col("pos")
+        <= F.col("nt") - F.ceil(F.lit(_SSJ_TAU) * F.col("nt")) + 1
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("nt").alias("na"),
+        "tok",
+    )
+    corpus = ranked.filter(~is_probe).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("nt").alias("nb"),
+        "tok",
+    )
+    cand = (
+        prefix.join(
+            corpus,
+            (prefix.tok == corpus.tok)
+            & (F.col("nb") >= F.ceil(F.lit(_SSJ_TAU) * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(_SSJ_TAU))),
+        )
+        .select("probe_id", "match_id")
+        .distinct()
+    )
+    pa = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("toks").alias("ta"),
+        F.size("toks").alias("na"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("toks").alias("tb"),
+        F.size("toks").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(pa, "probe_id")
+        .join(pb, "match_id")
+        .withColumn("n_common", inter.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= _SSJ_TAU)
+        .select("probe_id", "match_id", "n_common", "jaccard")
+    )

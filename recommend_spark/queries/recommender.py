@@ -1370,3 +1370,95 @@ def rec_eval_hitrate(spark, sf_dir):
         F.count("pred").alias("n_hits"),
         (F.count("pred").cast("double") / F.count("*")).alias("hitrate3"),
     )
+
+
+@register(
+    "rec_eval_replay",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type AS prev_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ), tr AS (
+      SELECT * FROM t WHERE next_type IS NOT NULL
+    ), train AS (
+      SELECT prev_type, next_type, count(*) AS c
+      FROM tr WHERE rn > 2 GROUP BY prev_type, next_type
+    ), model AS (
+      SELECT prev_type, next_type,
+             CAST(row_number() OVER (
+               PARTITION BY prev_type ORDER BY c DESC, next_type
+             ) AS INT) AS rnk
+      FROM train
+    ), test AS (
+      SELECT prev_type, next_type FROM tr WHERE rn = 2
+    )
+    SELECT te.prev_type,
+           CAST(COALESCE(m.rnk, 0) AS INT) AS rnk,
+           count(*) AS n,
+           CASE WHEN COALESCE(m.rnk, 0) = 0 THEN 0.0
+                ELSE CAST(count(*) AS DOUBLE) / m.rnk END AS mrr_contrib
+    FROM test te LEFT JOIN model m
+      ON te.prev_type = m.prev_type AND te.next_type = m.next_type
+    GROUP BY te.prev_type, COALESCE(m.rnk, 0), m.rnk
+    """,
+)
+def rec_eval_replay(spark, sf_dir):
+    """Session-replay next-event eval: every user's event stream is
+    replayed leave-last-out — the final transition is held out, a Markov
+    next-type model is trained on all remaining transitions, and each
+    held-out true next-type is scored by the RANK the model gave it.
+    Output is the per-prev-type rank histogram plus each cell's
+    reciprocal-rank mass (n/rank) — summing mrr_contrib over a prev_type
+    and dividing by its n gives the MRR, but the emitted cells stay
+    integer-exact plus ONE IEEE division, so the eval is fully
+    oracle-backed (generalizes rec_eval_hitrate's hit@3 to
+    position-weighted ranks; rank 0 = the truth was unseen in training).
+
+    100 TB: one user-keyed shuffle builds transitions (rank-predicate
+    split, no data copy — train and test are WHERE clauses over the same
+    window pass); the model collapses to |types|^2 rows and broadcasts
+    back onto the |users|-sized test set."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    wf = W.partitionBy("user_id").orderBy(us, "event_id")
+    wb = W.partitionBy("user_id").orderBy(us.desc(), F.col("event_id").desc())
+    t = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(wf).alias("next_type"),
+        F.row_number().over(wb).alias("rn"),
+    ).filter(F.col("next_type").isNotNull())
+    train = (
+        t.filter(F.col("rn") > 2)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("c"))
+    )
+    model = train.select(
+        "prev_type",
+        "next_type",
+        F.row_number()
+        .over(W.partitionBy("prev_type").orderBy(F.col("c").desc(), "next_type"))
+        .cast("int")
+        .alias("rnk"),
+    )
+    test = t.filter(F.col("rn") == 2).select("prev_type", "next_type")
+    return (
+        test.join(F.broadcast(model), ["prev_type", "next_type"], "left")
+        .groupBy(
+            "prev_type", F.coalesce(F.col("rnk"), F.lit(0)).alias("rnk")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "prev_type",
+            "rnk",
+            "n",
+            F.when(F.col("rnk") == 0, F.lit(0.0))
+            .otherwise(F.col("n").cast("double") / F.col("rnk"))
+            .alias("mrr_contrib"),
+        )
+    )

@@ -649,3 +649,136 @@ def pipeline_shard_manifest(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "scan_file_prune_proof",
+    oracle="""
+    WITH m AS (SELECT month(o_orderdate) AS m FROM orders)
+    SELECT CAST(count(DISTINCT m) AS BIGINT) AS files_total,
+           CAST(count(DISTINCT m) FILTER (m = 3) AS BIGINT) AS files_read,
+           CAST(count(*) FILTER (m = 3) AS BIGINT) AS n_rows
+    FROM m
+    """,
+)
+def scan_file_prune_proof(spark, sf_dir):
+    """Data-skipping PROOF, not just a plan string: orders written one
+    file per order-month (repartition on the partition column puts each
+    month in exactly one task, so each hive directory holds exactly one
+    file), then a single-month read is EXECUTED and the scan's runtime
+    ``numFiles`` metric is read back from the physical plan.  The output
+    row states (files the layout holds, files the pruned scan actually
+    opened, rows returned); the oracle derives all three from the data —
+    so if pruning ever silently stops engaging, files_read becomes 12
+    and the driver hash-check goes red.  scan_partitioned_prune asserts
+    the PartitionFilters plan shape; this op measures the effect.
+
+    100 TB: the measured quantity IS the scale story — a month-
+    partitioned layout turns a month query from a full-corpus scan into
+    1/|months| of the files, before any row is read."""
+    from pathlib import Path
+
+    root = Path(ART) / f"prune_proof_{Path(sf_dir).name}"
+    if not (root / "_DONE").exists():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.month("o_orderdate").alias("m")
+        )
+        # one task per month value -> exactly one file per hive dir
+        o.repartition(F.col("m")).write.mode("overwrite").partitionBy(
+            "m"
+        ).parquet(str(root / "data"))
+        (root / "_DONE").touch()
+
+    def scan_num_files(df):
+        """Execute df and read the scan's runtime numFiles metric."""
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            if "FileSourceScan" in node.getClass().getSimpleName():
+                return node.metrics().apply("numFiles").value()
+        raise RuntimeError("no FileSourceScanExec leaf found")
+
+    full = spark.read.parquet(str(root / "data"))
+    pruned = full.filter(F.col("m") == 3)
+    files_total = scan_num_files(full.select("m"))
+    files_read = scan_num_files(pruned.select("m"))
+    n_rows = pruned.count()
+    return spark.createDataFrame(
+        [(int(files_total), int(files_read), int(n_rows))],
+        "files_total long, files_read long, n_rows long",
+    )
+
+
+@register(
+    "pipeline_ivm_upsert",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+    GROUP BY o_custkey
+    """,
+)
+def pipeline_ivm_upsert(spark, sf_dir):
+    """Incremental view maintenance: a per-customer (count, revenue)
+    aggregate view is maintained under a delta batch of INSERTS and
+    DELETES by merging sign-weighted delta partials into the stored
+    view — never re-reading the base table — and the oracle recomputes
+    the same view from scratch over the final multiset, so the driver
+    hash-check IS the IVM correctness proof (delta-applied == full
+    recompute, bit-for-bit).
+
+    Scenario: base = orders with o_orderkey % 10 != 0; the delta batch
+    inserts the % 10 == 0 rows (+1) and retracts base rows with
+    o_orderkey % 7 == 0 (-1).  Both count and DECIMAL revenue are
+    self-maintainable aggregates (commutative group ops), so the merge
+    is one |delta-keys|-sized full-outer join onto the view; groups
+    whose maintained count reaches 0 drop out, exactly as a recompute
+    would drop them.
+
+    100 TB: this is the nightly-ingest pattern — the view updates at
+    O(|delta| + |touched keys|) cost instead of O(|base|); the decimal
+    (not double) revenue column is what makes the maintained sum exact
+    under any arrival order, including retractions."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    view = base.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("price").alias("rev")
+    )
+    # delta with retraction signs: inserts +1, deletes -1
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "sign", F.lit(1)
+    )
+    deletes = (
+        base.filter(F.col("o_orderkey") % 7 == 0).withColumn("sign", F.lit(-1))
+    )
+    delta = inserts.unionByName(deletes).groupBy("o_custkey").agg(
+        F.sum("sign").alias("dn"),
+        F.sum(F.col("sign") * F.col("price")).alias("drev"),
+    )
+    maintained = (
+        view.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("drev"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained.select(
+        "o_custkey",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+    )

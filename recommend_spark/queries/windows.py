@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
-from ..canon import r4
+from ..canon import dsum, epoch_s, r4
 from ..io import load_table
 from ..registry import register
 
@@ -604,5 +604,158 @@ def win_match_recognize(spark, sf_dir):
                 "n_view_to_purchase"
             ),
             F.when(F.col("seq").rlike(pat), 1).otherwise(0).alias("converted"),
+        )
+    )
+
+
+@register(
+    "win_tumble_tvf",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def win_tumble_tvf(spark, sf_dir):
+    """Tumbling window TABLE-function surface in BATCH: the Flink-style
+    TUMBLE(table, 1 hour) relation, expressed through Spark's native
+    ``window()`` grouping expression — each row maps to exactly one
+    (window_start, window_end) bucket and the aggregate runs per bucket.
+    Complements stream_tumbling (same semantics through the streaming
+    state store): this is the path a backfill job takes over the SAME
+    query definition — window assignment is pure row-local arithmetic, so
+    the plan is one hash aggregate, no state store, no watermark.
+
+    100 TB: window assignment adds zero shuffle of its own — the plan's
+    two exchanges are the aggregate's window-key exchange plus the
+    standard two-phase distinct-user rewrite, both collapsing map-side
+    to |windows|-scale rows before the wire.  Window bounds emit as
+    epoch seconds (canon: never raw timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            epoch_s("w.start", "window_start"),
+            epoch_s("w.end", "window_end"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "win_hop_tvf",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hb,
+             user_id, value
+      FROM events
+    ), assigned AS (
+      SELECT hb AS window_start, user_id, value FROM b
+      UNION ALL
+      SELECT hb - 3600 AS window_start, user_id, value FROM b
+      UNION ALL
+      SELECT hb - 7200 AS window_start, user_id, value FROM b
+    )
+    SELECT window_start, window_start + 10800 AS window_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def win_hop_tvf(spark, sf_dir):
+    """Hopping (sliding) window TABLE-function surface in BATCH:
+    HOP(table, slide 1 hour, size 3 hours) — every event belongs to
+    exactly size/slide = 3 overlapping windows.  Spark's ``window()``
+    with a slide parameter expands each row to its 3 assignments
+    (an Expand projection, not a join — plan-asserted), then aggregates;
+    the DuckDB oracle makes
+    the same expansion explicit with a 3-way shifted-bucket UNION ALL.
+
+    100 TB: the expansion multiplies shuffle input by size/slide — the
+    known cost of hopping windows anywhere — but partial aggregation
+    collapses each task to |windows| rows before the exchange, so the
+    wire cost is output-sized.  A 24× overlap (1-day window sliding
+    hourly) is where you switch to the tumble+rollup two-level plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            epoch_s("w.start", "window_start"),
+            epoch_s("w.end", "window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "win_session_tvf",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sess AS (
+      SELECT user_id, us,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_idx
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(us) // 1000000 AS BIGINT) AS session_start,
+           CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def win_session_tvf(spark, sf_dir):
+    """Session window TABLE-function surface in BATCH: Spark's native
+    ``session_window(ts, '30 minutes')`` grouping expression — sessions
+    close after 30 minutes of silence, the window end is last_event +
+    gap (the operator's definition, mirrored in the oracle's
+    ``max(us) + gap``).  Complements win_sessionize (manual
+    gaps-and-islands assigning per-EVENT session ids): this is the
+    native per-SESSION aggregate, the same expression a streaming job
+    uses, here on the batch path.
+
+    100 TB: one user-keyed exchange; Spark merges overlapping session
+    candidates inside the aggregate (no window-function sort pass over
+    the raw stream), and session state per user is bounded by that
+    user's activity, never the corpus.  Fixture timestamps are whole
+    micros, so epoch-second floors are exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            epoch_s("w.start", "session_start"),
+            epoch_s("w.end", "session_end"),
+            "n_events",
         )
     )

@@ -87,6 +87,13 @@ _OPS = [
     "rec_eval_hitrate",        # rank-split windows + transition top-k
     "ts_seasonal_outliers",    # dow-index broadcast over decimal dailies
     "mm_embed_dim_stats",      # nano-unit integer moment aggregation
+    # round-8 additions
+    "win_tumble_tvf",          # window-bucket agg + distinct-user rewrite
+    "win_hop_tvf",             # Expand 3x assignment + partial agg
+    "win_session_tvf",         # native session_window merge aggregate
+    "join_set_similarity",     # prefix-token candidate join + rescore
+    "pipeline_ivm_upsert",     # sign-weighted delta full-outer merge
+    "rec_eval_replay",         # rank-predicate split + broadcast model
 ]
 
 

@@ -408,3 +408,32 @@ def test_user_user_broadcasts_sizes_and_pushes_topk(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_hop_tvf_expands_not_joins(spark):
+    """win_hop_tvf: the 3x window assignment is an Expand projection plus
+    ONE aggregate exchange — never a join against a window table."""
+    plan = _plan(QUERIES["win_hop_tvf"](spark, SF_DIR))
+    assert "Expand" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_set_similarity_join_never_quadratic(spark):
+    """join_set_similarity: prefix-filtered equi-joins only — the plan
+    must contain no cartesian/nested-loop node, and the vocabulary rank
+    table must arrive broadcast."""
+    plan = _plan(QUERIES["join_set_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_ivm_upsert_merges_not_recomputes(spark):
+    """pipeline_ivm_upsert: the maintained view comes from a full-outer
+    key merge of view + delta partials (both pre-aggregated, so the merge
+    join input is |keys|-sized, not |orders|-sized)."""
+    plan = _plan(QUERIES["pipeline_ivm_upsert"](spark, SF_DIR))
+    assert "FullOuter" in plan, plan[:3000]
+    # both merge inputs are aggregates: partial+final pairs on each side
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
