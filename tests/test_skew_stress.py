@@ -13,7 +13,13 @@ three claims the 100 TB design leans on:
 3. AQE's skew-join split actually engages on the session's config when a
    sort-merge join sees a skewed partition (``skew=true`` in the final
    adaptive plan) — i.e. nothing in our session setup disables the
-   runtime safety net that handles the skew we did NOT predict.
+   runtime safety net that handles the skew we did NOT predict;
+4. the hot-key AGGREGATE shape: two-stage partial aggregation bounds the
+   shuffle to tasks*keys records (measured via the exchange's
+   ``shuffleRecordsWritten`` metric), value-exact vs a pandas recompute;
+5. the hot-key WINDOW shape: row_number()<=k rewrites to WindowGroupLimit
+   whose partial mode prunes map-side, bounding the wire to tasks*keys*k
+   records — the hot tenant never ships 30% of the table to one reducer.
 
 Deterministic: numpy PCG64 with a fixed seed, written to parquet once per
 session so every check reads a real scan, not a parallelized local list.
@@ -25,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pytest
 import pyspark.sql.functions as F
+from pyspark.sql import Window as W
 
 from tests.conftest import canon_rows
 
@@ -173,3 +180,82 @@ def test_aqe_skew_join_engages(spark, skew_dir):
     )
     # and the skew-split join is still correct
     assert sum(result.values()) == N_ROWS
+
+
+def _shuffle_records_written(df):
+    """Execute df and total shuffleRecordsWritten over all exchanges."""
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+    total = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "QueryStageExec" in name:
+            walk(node.plan())
+            return
+        if name == "ShuffleExchangeExec":
+            total.append(node.metrics().apply("shuffleRecordsWritten").value())
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(ep)
+    return sum(total)
+
+
+def test_partial_agg_bounds_hot_key_shuffle(spark, skew_dir):
+    """Hot-key AGGREGATE shape: two-stage aggregation means the 30% hot
+    key never crosses the wire as rows — each of the 8 map tasks sends at
+    most one partial row per key, so the shuffle carries <= tasks*keys
+    records no matter how skewed the input.  Values are checked exactly
+    against a pandas recompute in integer cents."""
+    import pyarrow.parquet as pq
+
+    fact = spark.read.parquet(skew_dir["fact"])
+    agg = fact.groupBy("key").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("price").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    shuffled = _shuffle_records_written(agg)
+    # 8 input files x <= N_KEYS partial rows each; the unaggregated rows
+    # would be 240k with 72k on the hot key's reducer
+    assert shuffled <= 8 * N_KEYS, f"partial agg missing: {shuffled} records"
+    assert shuffled < N_ROWS / 5
+
+    pdf = pq.read_table(skew_dir["fact"]).to_pandas()
+    pdf["cents"] = (pdf["price"] * 100).round().astype("int64")
+    want = pdf.groupby("key").agg(n=("key", "size"), cents=("cents", "sum"))
+    got = {r["key"]: (r["n"], r["cents"]) for r in agg.collect()}
+    assert got == {k: (int(v.n), int(v.cents)) for k, v in want.iterrows()}
+
+
+def test_window_topk_prunes_hot_key_map_side(spark, skew_dir):
+    """Hot-key WINDOW shape: the row_number()<=k filter must be rewritten
+    to WindowGroupLimit, whose PARTIAL mode prunes each map task to its
+    own top-k per key BEFORE the exchange — so the hot tenant contributes
+    tasks*k rows to the wire, not 30% of the table.  Results checked
+    exactly against a pandas top-3."""
+    import pyarrow.parquet as pq
+
+    fact = spark.read.parquet(skew_dir["fact"])
+    w = W.partitionBy("key").orderBy(F.col("price").desc(), "row_id")
+    top3 = (
+        fact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("key", "row_id")
+    )
+    plan = top3._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    shuffled = _shuffle_records_written(top3)
+    assert shuffled <= 8 * N_KEYS * 3, f"map-side group-limit missing: {shuffled}"
+    assert shuffled < N_ROWS / 5
+
+    pdf = pq.read_table(skew_dir["fact"]).to_pandas()
+    pdf = pdf.sort_values(["key", "price", "row_id"], ascending=[True, False, True])
+    want = set(map(tuple, pdf.groupby("key").head(3)[["key", "row_id"]].values))
+    got = {(r["key"], r["row_id"]) for r in top3.collect()}
+    assert got == want
