@@ -936,7 +936,15 @@ def join_asof_forward(spark, sf_dir):
     )
 
 
-_SSJ_TAU = 0.5
+# Retrieval threshold.  0.8 deliberately matches the dedup family's
+# near-dup regime: the fixture corpus is a homogeneous word-salad (small
+# shared vocabulary), so at tau ~0.5 nearly EVERY cross-relation pair
+# qualifies and the true result set is quadratic in corpus size BY
+# SEMANTICS — measured the hard way in the round-8 sf1 scale-up, where the
+# tau=0.5 variant's output-sized final stage emitted ~100M pairs through
+# one task for 20+ minutes.  A set-similarity join is only a scale-sane
+# operator when the threshold keeps the result output-sparse.
+_SSJ_TAU = 0.8
 
 
 @register(
@@ -946,9 +954,9 @@ _SSJ_TAU = 0.5
       SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
       FROM documents
     ), pr AS (
-      SELECT doc_id, toks FROM d WHERE doc_id % 20 = 0
+      SELECT doc_id, toks FROM d WHERE doc_id % 100 = 0
     ), co AS (
-      SELECT doc_id, toks FROM d WHERE doc_id % 20 <> 0
+      SELECT doc_id, toks FROM d WHERE doc_id % 100 <> 0
     ), pairs AS (
       SELECT pr.doc_id AS probe_id, co.doc_id AS match_id,
              len(list_intersect(pr.toks, co.toks)) AS n_common,
@@ -963,7 +971,7 @@ _SSJ_TAU = 0.5
 )
 def join_set_similarity(spark, sf_dir):
     """R-S set-similarity JOIN via prefix filtering: match a probe
-    relation (5% of documents) against the corpus on token-set Jaccard
+    relation (1% of documents) against the corpus on token-set Jaccard
     >= {_SSJ_TAU} — the retrieval-join dual of dedup_near_jaccard's
     self-join (different relations, different survivor semantics: every
     qualifying cross-relation pair, not a dedup keeper set).
@@ -974,8 +982,10 @@ def join_set_similarity(spark, sf_dir):
     any corpus set s with Jaccard >= tau shares >= ceil(tau*|r|) tokens
     with r, which cannot all hide in the suffix.  Candidates come from
     an equi-join on prefix tokens with |s| size bounds
-    [ceil(tau*|r|), floor(|r|/tau)], then exact rescoring.  The DuckDB
-    oracle is the quadratic join — identical result set by the lemma.
+    [ceil(tau*|r|), floor(|r|/tau)] plus the positional remaining-suffix
+    bound min(|r|-ra, |s|-rb)+1 >= ceil(tau*|r|), then exact rescoring.
+    The DuckDB oracle is the quadratic join — identical result set by
+    the lemma.
 
     100 TB: no cross join anywhere — candidate generation is a
     token-keyed shuffle whose volume is governed by rare-token postings
@@ -1005,26 +1015,37 @@ def join_set_similarity(spark, sf_dir):
         .over(W.partitionBy("doc_id").orderBy("trank"))
         .alias("pos"),
     )
-    is_probe = F.col("doc_id") % 20 == 0
+    is_probe = F.col("doc_id") % 100 == 0
     prefix = ranked.filter(is_probe).filter(
         F.col("pos")
         <= F.col("nt") - F.ceil(F.lit(_SSJ_TAU) * F.col("nt")) + 1
     ).select(
         F.col("doc_id").alias("probe_id"),
         F.col("nt").alias("na"),
+        F.col("pos").alias("ra"),
         "tok",
     )
     corpus = ranked.filter(~is_probe).select(
         F.col("doc_id").alias("match_id"),
         F.col("nt").alias("nb"),
+        F.col("pos").alias("rb"),
         "tok",
+    )
+    # positional filter (lossless: the FIRST shared token of a qualifying
+    # pair has no common tokens before it in either ordered list, so the
+    # remaining-suffix bound min(na-ra, nb-rb)+1 >= required overlap holds
+    # at that occurrence and the pair is generated there)
+    overlap_req = F.ceil(F.lit(_SSJ_TAU) * F.col("na"))
+    overlap_ub = (
+        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
     )
     cand = (
         prefix.join(
             corpus,
             (prefix.tok == corpus.tok)
-            & (F.col("nb") >= F.ceil(F.lit(_SSJ_TAU) * F.col("na")))
-            & (F.col("nb") <= F.floor(F.col("na") / F.lit(_SSJ_TAU))),
+            & (F.col("nb") >= overlap_req)
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(_SSJ_TAU)))
+            & (overlap_ub >= overlap_req),
         )
         .select("probe_id", "match_id")
         .distinct()
