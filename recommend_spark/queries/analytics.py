@@ -2395,3 +2395,439 @@ def ts_seasonal_outliers(spark, sf_dir):
         .orderBy(F.col("deviation").desc(), "day")
         .limit(5)
     )
+
+
+@register(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice, o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 50.0, 'UPDATED'
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 1
+    ), latest AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC
+      ) AS rn FROM ops
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def pipeline_cdc_apply(spark, sf_dir):
+    """Change-data-capture APPLY: replay an insert/update/delete op log
+    into the current table state (last-writer-wins per key, tombstones
+    drop the row) — the merge-on-read compaction every CDC-fed lakehouse
+    table runs.  The op log is derived deterministically from orders
+    (seq 1 = full INSERT snapshot; seq 2 = UPDATE +50.0 on keys %10==0,
+    DELETE on %10==1) so the final state is oracle-able; the apply
+    itself is fully generic: union the log, rank by (key, seq DESC),
+    keep rank 1, filter tombstones.
+
+    100 TB: ONE key-hash exchange (the row_number window) — the same
+    shuffle a GROUP BY key would pay; per-key state is the op count for
+    that key (bounded by churn, never corpus size), and AQE handles
+    hot-key skew in the window sort.  +50.0 is a per-row IEEE add, so
+    values are bit-identical across engines (canon.py ident doctrine)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    upd = o.filter(key % 10 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(50.0)).alias("o_totalprice"),
+        F.lit("UPDATED").alias("o_orderstatus"),
+    )
+    dels = o.filter(key % 10 == 1).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "events_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             epoch_us(ts) AS t, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT (epoch_us(ts) + 1800000000) // 86400000000,
+             epoch_us(ts) + 1800000000, -1, event_id
+      FROM events
+    ), run AS (
+      SELECT day_idx, delta,
+             SUM(delta) OVER (
+               PARTITION BY day_idx ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS r
+      FROM pts
+    ), intra AS (
+      SELECT day_idx, CAST(max(r) AS BIGINT) AS max_run,
+             CAST(count(*) FILTER (delta = 1) AS BIGINT) AS n_starts
+      FROM run GROUP BY day_idx
+    ), carry AS (
+      SELECT epoch_us(ts) // 86400000000 + 1 AS day_idx,
+             count(*) AS carry_in
+      FROM events
+      WHERE epoch_us(ts) + 1800000000
+            > (epoch_us(ts) // 86400000000 + 1) * 86400000000
+      GROUP BY 1
+    )
+    SELECT i.day_idx,
+           CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
+           CAST(COALESCE(c.carry_in, 0) + GREATEST(i.max_run, 0)
+                AS BIGINT) AS peak_concurrency,
+           i.n_starts
+    FROM intra i LEFT JOIN carry c USING (day_idx)
+    """,
+)
+def events_concurrency(spark, sf_dir):
+    """Peak-concurrency curve via interval sweep-line: each event opens a
+    30-minute activity interval [ts, ts+30m); the per-day PEAK number of
+    simultaneously-open intervals is the classic +1/-1 sweep — unpivot to
+    boundary points, running-sum in time order, take the max.  A genuinely
+    different shape from sessionization (which merges per-USER intervals):
+    this counts overlap ACROSS users, the load-curve/capacity question.
+
+    Distributed by day, not a global sort: the running sum partitions on
+    day_idx, and intervals crossing midnight are handed to the next day as
+    an O(|days|) carry-in aggregate (an interval is ≤30m so it crosses at
+    most one boundary; concurrency at any in-day point = carry + in-day
+    prefix sum, and the day-start peak candidate is carry itself — hence
+    GREATEST(max_run, 0)).  100 TB: two exchanges (day-keyed window +
+    day-keyed agg), each collapsing to |days|-scale output; ties break on
+    (t, delta, event_id) — ends before starts at the same instant, so the
+    half-open interval semantics are exact and the prefix sum is
+    deterministic under any partitioning."""
+    from pyspark.sql import Window as W
+
+    GAP_US = 1800 * 1_000_000
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "event_id"
+    )
+    starts = ev.select(
+        F.expr(f"us DIV {DAY_US}").alias("day_idx"),
+        F.col("us").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = ev.select(
+        F.expr(f"(us + {GAP_US}) DIV {DAY_US}").alias("day_idx"),
+        (F.col("us") + GAP_US).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        W.partitionBy("day_idx")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    intra = (
+        pts.withColumn("r", F.sum("delta").over(w))
+        .groupBy("day_idx")
+        .agg(
+            F.max("r").cast("long").alias("max_run"),
+            F.count(F.when(F.col("delta") == 1, 1))
+            .cast("long")
+            .alias("n_starts"),
+        )
+    )
+    carry = (
+        ev.filter(
+            F.col("us") + GAP_US
+            > (F.expr(f"us DIV {DAY_US}") + 1) * DAY_US
+        )
+        .groupBy((F.expr(f"us DIV {DAY_US}") + 1).alias("day_idx"))
+        .agg(F.count("*").alias("carry_in"))
+    )
+    joined = intra.join(F.broadcast(carry), "day_idx", "left")
+    ci = F.coalesce(F.col("carry_in"), F.lit(0))
+    return joined.select(
+        "day_idx",
+        ci.cast("long").alias("carry_in"),
+        (ci + F.greatest(F.col("max_run"), F.lit(0)))
+        .cast("long")
+        .alias("peak_concurrency"),
+        "n_starts",
+    )
+
+
+@register(
+    "ts_linear_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ), xed AS (
+      SELECT event_type,
+             d - min(d) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ), fit AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(x) AS BIGINT) AS x_max,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM xed GROUP BY event_type
+    ), coef AS (
+      SELECT event_type, n_days, x_max,
+             CAST(CAST(n_days AS DECIMAL(19,0)) * sxy
+                  - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+             / CAST(CAST(n_days AS DECIMAL(19,0)) * sxx
+                    - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS slope,
+             sx, sy
+      FROM fit
+    ), line AS (
+      SELECT event_type, n_days, x_max, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n_days AS DOUBLE) AS intercept
+      FROM coef
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           CAST(x_max + h AS BIGINT) AS x_h,
+           intercept + slope * CAST(x_max + h AS DOUBLE) AS yhat,
+           slope, n_days
+    FROM line, (SELECT unnest(generate_series(1, 7)) AS h)
+    """,
+)
+def ts_linear_forecast(spark, sf_dir):
+    """Per-group linear trend forecast: fit OLS (count ~ day index) per
+    event type over the daily series, then extrapolate the next 7 days —
+    the capacity-planning / volume-projection query, and the repo's first
+    FORECASTING op (agg_regression fits but never projects).  Closed-form
+    slope from exact integer moments: n·Σxy−ΣxΣy over n·Σxx−(Σx)², every
+    product promoted to DECIMAL(19,0) BEFORE multiplying (the ts_autocorr
+    wrap lesson — daily counts reach 1e12 at 100 TB and n·Σxy then passes
+    2⁶³), cast to DOUBLE only for the one division; identical expression
+    order in both engines makes yhat bit-deterministic.
+
+    100 TB: daily rollup is the only data-scale exchange (|types|×|days|
+    out); the fit is an O(|types|) aggregate over that, and the 7-step
+    horizon is an explode of a literal sequence — no second pass over the
+    events."""
+    from pyspark.sql import Window as W
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("d")
+    ).agg(F.count("*").alias("y"))
+    xed = daily.select(
+        "event_type",
+        (
+            F.col("d")
+            - F.min("d").over(W.partitionBy("event_type"))
+        ).alias("x"),
+        "y",
+    )
+    dx = F.col("x").cast("decimal(19,0)")
+    fit = xed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("x").cast("long").alias("x_max"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dx * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    dn = F.col("n_days").cast("decimal(19,0)")
+    dsx = F.col("sx").cast("decimal(19,0)")
+    slope = (dn * F.col("sxy") - dsx * F.col("sy")).cast("double") / (
+        dn * F.col("sxx") - dsx * F.col("sx")
+    ).cast("double")
+    line = fit.select(
+        "event_type",
+        "n_days",
+        "x_max",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n_days").cast("double")
+        ).alias("intercept"),
+    )
+    return line.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    ).select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        (F.col("x_max") + F.col("h")).cast("long").alias("x_h"),
+        (
+            F.col("intercept")
+            + F.col("slope") * (F.col("x_max") + F.col("h")).cast("double")
+        ).alias("yhat"),
+        "slope",
+        "n_days",
+    )
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 2 THEN 'R'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 3
+    ), diff AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice
+                    OR a.o_orderstatus <> b.o_orderstatus
+                    OR a.o_orderpriority <> b.o_orderpriority
+                  THEN 'changed' ELSE 'same' END AS change_type,
+             CASE WHEN a.o_orderkey IS NOT NULL
+                   AND b.o_orderkey IS NOT NULL
+                   AND a.o_totalprice <> b.o_totalprice
+                  THEN 1 ELSE 0 END AS price_chg,
+             CASE WHEN a.o_orderkey IS NOT NULL
+                   AND b.o_orderkey IS NOT NULL
+                   AND a.o_orderstatus <> b.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_chg,
+             CASE WHEN a.o_orderkey IS NOT NULL
+                   AND b.o_orderkey IS NOT NULL
+                  THEN b.o_totalprice - a.o_totalprice
+                  ELSE 0.0 END AS delta
+      FROM a FULL OUTER JOIN b USING (o_orderkey)
+    )
+    SELECT change_type, count(*) AS n_rows,
+           CAST(SUM(price_chg) AS BIGINT) AS n_price_chg,
+           CAST(SUM(status_chg) AS BIGINT) AS n_status_chg,
+           CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_delta
+    FROM diff GROUP BY change_type
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Table-diff audit between two snapshots: full-outer join on the
+    primary key classifies every row as added / removed / changed / same
+    and accounts per-column change counts plus the exact price drift —
+    the data-reconciliation report a lakehouse runs after every backfill
+    or migration (snapshot B is a deterministic next-day mutation of
+    orders: %7==0 deleted, %7==1 repriced +10.0, %7==2 restatused,
+    %7==3 cloned under a new key).
+
+    100 TB: ONE co-partitioned key exchange (the full outer join — both
+    sides hash on o_orderkey); the change classification is row-local and
+    the report collapses map-side to 4 rows.  With both snapshots
+    bucketed by key (the layout a nightly diff would maintain) even that
+    exchange disappears — same argument as join_bucketed."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    b = (
+        o.filter(key % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(key % 7 == 1, F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(key % 7 == 2, F.lit("R"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            o.filter(key % 7 == 3).select(
+                (key + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("o_orderstatus").alias("sa"),
+        F.col("o_orderpriority").alias("ra"),
+    )
+    bb = b.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("o_orderstatus").alias("sb"),
+        F.col("o_orderpriority").alias("rb"),
+    )
+    both = F.col("pa").isNotNull() | F.col("sa").isNotNull()
+    d = a.join(bb, "k", "full_outer").select(
+        F.when(F.col("pa").isNull() & F.col("sa").isNull(), "added")
+        .when(F.col("pb").isNull() & F.col("sb").isNull(), "removed")
+        .when(
+            (F.col("pa") != F.col("pb"))
+            | (F.col("sa") != F.col("sb"))
+            | (F.col("ra") != F.col("rb")),
+            "changed",
+        )
+        .otherwise("same")
+        .alias("change_type"),
+        F.when(
+            F.col("pa").isNotNull()
+            & F.col("pb").isNotNull()
+            & (F.col("pa") != F.col("pb")),
+            1,
+        )
+        .otherwise(0)
+        .alias("price_chg"),
+        F.when(
+            F.col("sa").isNotNull()
+            & F.col("sb").isNotNull()
+            & (F.col("sa") != F.col("sb")),
+            1,
+        )
+        .otherwise(0)
+        .alias("status_chg"),
+        F.when(
+            F.col("pa").isNotNull() & F.col("pb").isNotNull(),
+            F.col("pb") - F.col("pa"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("delta"),
+    )
+    from ..canon import dsum
+
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price_chg").cast("long").alias("n_price_chg"),
+        F.sum("status_chg").cast("long").alias("n_status_chg"),
+        dsum("delta", "price_delta"),
+    )

@@ -495,3 +495,58 @@ def sample_bootstrap_ci(spark, sf_dir):
             ).alias("boot_mean"),
         )
     )
+
+
+@register(
+    "pipeline_dp_counts",
+    oracle="""
+    WITH grp AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx,
+           CASE WHEN n < 25 THEN NULL
+                ELSE GREATEST(
+                  n + CAST('0x' || substring(
+                        md5(event_type || ':' || CAST(day_idx AS VARCHAR)),
+                        1, 8) AS BIGINT) % 21 - 10,
+                  0)
+           END AS noisy_n,
+           n < 25 AS suppressed
+    FROM grp
+    """,
+)
+def pipeline_dp_counts(spark, sf_dir):
+    """Privacy-preserving release of grouped counts: integer noise drawn
+    deterministically per GROUP (md5-seeded uniform on [-10, 10], the
+    randomized-response / discrete-noise shape of a DP release) plus
+    k-anonymity suppression — groups under k=25 publish NULL, never the
+    true count.  The released table carries ONLY noisy_n and the
+    suppression flag; the true count exists in the plan but not the
+    output, which is the actual contract of an anonymized export.
+    Seeding noise from a content hash of the group key (canon.py
+    md5_int doctrine) makes the release reproducible across engines and
+    partitionings — a real DP deployment swaps the hash for calibrated
+    Laplace draws, the pipeline shape is identical.
+
+    100 TB: one partial-agg exchange collapsing to |types|×|days| rows;
+    noise + suppression are row-local over that tiny rollup, so the
+    privacy layer adds zero data-scale cost."""
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    noise = (
+        md5_int(F.concat_ws(":", "event_type", "day_idx"), 8) % 21 - 10
+    )
+    return grp.select(
+        "event_type",
+        "day_idx",
+        F.when(F.col("n") < 25, F.lit(None).cast("long"))
+        .otherwise(F.greatest(F.col("n") + noise, F.lit(0)))
+        .alias("noisy_n"),
+        (F.col("n") < 25).alias("suppressed"),
+    )

@@ -782,3 +782,87 @@ def pipeline_ivm_upsert(spark, sf_dir):
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS snapshot_v, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), o_orderpriority, count(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 = 3 GROUP BY 1, 2
+    """,
+)
+def scan_time_travel(spark, sf_dir):
+    """Transaction-log time travel over a plain-parquet table: a
+    Delta/Iceberg-style commit log (versioned JSON actions adding and
+    removing DATA FILES, never rewriting them) is replayed to the live
+    file set AS OF each requested version, and the snapshot is read as
+    exactly those files.  v1 adds file A (keys %4∈{0,1,2}), v2 adds
+    file B (%4==3), v3 removes A — so snapshot@v2 is the full table and
+    snapshot@v3 is B alone; the op reads both snapshots and reports the
+    per-priority rollup under a snapshot_v column, which the oracle
+    re-expresses logically over the base table.
+
+    100 TB: time travel costs ZERO data movement — the log replay is a
+    driver-side scan of |commits| tiny JSON actions (Delta's exact
+    design; at thousands of commits you checkpoint the action set, same
+    replay contract), and the snapshot read plans only the live files,
+    so pruning/pushdown apply per-file as in any parquet scan.  The
+    staged table is path-pinned per sf_dir and immutable once the _DONE
+    marker lands (FIXTURES.md discipline)."""
+    import json
+    from pathlib import Path
+
+    root = Path(ART) / f"time_travel_{Path(sf_dir).name}"
+    if not (root / "_DONE").exists():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        o.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+            "overwrite"
+        ).parquet(str(root / "data" / "A"))
+        o.filter(F.col("o_orderkey") % 4 == 3).write.mode(
+            "overwrite"
+        ).parquet(str(root / "data" / "B"))
+        log = root / "_log"
+        log.mkdir(parents=True, exist_ok=True)
+        (log / "1.json").write_text(json.dumps({"add": ["data/A"]}))
+        (log / "2.json").write_text(json.dumps({"add": ["data/B"]}))
+        (log / "3.json").write_text(json.dumps({"remove": ["data/A"]}))
+        (root / "_DONE").touch()
+
+    def live_files(version: int) -> list[str]:
+        live: list[str] = []
+        for v in range(1, version + 1):
+            action = json.loads((root / "_log" / f"{v}.json").read_text())
+            for p in action.get("add", ()):
+                live.append(p)
+            for p in action.get("remove", ()):
+                live.remove(p)
+        return [str(root / p) for p in live]
+
+    def snapshot(version: int):
+        return (
+            spark.read.parquet(*live_files(version))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("snapshot_v"),
+                "o_orderpriority",
+                "n_orders",
+                "sum_price",
+            )
+        )
+
+    return snapshot(2).unionByName(snapshot(3))

@@ -1244,3 +1244,64 @@ def text_bigram_surprisal(spark, sf_dir):
             (F.sum("s").cast("double") / F.count("*")).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "text_unicode_clean",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           CAST(length(c) AS BIGINT) AS clean_len,
+           CAST(length(text) - length(c) AS BIGINT) AS n_removed,
+           CAST('0x' || substring(md5(c), 1, 12) AS BIGINT) AS clean_hash
+    FROM cleaned
+    """,
+)
+def text_unicode_clean(spark, sf_dir):
+    """Text-normalization kernel: lowercase → map every non-[a-z0-9 ]
+    byte to space → collapse space runs → trim, with change accounting
+    (chars removed) and a content hash of the cleaned form — the
+    canonicalization pass that fronts every dedup/tokenize stage of a
+    training-data pipeline (dedup_normalized consumes exactly this kind
+    of canon text; this op IS the kernel, exposed with its audit trail).
+    Patterns stay inside the Java-regex ∩ RE2 common subset (explicit
+    ASCII classes, no \\s, no POSIX classes) so Spark and the DuckDB
+    oracle — which needs the 'g' flag for global replace — agree
+    byte-for-byte; the hash is the md5-prefix integer canon (canon.py
+    md5_int), so the driver compares VALUES of the cleaned text without
+    hauling it.
+
+    100 TB: zero shuffles — three regexp maps and a length projection,
+    one whole-stage-codegen span over the scan; this is the shape where
+    Catalyst's JVM string kernels beat a Python UDF ~50×, and the Arrow
+    mapInPandas alternative only wins once the transform needs a real
+    Unicode library (NFKC, confusables) — documented boundary, same
+    plumbing as mm_image_pipeline."""
+    from ..canon import md5_int
+
+    d = load_table(spark, sf_dir, "documents")
+    c = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_len"),
+        c.alias("c"),
+    ).select(
+        "doc_id",
+        "orig_len",
+        F.length("c").cast("long").alias("clean_len"),
+        (F.col("orig_len") - F.length("c")).cast("long").alias("n_removed"),
+        md5_int(F.col("c"), 12).alias("clean_hash"),
+    )
