@@ -2831,3 +2831,96 @@ def dq_snapshot_diff(spark, sf_dir):
         F.sum("status_chg").cast("long").alias("n_status_chg"),
         dsum("delta", "price_delta"),
     )
+
+
+@register(
+    "events_survival_hazard",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(epoch_us(ts)) AS end_us FROM events
+    ), u AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ), marked AS (
+      SELECT (last_us - first_us) // 604800000000 AS week,
+             CASE WHEN last_us < end_us - 604800000000
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, bounds
+    ), wk AS (
+      SELECT week,
+             CAST(SUM(churned) AS BIGINT) AS n_churned,
+             CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+      FROM marked GROUP BY week
+    ), risk AS (
+      SELECT week, n_churned, n_censored,
+             CAST(SUM(n_churned + n_censored) OVER (
+               ORDER BY week DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_at_risk
+      FROM wk
+    )
+    SELECT week, n_at_risk, n_churned, n_censored,
+           CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+             AS hazard
+    FROM risk
+    """,
+)
+def events_survival_hazard(spark, sf_dir):
+    """Discrete-time survival analysis of user lifetimes: the
+    life-table / hazard curve — per lifetime-week, how many users were
+    still at risk, how many churned (last event > 7 days before corpus
+    end), how many are right-CENSORED (still active at the cut; their
+    lifetimes are lower bounds, the defining subtlety of survival
+    analysis that a naive churn histogram gets wrong).  n_at_risk(w) is
+    the reverse cumulative count of users whose observed lifetime ≥ w;
+    hazard(w) = churned(w) / at_risk(w).  The Kaplan-Meier survival
+    curve is the running PRODUCT of (1 − hazard) — deliberately not
+    emitted, because cross-engine exp/ln round differently (sqrt is
+    IEEE-exact, ln is not); the hazard table is the sufficient
+    statistic and each cell is one deterministic double division.
+
+    100 TB: one user-keyed exchange to per-user bounds (the natural
+    events partitioning), a scalar broadcast for the corpus end, then
+    all remaining work is over |weeks| rows."""
+    from pyspark.sql import Window as W
+
+    WEEK_US = 604_800_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id"
+    )
+    bounds = ev.agg(F.max("us").alias("end_us"))
+    u = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    marked = u.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"(last_us - first_us) DIV {WEEK_US}").alias("week"),
+        F.when(
+            F.col("last_us") < F.col("end_us") - WEEK_US, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    wk = marked.groupBy("week").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    w = (
+        W.partitionBy()
+        .orderBy(F.col("week").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = wk.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_churned") + F.col("n_censored")).over(w).cast("long"),
+    )
+    return risk.select(
+        "week",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        (
+            F.col("n_churned").cast("double")
+            / F.col("n_at_risk").cast("double")
+        ).alias("hazard"),
+    )

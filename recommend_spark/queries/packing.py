@@ -424,3 +424,75 @@ def pipeline_length_buckets(spark, sf_dir):
         F.min("n_tok").alias("min_tok"),
         F.max("n_tok").alias("max_tok"),
     )
+
+
+@register(
+    "pipeline_bpe_pairs",
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS t
+      FROM documents
+    ), words AS (
+      SELECT w.word, count(*) AS cnt
+      FROM norm, unnest(string_split(t, ' ')) AS w(word)
+      WHERE length(w.word) >= 2
+      GROUP BY w.word
+    ), pairs AS (
+      SELECT substring(word, i.i, 2) AS pair, cnt, word
+      FROM words, unnest(generate_series(1, length(word) - 1)) AS i(i)
+    )
+    SELECT pair,
+           CAST(SUM(cnt) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def pipeline_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training statistic: the BPE merge-candidate table — the
+    corpus-frequency of every adjacent CHARACTER pair inside words,
+    weighted by word frequency, top-20.  This is exactly one iteration
+    of byte-pair-encoding training (count pairs over the pre-tokenized
+    word-frequency table, pick the most frequent merge); training loops
+    this per merge with the chosen pair contracted, and each iteration
+    is this same plan.  Pre-tokenization reuses the text_unicode_clean
+    kernel (lower → non-alnum→space → collapse), then words dedup into a
+    (word, count) table BEFORE pair expansion — the standard BPE trick
+    that shrinks the explode input from corpus tokens to |vocab|.
+
+    100 TB: two exchanges — corpus tokens → |vocab| word counts (the
+    only data-scale shuffle), then the ≤(len−1)-per-word pair expansion
+    over the VOCAB (corpus-size-free) → |alphabet|² pair counts; the
+    top-20 is a total-ordered limit over that tiny table."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    words = (
+        d.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = words.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"),
+        "cnt",
+        "word",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("long").alias("pair_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )

@@ -550,3 +550,94 @@ def pipeline_dp_counts(spark, sf_dir):
         .alias("noisy_n"),
         (F.col("n") < 25).alias("suppressed"),
     )
+
+
+@register(
+    "sample_neyman_alloc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) / 100.0 AS s1,
+             CAST(SUM(CAST(xc AS DECIMAL(19,0)) * xc) AS DOUBLE)
+               / 10000.0 AS s2
+      FROM c GROUP BY event_type
+    ), s AS (
+      SELECT event_type, n,
+             sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sd
+      FROM m
+    ), q AS (
+      SELECT event_type, n, sd,
+             CAST(floor(CAST(n AS DOUBLE) * sd * 1000000.0) AS BIGINT)
+               AS nsq
+      FROM s
+    )
+    SELECT event_type, n AS n_rows, sd AS stddev,
+           CAST(nsq AS DOUBLE) / CAST(SUM(nsq) OVER () AS DOUBLE)
+             AS weight,
+           CAST(floor(1000.0 * CAST(nsq AS DOUBLE)
+                      / CAST(SUM(nsq) OVER () AS DOUBLE)) AS BIGINT)
+             AS n_alloc
+    FROM q
+    """,
+)
+def sample_neyman_alloc(spark, sf_dir):
+    """Neyman optimal allocation for stratified sampling: split a fixed
+    sample budget (1000) across strata proportional to N_h·S_h — the
+    design that minimizes estimator variance, and the step EVERY
+    serious stratified sampler (sample_stratified draws; this op decides
+    HOW MUCH to draw) runs first.  Per-stratum stddev comes from exact
+    integer-cent moments (the agg_stddev_exact recipe, DECIMAL-promoted
+    before the square per the ts_autocorr wrap lesson); N_h·S_h is then
+    floor-quantized to integer micro-units BEFORE the cross-strata
+    total, because a SUM of doubles is shuffle-order-dependent but an
+    integer sum is associative — the determinism trick that makes the
+    allocation itself oracle-able.
+
+    100 TB: one partial-agg exchange to |strata| rows; the allocation
+    math is a window over that tiny table.  sqrt is IEEE-exact in both
+    engines (unlike ln/exp), so S_h is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    m = (
+        ev.select("event_type", xc.alias("xc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("xc").cast("double") / 100.0).alias("s1"),
+            (
+                F.sum(F.col("xc").cast("decimal(19,0)") * F.col("xc")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("s2"),
+        )
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2")
+            - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        )
+        / (F.col("n") - 1)
+    )
+    q = m.select(
+        "event_type",
+        "n",
+        sd.alias("sd"),
+    ).withColumn(
+        "nsq",
+        F.floor(F.col("n").cast("double") * F.col("sd") * 1000000.0).cast(
+            "long"
+        ),
+    )
+    tot = F.sum("nsq").over(W.partitionBy())
+    ratio = F.col("nsq").cast("double") / tot.cast("double")
+    return q.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("sd").alias("stddev"),
+        ratio.alias("weight"),
+        F.floor(1000.0 * ratio).cast("long").alias("n_alloc"),
+    )

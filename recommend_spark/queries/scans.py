@@ -866,3 +866,72 @@ def scan_time_travel(spark, sf_dir):
         )
 
     return snapshot(2).unionByName(snapshot(3))
+
+
+@register(
+    "pipeline_compaction_planner",
+    oracle="""
+    WITH files AS (
+      SELECT source, doc_id % 50 AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), planned AS (
+      SELECT source, file_id, bytes, n_docs,
+             (CAST(SUM(bytes) OVER (
+                PARTITION BY source ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) - bytes) // 100000 AS bin
+      FROM files
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(min(file_id) AS BIGINT) AS file_lo,
+           CAST(max(file_id) AS BIGINT) AS file_hi
+    FROM planned GROUP BY 1, 2
+    """,
+)
+def pipeline_compaction_planner(spark, sf_dir):
+    """Small-file compaction planning (the OPTIMIZE/rewrite-planner of
+    any lakehouse table): roll a file manifest into target-sized merge
+    groups — files ordered within their partition, assigned to bin
+    ⌊exclusive-prefix-bytes / target⌋, so each bin accumulates ~100 KB
+    before the next opens, and every bin is a contiguous file range
+    (file_lo..file_hi) a rewrite task can execute independently.  The
+    manifest is derived deterministically from documents (doc_id%50 as
+    file_id, byte size = Σ n_chars per file).  Prefix-sum binning is
+    the deterministic, oracle-able formulation of greedy first-fit —
+    the variant real planners use when they want stable plans across
+    retries.
+
+    100 TB: the plan runs over METADATA (|files| rows, typically 1e5-1e7
+    — the manifest, not the data); one partition-keyed window does the
+    prefix sum, and the data files themselves are untouched until the
+    rewrite tasks consume the plan.  This op plans; sink_compact is the
+    executor shape it feeds."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", (F.col("doc_id") % 50).alias("file_id")
+    ).agg(
+        F.sum("n_chars").cast("long").alias("bytes"),
+        F.count("*").alias("n_docs"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    planned = files.withColumn(
+        "cum", F.sum("bytes").over(w).cast("long")
+    ).withColumn("bin", F.expr("(cum - bytes) DIV 100000"))
+    return planned.groupBy("source", F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("file_id").cast("long").alias("file_lo"),
+        F.max("file_id").cast("long").alias("file_hi"),
+    )
