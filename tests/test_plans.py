@@ -437,3 +437,89 @@ def test_ivm_upsert_merges_not_recomputes(spark):
     assert "FullOuter" in plan, plan[:3000]
     # both merge inputs are aggregates: partial+final pairs on each side
     assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_cdc_apply_single_key_exchange(spark):
+    """pipeline_cdc_apply: the op-log union + last-writer-wins rank cost
+    exactly ONE key-hash exchange (the window's), like a GROUP BY key."""
+    plan = _plan(QUERIES["pipeline_cdc_apply"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_concurrency_sweep_no_global_sort(spark):
+    """events_concurrency: the sweep-line is day-partitioned, never a
+    global single-partition sort; the midnight carry joins broadcast."""
+    plan = _plan(QUERIES["events_concurrency"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_unicode_clean_zero_shuffle(spark):
+    """text_unicode_clean claims a pure narrow map: no exchange at all."""
+    plan = _plan(QUERIES["text_unicode_clean"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_linear_forecast_no_join_for_horizon(spark):
+    """ts_linear_forecast: the 7-step horizon is a generator over the
+    |types|-row fit table — no join, no second corpus pass (one FileScan)."""
+    plan = _plan(QUERIES["ts_linear_forecast"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:3000]
+    assert "Generate explode" in plan, plan[:3000]
+    assert plan.count("FileScan") == 1, plan[:3000]
+
+
+def test_snapshot_diff_key_merge_only(spark):
+    """dq_snapshot_diff: a co-partitioned full-outer key merge — never a
+    cartesian — and the report collapses through a partial aggregate."""
+    plan = _plan(QUERIES["dq_snapshot_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_time_travel_reads_only_live_files(spark):
+    """scan_time_travel: each snapshot is one scan over its LIVE file
+    list — two snapshot reads, two FileScans, no data-movement nodes
+    beyond the per-priority rollup."""
+    plan = _plan(QUERIES["scan_time_travel"](spark, SF_DIR))
+    assert plan.count("FileScan") == 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_dp_counts_partial_agg_before_release(spark):
+    """pipeline_dp_counts: one partial-agg exchange to |types|x|days|
+    rows; noise + suppression are row-local above it."""
+    plan = _plan(QUERIES["pipeline_dp_counts"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_bpe_pairs_total_ordered_topk(spark):
+    """pipeline_bpe_pairs: the top-20 is a total-ordered limit
+    (TakeOrdered), and nothing in the plan is quadratic."""
+    plan = _plan(QUERIES["pipeline_bpe_pairs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_metadata_windows_sit_above_data_aggs(spark):
+    """sample_neyman_alloc / events_survival_hazard use an unpartitioned
+    window BY DESIGN — but only over the post-aggregate metadata table
+    (|strata| / |weeks| rows).  The plan must show the SinglePartition
+    exchange ABOVE the data-scale hash aggregate (executedPlan prints
+    top-down), proving the corpus never funnels through one partition."""
+    for qid in ("sample_neyman_alloc", "events_survival_hazard"):
+        plan = _plan(QUERIES[qid](spark, SF_DIR))
+        sp = plan.find("Exchange SinglePartition")
+        hp = plan.find("Exchange hashpartitioning")
+        assert sp != -1 and hp != -1, (qid, plan[:3000])
+        assert sp < hp, (qid, plan[:3000])
+
+
+def test_compaction_planner_partitioned_window(spark):
+    """pipeline_compaction_planner: the prefix-sum window partitions on
+    source — no single-partition funnel anywhere."""
+    plan = _plan(QUERIES["pipeline_compaction_planner"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
