@@ -94,6 +94,18 @@ _OPS = [
     "join_set_similarity",     # prefix-token candidate join + rescore
     "pipeline_ivm_upsert",     # sign-weighted delta full-outer merge
     "rec_eval_replay",         # rank-predicate split + broadcast model
+    # round-8 second and third batches
+    "pipeline_cdc_apply",      # op-log union + last-writer-wins rank
+    "events_concurrency",      # day-partitioned sweep prefix sum + carry
+    "ts_linear_forecast",      # integer OLS moments + per-type min window
+    "dq_snapshot_diff",        # full-outer key merge + decimal drift sum
+    "pipeline_dp_counts",      # md5-seeded noise over a partial agg
+    "scan_time_travel",        # log-replayed file-list snapshot reads
+    "text_unicode_clean",      # map-only normalization kernel + md5 hash
+    "pipeline_bpe_pairs",      # vocab rollup + pair expansion + top-k
+    "sample_neyman_alloc",     # exact moments + micro-unit quantized total
+    "events_survival_hazard",  # reverse-cumulative risk-set window
+    "pipeline_compaction_planner",  # source-partitioned prefix-sum bins
 ]
 
 
