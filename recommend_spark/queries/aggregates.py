@@ -1316,3 +1316,76 @@ def agg_gini(spark, sf_dir):
             / (F.col("n") * F.col("sx"))
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(round(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, l_extendedprice, wt,
+             CAST(SUM(wt) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey_tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cw,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS tw
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_returnflag
+              ORDER BY l_extendedprice) AS l_orderkey_tie FROM w)
+    )
+    SELECT l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           min(l_extendedprice)
+             FILTER (2 * cw >= tw) AS weighted_median
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (the 50% weighted quantile): the smallest value
+    whose CUMULATIVE weight reaches half the group's total — quantity-
+    weighted price here, the estimator metric/fairness pipelines need
+    where percentile_cont's unweighted rank is wrong (a 100-unit line
+    must count 100×).  One ordered cumulative-weight window per group,
+    then the boundary row selects via MIN over the qualifying suffix;
+    weights stay exact integers, the comparison 2·cw ≥ tw is integer
+    arithmetic, and the emitted value is an INPUT value (never an
+    interpolation), so the result is hash-exact by construction.
+
+    100 TB: same bill as any per-group ordered statistic — one key
+    exchange + per-partition sort; the scale alternative when even the
+    sort is too big is the binned two-pass sketch (agg_quantile_binned),
+    which generalizes to weights unchanged."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.round("l_quantity").cast("long").alias("wt"),
+    )
+    tie = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        li.withColumn("tie", tie)
+        .withColumn("cw", F.sum("wt").over(wcum).cast("long"))
+        .withColumn(
+            "tw",
+            F.sum("wt").over(W.partitionBy("l_returnflag")).cast("long"),
+        )
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    )

@@ -2924,3 +2924,117 @@ def events_survival_hazard(spark, sf_dir):
             / F.col("n_at_risk").cast("double")
         ).alias("hazard"),
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS y
+      FROM events GROUP BY 1, 2
+    ), xed AS (
+      SELECT event_type, d,
+             d - min(d) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ), cum AS (
+      SELECT event_type, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) OVER w
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) OVER w
+                  AS DECIMAL(38,0)) AS sxx,
+             lead(x) OVER (PARTITION BY event_type ORDER BY x) AS x_next,
+             lead(y) OVER (PARTITION BY event_type ORDER BY x) AS y_next
+      FROM xed
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), fit AS (
+      SELECT event_type, n, x_next, y_next,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy
+                  - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                    - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS slope,
+             sx, sy
+      FROM cum WHERE n >= 5 AND x_next IS NOT NULL
+    )
+    SELECT event_type, CAST(x_next AS BIGINT) AS x_next,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             + slope * CAST(x_next AS DOUBLE) AS yhat,
+           y_next,
+           abs((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)
+               + slope * CAST(x_next AS DOUBLE)
+               - CAST(y_next AS DOUBLE)) AS abs_err,
+           n AS n_train
+    FROM fit
+    """,
+)
+def ts_forecast_backtest(spark, sf_dir):
+    """Rolling-origin forecast BACKTEST: at every cutoff day t (with ≥5
+    training days), fit the OLS trend on days ≤ t ONLY and score the
+    one-step-ahead prediction against day t+1's actual — the walk-forward
+    evaluation every production forecaster runs (ts_linear_forecast
+    projects; this op answers "how good would those projections have
+    been").  The whole family of per-cutoff fits costs ONE window pass:
+    the prefix moments (n, Σx, Σy, Σxy, Σxx) accumulate in a single
+    cumulative frame per type, so cutoff t's model is a row-local closed
+    form over that row's running sums — never a per-cutoff re-fit join.
+    Products are DECIMAL-promoted before multiplying (ts_autocorr wrap
+    lesson); per-row double arithmetic in identical order keeps yhat and
+    abs_err bit-identical across engines.
+
+    100 TB: the daily rollup is the only data-scale exchange; the
+    backtest is one |types|-keyed window over |types|×|days| rows."""
+    from pyspark.sql import Window as W
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("d")
+    ).agg(F.count("*").alias("y"))
+    xed = daily.select(
+        "event_type",
+        (F.col("d") - F.min("d").over(W.partitionBy("event_type"))).alias(
+            "x"
+        ),
+        "y",
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wlead = W.partitionBy("event_type").orderBy("x")
+    dx = F.col("x").cast("decimal(19,0)")
+    cum = xed.select(
+        "event_type",
+        "x",
+        "y",
+        F.count("*").over(wcum).cast("long").alias("n"),
+        F.sum("x").over(wcum).cast("long").alias("sx"),
+        F.sum("y").over(wcum).cast("long").alias("sy"),
+        F.sum(dx * F.col("y")).over(wcum).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx * F.col("x")).over(wcum).cast("decimal(38,0)").alias("sxx"),
+        F.lead("x").over(wlead).alias("x_next"),
+        F.lead("y").over(wlead).alias("y_next"),
+    ).filter((F.col("n") >= 5) & F.col("x_next").isNotNull())
+    dn = F.col("n").cast("decimal(19,0)")
+    dsx = F.col("sx").cast("decimal(19,0)")
+    slope = (dn * F.col("sxy") - dsx * F.col("sy")).cast("double") / (
+        dn * F.col("sxx") - dsx * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    yhat = intercept + slope * F.col("x_next").cast("double")
+    return cum.select(
+        "event_type",
+        F.col("x_next").cast("long").alias("x_next"),
+        yhat.alias("yhat"),
+        "y_next",
+        F.abs(yhat - F.col("y_next").cast("double")).alias("abs_err"),
+        F.col("n").alias("n_train"),
+    )

@@ -106,6 +106,8 @@ _OPS = [
     "sample_neyman_alloc",     # exact moments + micro-unit quantized total
     "events_survival_hazard",  # reverse-cumulative risk-set window
     "pipeline_compaction_planner",  # source-partitioned prefix-sum bins
+    "ts_forecast_backtest",    # cumulative-moment window + per-row fit
+    "agg_weighted_median",     # tie-insensitive cumulative-weight boundary
 ]
 
 
