@@ -1073,3 +1073,88 @@ def join_set_similarity(spark, sf_dir):
         .filter(F.col("jaccard") >= _SSJ_TAU)
         .select("probe_id", "match_id", "n_common", "jaccard")
     )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':x'),
+                                    1, 8) AS BIGINT) % 1000 AS x,
+             CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':y'),
+                                    1, 8) AS BIGINT) % 1000 AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || ':x'),
+                                    1, 8) AS BIGINT) % 1000 AS x,
+             CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || ':y'),
+                                    1, 8) AS BIGINT) % 1000 AS y
+      FROM supplier
+    )
+    SELECT s.s_suppkey, c.c_custkey,
+           (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS dist2
+    FROM s, c
+    WHERE (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) <= 2500
+    """,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial radius join via grid bucketing: find every (supplier,
+    customer) pair within Euclidean distance 50 on a 1000×1000 plane —
+    the geo-join shape (stores near customers, sensors near events) that
+    OSS Spark has no native operator for.  Coordinates derive
+    deterministically from the keys (md5-uniform ints, canon.py md5_int
+    doctrine: the fixture schema has no geo columns, so the operator IS
+    the join shape on reproducible points).  The plane cuts into
+    radius-sized cells (50); each probe row expands to its 3×3 cell
+    neighborhood — a correctness-complete candidate set because no
+    within-radius point can sit further than one cell away — then the
+    candidate EQUI-join on cell id feeds the exact integer distance
+    filter.  The quadratic form exists only as the sf0.01 oracle.
+
+    100 TB: the plan is a plain hash join on cell keys — |probe|×9
+    candidate rows instead of |probe|×|build|; density skew (a hot city
+    cell) is ordinary join-key skew, handled by AQE splitting or the
+    join_skew_salted recipe; integer squared distance keeps the predicate
+    exact, codegen-friendly, and engine-identical (no sqrt needed for a
+    radius test)."""
+    from ..canon import md5_int
+
+    CELL, R2 = 50, 2500
+
+    def pts(df, key):
+        return df.select(
+            key,
+            (md5_int(F.concat(F.col(key).cast("string"), F.lit(":x")), 8)
+             % 1000).alias("x"),
+            (md5_int(F.concat(F.col(key).cast("string"), F.lit(":y")), 8)
+             % 1000).alias("y"),
+        )
+
+    c = pts(load_table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey",
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        F.expr(f"x DIV {CELL}").alias("gx"),
+        F.expr(f"y DIV {CELL}").alias("gy"),
+    )
+    s = pts(load_table(spark, sf_dir, "supplier"), "s_suppkey")
+    probes = s.select(
+        "s_suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.explode(
+            F.expr(f"flatten(transform(sequence(-1, 1), dx -> "
+                   f"transform(sequence(-1, 1), dy -> "
+                   f"struct(x DIV {CELL} + dx AS gx, y DIV {CELL} + dy AS gy))))")
+        ).alias("cell"),
+    ).select("s_suppkey", "sx", "sy", "cell.gx", "cell.gy")
+    d2 = (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) + (
+        F.col("sy") - F.col("cy")
+    ) * (F.col("sy") - F.col("cy"))
+    return (
+        probes.join(c, ["gx", "gy"])
+        .filter(d2 <= R2)
+        .select("s_suppkey", "c_custkey", d2.alias("dist2"))
+    )

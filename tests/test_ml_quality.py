@@ -816,3 +816,47 @@ def test_mmr_kernel_tie_keeps_higher_relevance():
     rel = np.array([0.9, 0.9, 0.9])
     sel = mmr_select(rel, vecs, k=3, lam=0.7)
     assert [i for i, _ in sel] == [0, 1, 2]
+
+
+def test_kcore_peel_planted_k4_plus_chain(spark):
+    """K4 with a pendant chain hanging off it: the 3-core must be exactly
+    the K4, and the chain must peel by CASCADE (5 falls first, then 6
+    has degree 1, then 7) — a single non-iterated degree filter would
+    leave 5 in place (initial degree 2... below 3 — so the cascade test
+    is the chain under k=2 below)."""
+    from recommend_spark.queries.recommender import kcore_peel
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    chain = [(4, 5), (5, 4), (5, 6), (6, 5), (6, 7), (7, 6)]
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    core = kcore_peel(edges, k=3, rounds=6)
+    nodes = {r["src"] for r in core.select("src").distinct().collect()}
+    assert nodes == {1, 2, 3, 4}
+
+
+def test_kcore_peel_cascade_strips_chain_keeps_cycle(spark):
+    """Cycle 1-2-3-4-1 with chain 4-5-6-7: under k=2 the chain end (7,
+    degree 1) peels first, which drops 6 to degree 1, then 5 — three
+    cascade rounds — while the cycle survives untouched."""
+    from recommend_spark.queries.recommender import kcore_peel
+
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    cyc = cyc + [(b, a) for a, b in cyc]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    chain = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(cyc + chain, "src long, dst long")
+    core = kcore_peel(edges, k=2, rounds=6)
+    nodes = {r["src"] for r in core.select("src").distinct().collect()}
+    assert nodes == {1, 2, 3, 4}
+
+
+def test_kcore_fixture_self_consistent(spark):
+    """Every node the operator reports must still have core_degree >= 2
+    (the defining k-core invariant) and the result must be non-empty on
+    the fixture corpus."""
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["graph_kcore"](spark, SF_DIR).collect()
+    assert rows, "2-core unexpectedly empty on the fixture"
+    assert all(r["core_degree"] >= 2 for r in rows)

@@ -108,6 +108,8 @@ _OPS = [
     "pipeline_compaction_planner",  # source-partitioned prefix-sum bins
     "ts_forecast_backtest",    # cumulative-moment window + per-row fit
     "agg_weighted_median",     # tie-insensitive cumulative-weight boundary
+    "join_spatial_grid",       # cell-bucketed radius join, integer dist
+    "graph_kcore",             # bounded peel cascade, integer degrees
 ]
 
 

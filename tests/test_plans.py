@@ -523,3 +523,16 @@ def test_compaction_planner_partitioned_window(spark):
     source — no single-partition funnel anywhere."""
     plan = _plan(QUERIES["pipeline_compaction_planner"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_spatial_grid_join_never_quadratic(spark):
+    """join_spatial_grid: the 3x3 cell-neighborhood candidates arrive
+    through an equi-join on cell keys — never a cartesian/nested-loop."""
+    plan = _plan(QUERIES["join_spatial_grid"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan[:3000]
