@@ -46,6 +46,13 @@ HEADLINE = {
     "agg_quantile_binned": "histogram sketch: partial+final count merge, shuffle carries |groups|x|bins| rows",
     "sql_correlated_subquery": "EXISTS and scalar COUNT decorrelated into keyed joins sharing one o_custkey shuffle",
     "rec_user_user": "item-keyed pair join; basket sizes broadcast; per-user top-3 as WindowGroupLimit",
+    "pipeline_cdc_apply": "op-log union + last-writer-wins rank: ONE key exchange, same bill as a GROUP BY",
+    "events_concurrency": "day-partitioned sweep-line: no SinglePartition exchange; midnight carry joins broadcast",
+    "text_unicode_clean": "normalization kernel: zero Exchange, one codegen span over the scan",
+    "join_spatial_grid": "radius join as cell equi-join: 3x3 probe expand, exact integer distance filter, no cartesian",
+    "agg_weighted_median": "weights collapse to distinct values via partial agg BEFORE the ordered window",
+    "pipeline_bpe_pairs": "vocab rollup, then pair expansion over |vocab| (corpus-size-free); TakeOrdered top-20",
+    "scan_time_travel": "two snapshot reads planning only log-live files; no joins, per-priority rollups union",
 }
 
 
