@@ -1471,11 +1471,14 @@ def kcore_peel(edges, k: int, rounds: int):
     on planted graphs in tests/test_ml_quality.py); each round is one
     degree aggregate + two semi joins, checkpointed eagerly per the
     iterative-fixpoint contract (tests/test_plans.py module docstring).
-    Peeling is monotone — nodes only leave — so `rounds` bounds suffice:
-    a round that removes nothing is a fixpoint, and on bounded-degeneracy
-    graphs the cascade depth is small (the planted tests include a chain
-    that needs the cascade)."""
+    Peeling is monotone — nodes only leave — so a round that removes no
+    edge is a fixpoint: the loop early-exits on an unchanged edge count
+    (one count() per round, nearly free on the just-checkpointed data),
+    with `rounds` as the hard upper bound.  On bounded-degeneracy graphs
+    the cascade depth is small (the planted tests include a chain that
+    needs the cascade)."""
     cur = edges
+    prev_n = None
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -1486,6 +1489,10 @@ def kcore_peel(edges, k: int, rounds: int):
             )
             .localCheckpoint()
         )
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return cur
 
 
