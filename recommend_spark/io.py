@@ -37,6 +37,20 @@ TABLES = (
 )
 
 
+def sf_key(sf_dir: str) -> str:
+    """Collision-proof artifact-key fragment for a fixture directory.
+
+    Basename alone is unsafe as an ART_ROOT cache key: two different
+    directories sharing a basename (pytest tmp dirs named 'tt0' recur
+    across sessions while ART_ROOT persists) would silently serve one
+    another's staged data.  Keep the basename for readability and append
+    a hash of the resolved absolute path to disambiguate."""
+    import hashlib
+
+    p = Path(sf_dir).resolve()
+    return f"{p.name}_{hashlib.md5(str(p).encode()).hexdigest()[:8]}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with quirk shims applied (FIXTURES.md Q1).
 

@@ -2607,7 +2607,7 @@ def events_concurrency(spark, sf_dir):
              / CAST(CAST(n_days AS DECIMAL(19,0)) * sxx
                     - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS slope,
              sx, sy
-      FROM fit
+      FROM fit WHERE n_days >= 2
     ), line AS (
       SELECT event_type, n_days, x_max, slope,
              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
@@ -2659,6 +2659,12 @@ def ts_linear_forecast(spark, sf_dir):
         F.sum("y").cast("long").alias("sy"),
         F.sum(dx * F.col("y")).cast("decimal(38,0)").alias("sxy"),
         F.sum(dx * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    ).filter(
+        # one distinct day makes the slope denominator n·Σxx−(Σx)² zero;
+        # Spark double 0/0 yields NULL but DuckDB yields NaN, so drop
+        # degenerate groups identically in both engines (no line can be
+        # fit through a single point anyway).
+        F.col("n_days") >= 2
     )
     dn = F.col("n_days").cast("decimal(19,0)")
     dsx = F.col("sx").cast("decimal(19,0)")
@@ -2781,17 +2787,21 @@ def dq_snapshot_diff(spark, sf_dir):
         F.col("o_totalprice").alias("pa"),
         F.col("o_orderstatus").alias("sa"),
         F.col("o_orderpriority").alias("ra"),
+        # explicit presence flag: row existence must be judged like the
+        # oracle judges it (join-key NULL-ness), not by payload NULL-ness
+        # — a legitimately NULL o_totalprice would misclassify otherwise
+        F.lit(1).alias("in_a"),
     )
     bb = b.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("pb"),
         F.col("o_orderstatus").alias("sb"),
         F.col("o_orderpriority").alias("rb"),
+        F.lit(1).alias("in_b"),
     )
-    both = F.col("pa").isNotNull() | F.col("sa").isNotNull()
     d = a.join(bb, "k", "full_outer").select(
-        F.when(F.col("pa").isNull() & F.col("sa").isNull(), "added")
-        .when(F.col("pb").isNull() & F.col("sb").isNull(), "removed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
         .when(
             (F.col("pa") != F.col("pb"))
             | (F.col("sa") != F.col("sb"))
@@ -2801,23 +2811,23 @@ def dq_snapshot_diff(spark, sf_dir):
         .otherwise("same")
         .alias("change_type"),
         F.when(
-            F.col("pa").isNotNull()
-            & F.col("pb").isNotNull()
+            F.col("in_a").isNotNull()
+            & F.col("in_b").isNotNull()
             & (F.col("pa") != F.col("pb")),
             1,
         )
         .otherwise(0)
         .alias("price_chg"),
         F.when(
-            F.col("sa").isNotNull()
-            & F.col("sb").isNotNull()
+            F.col("in_a").isNotNull()
+            & F.col("in_b").isNotNull()
             & (F.col("sa") != F.col("sb")),
             1,
         )
         .otherwise(0)
         .alias("status_chg"),
         F.when(
-            F.col("pa").isNotNull() & F.col("pb").isNotNull(),
+            F.col("in_a").isNotNull() & F.col("in_b").isNotNull(),
             F.col("pb") - F.col("pa"),
         )
         .otherwise(F.lit(0.0))

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..blockkernel import index_ordered_dot_block
-from ..io import load_table
+from ..io import load_table, sf_key
 from ..registry import register
 
 _SQL_TOKS = "list_distinct(string_split(lower(text), ' '))"
@@ -70,7 +70,7 @@ def _pairs_artifact(spark, sf_dir, variant, build):
     # an older code version must never serve a newer engine
     version = "v1"
     return disk_memo(
-        spark, f"jaccard_pairs_{version}_{variant}_{Path(sf_dir).name}", build
+        spark, f"jaccard_pairs_{version}_{variant}_{sf_key(sf_dir)}", build
     )
 
 

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import r4
-from ..io import load_table
+from ..io import load_table, sf_key
 from ..registry import register
 
 
@@ -156,14 +156,28 @@ def join_semi(spark, sf_dir):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    )
     """,
 )
 def join_anti(spark, sf_dir):
     """Left-anti join — the reference's "movies this user has NOT rated"
-    relational skeleton (upstream:engine.py § get_top_ratings)."""
+    relational skeleton (upstream:engine.py § get_top_ratings).
+
+    The right side is restricted to one year of orders so survivors exist
+    at every fixture scale (326 of 1,500 customers at sf0.01; the
+    unrestricted form is vacuously empty because every fixture customer
+    has >=1 order).  The date filter pushes to the orders parquet scan,
+    shrinking the build side before the anti-join."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -390,7 +404,7 @@ def join_bucketed(spark, sf_dir):
 
     from .scans import ART
 
-    tag = Path(sf_dir).name
+    tag = sf_key(sf_dir)
     done = Path(ART) / f"bucketed_{tag}" / "_DONE"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -462,7 +476,7 @@ def join_partition_pruned(spark, sf_dir):
 
     from .scans import ART
 
-    root = Path(ART) / f"orders_by_priority_{Path(sf_dir).name}"
+    root = Path(ART) / f"orders_by_priority_{sf_key(sf_dir)}"
     if not (root / "_DONE").exists():
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"

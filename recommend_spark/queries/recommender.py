@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import dsum
-from ..io import disk_memo, load_table
+from ..io import disk_memo, load_table, sf_key
 from ..registry import register
 
 
@@ -42,7 +42,7 @@ def _baskets_artifact(spark, sf_dir):
             .repartition(32, "u")
         )
 
-    return disk_memo(spark, f"baskets_v1_{Path(sf_dir).name}", build)
+    return disk_memo(spark, f"baskets_v1_{sf_key(sf_dir)}", build)
 
 def _guarded_baskets(spark, sf_dir):
     """Basket table with the MAX_BASKET hyper-user guard applied: one tiny
@@ -99,7 +99,7 @@ def _copurchase_edges_artifact(spark, sf_dir):
 
     return disk_memo(
         spark,
-        f"copurchase_edges_v2_{Path(sf_dir).name}",
+        f"copurchase_edges_v2_{sf_key(sf_dir)}",
         lambda: _copurchase_pairs(spark, sf_dir),
     )
 
@@ -157,7 +157,7 @@ def _fit_als(spark, sf_dir):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _ALS_CACHE:
         ratings = _ratings(spark, sf_dir).cache()
-        disk = Path(ART_ROOT) / f"als_model_v1_{Path(sf_dir).name}"
+        disk = Path(ART_ROOT) / f"als_model_v1_{sf_key(sf_dir)}"
         if (disk / "_DONE").exists():
             model = ALSModel.load(str(disk / "model"))
         else:
@@ -640,7 +640,7 @@ def _fit_als_trainfold(spark, sf_dir):
     if key not in _TRAINFOLD_CACHE:
         tagged = _ratings(spark, sf_dir).withColumn("b", _fold_bucket()).cache()
         train = tagged.filter(F.col("b") < 80).drop("b")
-        disk = Path(ART_ROOT) / f"als_trainfold_v1_{Path(sf_dir).name}"
+        disk = Path(ART_ROOT) / f"als_trainfold_v1_{sf_key(sf_dir)}"
         if (disk / "_DONE").exists():
             model = ALSModel.load(str(disk / "model"))
         else:
@@ -1533,5 +1533,9 @@ def graph_kcore(spark, sf_dir):
     return (
         core.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("core_degree"))
+        # at a true fixpoint (the early-exit's guarantee) this filter is
+        # a no-op; if the round budget ever exhausts mid-cascade it stops
+        # sub-core nodes (degree < k) leaking into the reported core
+        .filter(F.col("core_degree") >= 2)
         .orderBy("node")
     )

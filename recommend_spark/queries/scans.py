@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
 from ..canon import md5_int, r4, sql_md5_int
-from ..io import ART_ROOT as ART, load_table
+from ..io import ART_ROOT as ART, load_table, sf_key
 from ..registry import register
 
 
@@ -217,7 +217,7 @@ def scan_schema_evolution(spark, sf_dir):
     immutable once written."""
     from pathlib import Path
 
-    root = Path(ART) / f"schema_evo_{Path(sf_dir).name}"
+    root = Path(ART) / f"schema_evo_{sf_key(sf_dir)}"
     if not (root / "_DONE").exists():
         o = load_table(spark, sf_dir, "orders")
         # "old" batch: even keys, original narrow schema
@@ -280,7 +280,7 @@ def sink_merge_upsert(spark, sf_dir):
     merged = incoming.unionByName(
         base.join(F.broadcast(incoming.select("o_orderkey")), "o_orderkey", "left_anti")
     )
-    out = Path(ART) / f"merge_upsert_{Path(sf_dir).name}"
+    out = Path(ART) / f"merge_upsert_{sf_key(sf_dir)}"
     merged.write.mode("overwrite").parquet(str(out))
     return spark.read.parquet(str(out))
 
@@ -303,7 +303,7 @@ def scan_csv_malformed(spark, sf_dir):  # engine-specific by design
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    path = Path(ART) / f"scan_csv_malformed_{Path(sf_dir).name}"
+    path = Path(ART) / f"scan_csv_malformed_{sf_key(sf_dir)}"
     if not (path / "_DONE").exists():
         src.coalesce(1).write.mode("overwrite").option("header", True).csv(
             str(path / "data")
@@ -407,7 +407,7 @@ def sink_compact(spark, sf_dir):
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    root = Path(ART) / f"sink_compact_{Path(sf_dir).name}"
+    root = Path(ART) / f"sink_compact_{sf_key(sf_dir)}"
     frag, compact = root / "frag", root / "compact"
     if not (root / "_DONE").exists():
         src.repartition(64).write.mode("overwrite").parquet(str(frag))
@@ -500,7 +500,7 @@ def sink_table_catalog(spark, sf_dir):
     decimal-exact aggregate makes the round trip hash-stable."""
     from pathlib import Path
 
-    suffix = Path(sf_dir).name.replace(".", "_")
+    suffix = sf_key(sf_dir).replace(".", "_")
     name = f"cat_priority_summary_{suffix}"
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
@@ -597,7 +597,7 @@ def sink_jsonl_shards(spark, sf_dir):
     compression (.zst) — both config, not plan, changes."""
     from pathlib import Path
 
-    path = f"{ART}/sink_jsonl_docs_{Path(sf_dir).name}"
+    path = f"{ART}/sink_jsonl_docs_{sf_key(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -637,7 +637,7 @@ def pipeline_shard_manifest(spark, sf_dir):
     (CAST AS BIGINT kills the HUGEINT SUM class per FIXTURES.md)."""
     from pathlib import Path
 
-    path = f"{ART}/shard_manifest_docs_{Path(sf_dir).name}"
+    path = f"{ART}/shard_manifest_docs_{sf_key(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "shard", md5_int(F.col("doc_id"), 6) % 8
     )
@@ -678,7 +678,7 @@ def scan_file_prune_proof(spark, sf_dir):
     1/|months| of the files, before any row is read."""
     from pathlib import Path
 
-    root = Path(ART) / f"prune_proof_{Path(sf_dir).name}"
+    root = Path(ART) / f"prune_proof_{sf_key(sf_dir)}"
     if not (root / "_DONE").exists():
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", F.month("o_orderdate").alias("m")
@@ -819,7 +819,7 @@ def scan_time_travel(spark, sf_dir):
     import json
     from pathlib import Path
 
-    root = Path(ART) / f"time_travel_{Path(sf_dir).name}"
+    root = Path(ART) / f"time_travel_{sf_key(sf_dir)}"
     if not (root / "_DONE").exists():
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..blockkernel import index_ordered_dot_block
-from ..io import load_table
+from ..io import load_table, sf_key
 from ..registry import register
 
 _SQL_DOT_QC = """
@@ -826,7 +826,7 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
     # fit — the same artifact rationale as disk_memo, stored as .npy
     disk = (
         Path(ART_ROOT)
-        / f"pq_codebook_v{M}x{SUB}_{K}_{iters}_{Path(sf_dir).name}.npy"
+        / f"pq_codebook_v{M}x{SUB}_{K}_{iters}_{sf_key(sf_dir)}.npy"
     )
     if disk.exists():
         cents = _np.load(disk)

@@ -590,20 +590,28 @@ def tpch_q13(spark, sf_dir):
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-02-01 00:00:00'
       )
     GROUP BY c.c_nationkey
     """,
 )
 def tpch_q22(spark, sf_dir):
     """TPC-H Q22 global sales opportunity (adapted: nation key stands in
-    for the phone country code the fixture lacks): customers with
-    above-average balances and NO orders — scalar-subquery threshold
-    (exact decimal avg), broadcast anti-join, grouped decimal sums.  The
-    scalar aggregate broadcasts as a 1-row cross join; the anti-join sends
-    only order custkeys."""
+    for the phone country code the fixture lacks, and "never ordered"
+    becomes "no orders in the final 6 months of the fixture's history" so
+    the anti-join survivor path is exercised — every fixture customer has
+    >=1 lifetime order, which made the literal form vacuously empty):
+    customers with above-average balances and no recent orders —
+    scalar-subquery threshold (exact decimal avg), anti-join against the
+    date-pruned orders scan, grouped decimal sums.  The scalar aggregate
+    broadcasts as a 1-row cross join; the anti-join sends only the recent
+    orders' custkeys (date filter pushed to the parquet scan)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-02-01"
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal", "a")
     )

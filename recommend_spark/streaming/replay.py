@@ -22,7 +22,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window as W
 
-from ..io import ART_ROOT, load_table
+from ..io import ART_ROOT, load_table, sf_key
 
 ART = Path(ART_ROOT)
 N_CHUNKS = 8
@@ -37,7 +37,7 @@ def materialize_chunks(spark: SparkSession, sf_dir: str, shuffled: bool = False)
     """Write events as N_CHUNKS parquet files in ts order (or a deterministic
     out-of-order permutation for late-data tests).  Sequential writes give
     monotone mod-times, which fixes the FileStreamSource replay order."""
-    tag = Path(sf_dir).name + ("_shuffled" if shuffled else "")
+    tag = sf_key(sf_dir) + ("_shuffled" if shuffled else "")
     root = ART / f"stream_src_{tag}"
     done = root / "_DONE"
     if done.exists():

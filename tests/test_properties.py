@@ -123,12 +123,13 @@ def test_compaction_collapses_file_count(spark):
     from pathlib import Path
 
     from recommend_spark.queries import QUERIES
+    from recommend_spark.io import sf_key
     from recommend_spark.queries.scans import ART
 
     from tests.conftest import SF_DIR
 
     QUERIES["sink_compact"](spark, SF_DIR).count()
-    root = Path(ART) / f"sink_compact_{Path(SF_DIR).name}"
+    root = Path(ART) / f"sink_compact_{sf_key(SF_DIR)}"
     n_frag = len(list((root / "frag").glob("part-*.parquet")))
     n_compact = len(list((root / "compact").glob("part-*.parquet")))
     assert n_frag == 64
