@@ -1013,20 +1013,18 @@ def join_set_similarity(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.size("toks").alias("nt"), F.explode("toks").alias("tok")
     )
-    # global rarity order; |vocab| rows, single pass + broadcast back
+    # global rarity order; |vocab| rows, single pass + broadcast back.
+    # The order is USED only inside the per-doc position window, so the
+    # (count, token) pair serves as the sort key directly — materializing
+    # an integer rank would need a no-partition row_number (a single-task
+    # sort over |vocab|, the classic web-corpus bottleneck) for zero gain.
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    vrank = vocab.select(
-        "tok",
-        F.row_number()
-        .over(W.orderBy("c", "tok"))
-        .alias("trank"),
-    )
-    ranked = toks.join(F.broadcast(vrank), "tok").select(
+    ranked = toks.join(F.broadcast(vocab), "tok").select(
         "doc_id",
         "nt",
         "tok",
         F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("trank"))
+        .over(W.partitionBy("doc_id").orderBy("c", "tok"))
         .alias("pos"),
     )
     is_probe = F.col("doc_id") % 100 == 0

@@ -1464,22 +1464,63 @@ def rec_eval_replay(spark, sf_dir):
     )
 
 
-def kcore_peel(edges, k: int, rounds: int):
-    """Bounded synchronous k-core peeling over a symmetric edge list
-    (src, dst): each round drops every node with current degree < k and
-    keeps only edges whose BOTH endpoints survive.  Pure kernel (tested
-    on planted graphs in tests/test_ml_quality.py); each round is one
-    degree aggregate + two semi joins, checkpointed eagerly per the
-    iterative-fixpoint contract (tests/test_plans.py module docstring).
-    Peeling is monotone — nodes only leave — so a round that removes no
-    edge is a fixpoint: the loop early-exits on an unchanged edge count
-    (one count() per round, nearly free on the just-checkpointed data),
-    with `rounds` as the hard upper bound.  On bounded-degeneracy graphs
-    the cascade depth is small (the planted tests include a chain that
-    needs the cascade)."""
+def kcore_peel(edges, k: int, rounds: int, local_threshold: int = 5_000_000):
+    """k-core peeling over a symmetric edge list (src, dst) to the TRUE
+    fixpoint: distributed synchronous rounds strip the mass periphery
+    (each round = one degree aggregate + two semi joins, checkpointed
+    eagerly per the iterative-fixpoint contract, early-exiting on an
+    unchanged edge count), and once the surviving edge set fits a single
+    task (``local_threshold`` edges) the remaining cascade finishes
+    EXACTLY inside one mapInPandas partition — no driver collect, no
+    round budget.
+
+    The two-phase shape is the honest answer to deep peel cascades: a
+    chain of length L needs L synchronous rounds (measured: the sf0.1
+    co-purchase graph's cascade depth is 23 — a pure round-budget loop
+    either pays 23 checkpointed shuffles or returns a non-converged
+    SUPERSET of the core).  Peeling is monotone, so after the first
+    round or two the frontier has collapsed by orders of magnitude; at
+    that size the exact single-task fixpoint costs one narrow job.  At
+    100 TB the distributed rounds bound per-round work by the shrinking
+    edge set, and a residual above ``local_threshold`` keeps taking
+    distributed rounds (``rounds`` caps them; callers size it to the
+    measured depth of the periphery, not the full cascade).  Pure
+    kernel — planted-graph tests (tests/test_ml_quality.py) exercise
+    both phases via ``local_threshold``."""
+    import pandas as pd
+
+    def _local_fixpoint(iterator):
+        # exact cascade on the residual: one task, plain hash maps
+        frames = [f for f in iterator]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        es = set(zip(df["src"], df["dst"]))
+        while True:
+            deg = {}
+            for s, _ in es:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {n for n, c in deg.items() if c >= k}
+            new = {(s, d) for s, d in es if s in keep and d in keep}
+            if len(new) == len(es):
+                break
+            es = new
+        out = sorted(es)
+        yield pd.DataFrame(
+            {"src": [e[0] for e in out], "dst": [e[1] for e in out]}
+        )
+
     cur = edges
     prev_n = None
     for _ in range(rounds):
+        n = cur.count()
+        if n == prev_n:
+            return cur  # synchronous fixpoint reached
+        prev_n = n
+        if n <= local_threshold:
+            return cur.coalesce(1).mapInPandas(
+                _local_fixpoint, schema="src long, dst long"
+            )
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         cur = (
@@ -1489,10 +1530,6 @@ def kcore_peel(edges, k: int, rounds: int):
             )
             .localCheckpoint()
         )
-        n = cur.count()
-        if n == prev_n:
-            break
-        prev_n = n
     return cur
 
 
@@ -1513,12 +1550,13 @@ def graph_kcore(spark, sf_dir):
     can fall under k only because its neighbor peeled), which is exactly
     what the bounded-round loop replays.
 
-    100 TB: each round shuffles the CURRENT edge set once for the degree
-    aggregate plus two key-partitioned semi joins, and the edge set only
-    shrinks; round count is bounded by the peel-cascade depth (small on
-    bounded-degeneracy graphs), the same budget-bound contract as
-    graph_bfs_distances (≤4) and label propagation (5).  No driver-side
-    graph state; the loop moves only DataFrame lineage."""
+    100 TB: each distributed round shuffles the CURRENT edge set once
+    for the degree aggregate plus two key-partitioned semi joins, and
+    the edge set only shrinks; once the residual fits one task the deep
+    tail of the cascade (measured depth 23 at sf0.1 — chains peel one
+    link per synchronous round) finishes exactly in a single
+    mapInPandas partition (see kcore_peel).  No driver-side graph
+    state; the loop moves only DataFrame lineage."""
     und = (
         _copurchase_edges_artifact(spark, sf_dir)
         .filter(F.col("cooc") >= 2)

@@ -829,9 +829,13 @@ def test_kcore_peel_planted_k4_plus_chain(spark):
     k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
     chain = [(4, 5), (5, 4), (5, 6), (6, 5), (6, 7), (7, 6)]
     edges = spark.createDataFrame(k4 + chain, "src long, dst long")
-    core = kcore_peel(edges, k=3, rounds=6)
-    nodes = {r["src"] for r in core.select("src").distinct().collect()}
-    assert nodes == {1, 2, 3, 4}
+    # local_threshold=0 forces the distributed synchronous rounds;
+    # the default goes through the single-task residual fixpoint —
+    # both phases must produce the identical core
+    for thr in (0, 5_000_000):
+        core = kcore_peel(edges, k=3, rounds=6, local_threshold=thr)
+        nodes = {r["src"] for r in core.select("src").distinct().collect()}
+        assert nodes == {1, 2, 3, 4}, f"threshold={thr}"
 
 
 def test_kcore_peel_cascade_strips_chain_keeps_cycle(spark):
@@ -845,9 +849,27 @@ def test_kcore_peel_cascade_strips_chain_keeps_cycle(spark):
     chain = [(4, 5), (5, 6), (6, 7)]
     chain = chain + [(b, a) for a, b in chain]
     edges = spark.createDataFrame(cyc + chain, "src long, dst long")
-    core = kcore_peel(edges, k=2, rounds=6)
+    for thr in (0, 5_000_000):
+        core = kcore_peel(edges, k=2, rounds=6, local_threshold=thr)
+        nodes = {r["src"] for r in core.select("src").distinct().collect()}
+        assert nodes == {1, 2, 3, 4}, f"threshold={thr}"
+
+
+def test_kcore_local_fixpoint_converges_deep_cascade(spark):
+    """A 30-link chain off a triangle needs 30 peel rounds; a round
+    budget of 2 alone would return a non-converged superset.  The
+    residual-collapse phase must finish the cascade exactly: only the
+    triangle survives."""
+    from recommend_spark.queries.recommender import kcore_peel
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    tri = tri + [(b, a) for a, b in tri]
+    chain = [(100 + i, 101 + i) for i in range(30)] + [(3, 100)]
+    chain = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(tri + chain, "src long, dst long")
+    core = kcore_peel(edges, k=2, rounds=2)
     nodes = {r["src"] for r in core.select("src").distinct().collect()}
-    assert nodes == {1, 2, 3, 4}
+    assert nodes == {1, 2, 3}
 
 
 def test_kcore_fixture_self_consistent(spark):

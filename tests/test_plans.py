@@ -427,6 +427,10 @@ def test_set_similarity_join_never_quadratic(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the rarity order must never materialize through a global rank: a
+    # no-partition window is a single-task sort over |vocab| (fails on a
+    # web corpus's open vocabulary); ordering lives in the per-doc window
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
 
 
 def test_ivm_upsert_merges_not_recomputes(spark):
