@@ -1390,3 +1390,147 @@ def agg_weighted_median(spark, sf_dir):
             F.when(2 * F.col("cw") >= F.col("tw"), F.col("l_extendedprice"))
         ).alias("weighted_median"),
     )
+
+
+def tdigest_compress(means, weights, delta=100.0):
+    """Merge sorted-by-mean centroids into a k1-scale-bounded t-digest.
+
+    Dunning's merging digest: walking the centroids in mean order, two
+    adjacent clusters merge while the k1 scale function
+    k(q) = (delta / 2pi) * asin(2q - 1) advances by <= 1 across the
+    merged span — clusters stay O(1/delta) wide in q-space near the
+    median and shrink toward the tails, which is what bounds the rank
+    error by ~1/delta at q=0.5 and far tighter at the extremes.  Pure
+    numpy kernel shared by the partial (per-partition) and final
+    (per-group merge) phases; the result is again a valid digest, which
+    is the MERGEABILITY contract."""
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = np.asarray(means, dtype="float64")[order], np.asarray(
+        weights, dtype="float64"
+    )[order]
+    n = float(weights.sum())
+
+    def kfn(q):
+        return (delta / (2.0 * np.pi)) * np.arcsin(
+            np.clip(2.0 * q - 1.0, -1.0, 1.0)
+        )
+
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    cum = 0.0  # total weight strictly before the current cluster
+    for m, w in zip(means[1:], weights[1:]):
+        if kfn((cum + cur_w + w) / n) - kfn(cum / n) <= 1.0:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def tdigest_quantile(means, weights, q):
+    """Estimate the q-quantile from a digest (midpoint-rank interpolation)."""
+    import numpy as np
+
+    means = np.asarray(means, dtype="float64")
+    weights = np.asarray(weights, dtype="float64")
+    n = weights.sum()
+    target = q * n
+    # centroid i spans ranks [cum_i, cum_i + w_i); its mean sits at the
+    # midpoint rank cum_i + w_i/2
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    j = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[j]) / (cum[j + 1] - cum[j])
+    return float(means[j] + frac * (means[j + 1] - means[j]))
+
+
+_TDIGEST_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register("agg_tdigest")  # rows-only: sketch estimates; rank-error bound
+# gates in tests/test_ml_quality.py (vs exact quantiles)
+def agg_tdigest(spark, sf_dir):
+    """Mergeable t-digest quantile state: per-partition partial digests
+    (mapInPandas, each a <=O(delta)-centroid summary) merge per group
+    into one digest that answers any quantile — the accuracy-adaptive
+    complement to agg_quantile_binned's fixed bins and the distributed-
+    sketch dual of agg_approx_quantile's built-in (Greenwald-Khanna):
+    t-digest partials are CLOSED UNDER MERGE with rank error ~1/delta
+    at the median and asymptotically tighter at the tails, which is why
+    it is the production percentile state (latency p99s) in most
+    telemetry stores.
+
+    100 TB: the only exchange ships |partitions|x|groups| digests of
+    <=~delta centroids each — KBs per partition regardless of row count;
+    the merge input is partial-count-sized, never data-sized, exactly
+    like a partial/final hash aggregate.  The final per-group merge is
+    applyInPandas over centroid lists (bounded), not raw rows."""
+    import pandas as pd
+
+    DELTA = 100.0
+
+    def partial(batches):
+        import numpy as np
+
+        acc = {}
+        for pdf in batches:
+            for grp, vals in pdf.groupby("grp")["v"]:
+                m, w = tdigest_compress(
+                    vals.to_numpy(dtype="float64"),
+                    np.ones(len(vals)),
+                    DELTA,
+                )
+                if grp in acc:
+                    pm, pw = acc[grp]
+                    acc[grp] = tdigest_compress(pm + m, pw + w, DELTA)
+                else:
+                    acc[grp] = (m, w)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "grp": list(acc),
+                    "means": [v[0] for v in acc.values()],
+                    "weights": [v[1] for v in acc.values()],
+                }
+            )
+
+    def merge(pdf):
+        means = [m for ms in pdf["means"] for m in ms]
+        weights = [w for ws in pdf["weights"] for w in ws]
+        m, w = tdigest_compress(means, weights, DELTA)
+        n = int(round(sum(weights)))
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"].iloc[0],
+                "q": list(_TDIGEST_QS),
+                "est": [tdigest_quantile(m, w, q) for q in _TDIGEST_QS],
+                "n": n,
+                "n_centroids": len(m),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    partials = li.mapInPandas(
+        partial, schema="grp string, means array<double>, weights array<double>"
+    )
+    return (
+        partials.groupBy("grp")
+        .applyInPandas(
+            merge,
+            schema="grp string, q double, est double, n long, n_centroids long",
+        )
+        .orderBy("grp", "q")
+    )

@@ -935,3 +935,119 @@ def pipeline_compaction_planner(spark, sf_dir):
         F.min("file_id").cast("long").alias("file_lo"),
         F.max("file_id").cast("long").alias("file_hi"),
     )
+
+
+@register(
+    "layout_sorted_runs",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey % 4 AS run,
+             datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                      o_orderdate) // 90 AS band,
+             o_orderdate AS d
+      FROM orders
+    ), m AS (
+      SELECT run, band, min(d) AS lo, max(d) AS hi FROM f GROUP BY 1, 2
+    )
+    SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS files_total,
+           CAST((SELECT count(*) FROM m
+                 WHERE lo <  TIMESTAMP '1995-05-01 00:00:00'
+                   AND hi >= TIMESTAMP '1995-04-01 00:00:00') AS BIGINT)
+             AS files_read,
+           CAST((SELECT count(*) FROM f
+                 WHERE d >= TIMESTAMP '1995-04-01 00:00:00'
+                   AND d <  TIMESTAMP '1995-05-01 00:00:00') AS BIGINT)
+             AS n_rows
+    """,
+)
+def layout_sorted_runs(spark, sf_dir):
+    """Write-path sorted-run clustering + MANIFEST-driven min/max data
+    skipping — the Iceberg/Delta file-pruning design, measured: orders
+    arrive as 4 ingest batches (runs); each run is written date-sorted
+    and split at fixed 90-day bands, so every data file covers a tight,
+    known date range; a per-file (min,max,rows) manifest is then the
+    skipping index.  A date-range query consults ONLY the manifest,
+    reads only intersecting files, and the op reports (files the layout
+    holds, files the pruned read actually opened via the runtime
+    numFiles metric, rows returned).  The demonstration that
+    scan_file_prune_proof cannot make: the predicate is on a plain DATA
+    column — Catalyst partition pruning never engages (the hive keys are
+    run/band, not the date) — yet the manifest converts it into file
+    skipping anyway.  If the manifest selection over- or under-prunes,
+    or the one-file-per-band write invariant breaks, the measured
+    numFiles / residual row count diverge from the oracle and the driver
+    hash-check goes red.
+
+    100 TB: this IS the lakehouse scan path — the manifest is
+    |files|-sized metadata (collected driver-side exactly like a table
+    format's planning step), the write clustering is one map-side
+    repartition + in-partition sort, and a range query opens
+    |intersecting bands|/|bands| of the corpus regardless of table
+    size.  The dual of layout_zorder: zorder picks the clustering KEY,
+    this op builds the clustered layout and proves the skip."""
+    from pathlib import Path
+
+    root = Path(ART) / f"sorted_runs_{sf_key(sf_dir)}"
+    day0 = F.lit("1995-01-01").cast("date")
+    if not (root / "_DONE").exists():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderkey") % 4).cast("long").alias("run"),
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), day0)
+                .cast("long")
+                / F.lit(90)
+            )
+            .cast("long")
+            .alias("band"),
+        )
+        # one task per (run, band) -> exactly one date-sorted file per
+        # hive dir; the in-file sort tightens parquet row-group stats too
+        (
+            o.repartition(F.col("run"), F.col("band"))
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .partitionBy("run", "band")
+            .parquet(str(root / "data"))
+        )
+        (root / "_DONE").touch()
+
+    full = spark.read.parquet(str(root / "data"))
+    manifest = (
+        full.groupBy("run", "band")
+        .agg(
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+        .collect()  # |files|-bounded: this is the table-format planning step
+    )
+    q_lo, q_hi = "1995-04-01", "1995-05-01"
+    import datetime
+
+    lo_ts = datetime.datetime(1995, 4, 1)
+    hi_ts = datetime.datetime(1995, 5, 1)
+    picked = [
+        str(root / "data" / f"run={r['run']}" / f"band={r['band']}")
+        for r in manifest
+        if r["lo"] < hi_ts and r["hi"] >= lo_ts
+    ]
+
+    def scan_num_files(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            if "FileSourceScan" in node.getClass().getSimpleName():
+                return node.metrics().apply("numFiles").value()
+        raise RuntimeError("no FileSourceScanExec leaf found")
+
+    pruned = spark.read.parquet(*sorted(picked)).filter(
+        (F.col("o_orderdate") >= q_lo) & (F.col("o_orderdate") < q_hi)
+    )
+    files_read = scan_num_files(pruned.select("o_orderdate"))
+    n_rows = pruned.count()
+    return spark.createDataFrame(
+        [(len(manifest), int(files_read), int(n_rows))],
+        "files_total long, files_read long, n_rows long",
+    )

@@ -528,3 +528,141 @@ def stream_stream_join_outer(spark, sf_dir):
         output_mode="append",
         files_per_trigger=4,
     )
+
+
+@register(
+    "stream_session_ttl",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, sid,
+             min(us) AS start_us, max(us) AS end_us,
+             count(*) AS n
+      FROM sess GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM agg
+    ), wm AS (
+      SELECT max(epoch_us(ts)) - 600000000 AS w FROM events
+    )
+    SELECT user_id,
+           CAST(start_us // 1000000 AS BIGINT) AS start_s,
+           CAST(end_us // 1000000 AS BIGINT) AS end_s,
+           CAST(n AS BIGINT) AS n_events
+    FROM ranked CROSS JOIN wm
+    WHERE sid < last_sid OR end_us + 1800000000 < w
+    """,
+)
+def stream_session_ttl(spark, sf_dir):
+    """Stateful session TTL via a REAL event-time timer
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout — the
+    arbitrary-state timer surface; the newer transformWithStateInPandas
+    timer API is schema-equivalent but its Python driver worker needs
+    protobuf, absent in this environment): per-user state holds the
+    open session (start, last, count); a >30-minute in-stream gap
+    closes the previous session on arrival, and the per-user FINAL
+    session is closed only when its timeout timestamp (last event +
+    30 min) expires against the advancing watermark — the TTL path that
+    availableNow's finalizing watermark-commit pass drives for every
+    user whose session ended >30 min before the corpus watermark
+    (max ts − 10 min delay).  Open
+    sessions younger than that remain state and are NOT emitted — the
+    oracle twin encodes exactly that partial-emission semantics, so the
+    driver hash-check proves gap-close AND timer-close produce the
+    batch sessionization (win_sessionize's gaps-and-islands) restricted
+    to expired sessions.
+
+    Determinism note (why gap- vs timer-close cannot race): the replay
+    is globally ts-ordered and the watermark lags processed data by the
+    10-min delay, so a user's next in-gap event is always processed
+    before any timer at last+30min can fire; mechanism choice never
+    changes the emitted rows.
+
+    100 TB: state is one fixed-width row + one timer per ACTIVE user
+    key, partitioned by user; timers are the state store's own ordered
+    index (no scan-all-keys sweep per batch); emission is append-only.
+    The same shape runs unbounded — TTL expiry bounds state to the
+    active-user working set, which is the whole point of timers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 1_800_000_000  # 30 min, matches win_sessionize
+    GAP_MS = GAP_US // 1_000
+
+    def _emit(user, start, last, cnt):
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "start_s": [start // 1_000_000],
+                "end_s": [last // 1_000_000],
+                "n_events": [cnt],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            # the TTL path: the watermark passed last+gap with no new
+            # events for this user -> close the open session, drop state
+            start, last, cnt = state.get
+            state.remove()
+            yield _emit(user, start, last, cnt)
+            return
+        us_all = []
+        for pdf in pdfs:
+            us_all.extend(pdf["us"].tolist())
+        us_all.sort()
+        start = last = cnt = None
+        if state.exists:
+            start, last, cnt = state.get
+        for us in us_all:
+            if start is None:
+                start, last, cnt = us, us, 1
+            elif us - last > GAP_US:
+                yield _emit(user, start, last, cnt)
+                start, last, cnt = us, us, 1
+            else:
+                last, cnt = max(last, us), cnt + 1
+        state.update((start, last, cnt))
+        # the event-time TTL: expires when the watermark passes it; a
+        # later in-gap event simply overwrites it with a fresher deadline
+        state.setTimeoutTimestamp(last // 1_000 + GAP_MS)
+
+    def build(stream):
+        return (
+            stream.select(
+                "user_id", "ts", F.unix_micros("ts").alias("us")
+            )
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, start_s long, end_s long, n_events long"
+                ),
+                stateStructType="start long, last long, cnt long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    return run_stream(
+        spark, sf_dir, "rs_stream_session_ttl", build, output_mode="append"
+    )

@@ -882,3 +882,64 @@ def test_kcore_fixture_self_consistent(spark):
     rows = QUERIES["graph_kcore"](spark, SF_DIR).collect()
     assert rows, "2-core unexpectedly empty on the fixture"
     assert all(r["core_degree"] >= 2 for r in rows)
+
+
+def test_tdigest_kernel_rank_error_bounded():
+    """Merging 8 disjoint partial digests must answer quantiles within
+    the t-digest rank-error bound (~1/delta at the median) of the exact
+    empirical quantile — and merged-partials must agree with a digest
+    built in one shot (the mergeability contract)."""
+    import numpy as np
+
+    from recommend_spark.queries.aggregates import (
+        tdigest_compress,
+        tdigest_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    data = np.concatenate(
+        [rng.lognormal(3.0, 1.2, 20_000), rng.uniform(0, 5, 5_000)]
+    )
+    parts = np.array_split(data, 8)
+    ms, ws = [], []
+    for p in parts:
+        m, w = tdigest_compress(p, np.ones(len(p)), delta=100.0)
+        ms.extend(m)
+        ws.extend(w)
+    m, w = tdigest_compress(ms, ws, delta=100.0)
+    assert len(m) <= 200, "digest did not stay bounded"
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = tdigest_quantile(m, w, q)
+        # rank error: where does est fall in the exact CDF?
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) < 0.02, f"q={q}: est rank {rank}"
+
+
+def test_agg_tdigest_operator_matches_exact_quantiles(spark):
+    """The distributed operator's estimates must sit within 2% rank
+    error of DuckDB's exact quantiles per group, and n must be exact."""
+    import duckdb
+
+    from recommend_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["agg_tdigest"](spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    for r in rows:
+        rank, n = con.execute(
+            """
+            SELECT count(*) FILTER (l_extendedprice <= ?)
+                     / CAST(count(*) AS DOUBLE),
+                   count(*)
+            FROM lineitem WHERE l_returnflag = ?
+            """,
+            [r["est"], r["grp"]],
+        ).fetchone()
+        assert n == r["n"], (r["grp"], n, r["n"])
+        assert abs(rank - r["q"]) < 0.02, (r["grp"], r["q"], rank)

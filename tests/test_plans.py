@@ -540,3 +540,14 @@ def test_spatial_grid_join_never_quadratic(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan[:3000]
+
+
+def test_sorted_runs_manifest_skips_files(spark):
+    """layout_sorted_runs: the April-1995 range query must open exactly
+    one band per run (4 files) out of the full layout — manifest
+    skipping on a data column, where engine partition pruning cannot
+    engage."""
+    row = QUERIES["layout_sorted_runs"](spark, SF_DIR).collect()[0]
+    assert row["files_read"] < row["files_total"], row
+    assert row["files_read"] == 4, row
+    assert row["n_rows"] > 0, row
