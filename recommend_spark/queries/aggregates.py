@@ -1434,6 +1434,32 @@ def tdigest_compress(means, weights, delta=100.0):
     return out_m, out_w
 
 
+def tdigest_from_values(values, delta=100.0):
+    """Vectorized digest build from raw (weight-1) values.
+
+    Sort once, place value i at rank-midpoint q=(i+0.5)/n, bucket by
+    floor(k1(q)) and reduce sums/counts per bucket with
+    np.add.reduceat — zero Python-level loops over data (the greedy
+    per-value walk in tdigest_compress measured as a flat ~6 s floor at
+    sf0.1; this path is pure numpy).  Integer-k1 bucketing satisfies the
+    same cluster-size invariant (k advances < 1 inside a bucket), so the
+    result is a valid digest for tdigest_compress to merge."""
+    import numpy as np
+
+    v = np.sort(np.asarray(values, dtype="float64"), kind="stable")
+    n = len(v)
+    if n == 0:
+        return [], []
+    q = (np.arange(n) + 0.5) / n
+    k = np.floor(
+        (delta / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+    )
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    sums = np.add.reduceat(v, starts)
+    counts = np.diff(np.r_[starts, n]).astype("float64")
+    return (sums / counts).tolist(), counts.tolist()
+
+
 def tdigest_quantile(means, weights, q):
     """Estimate the q-quantile from a digest (midpoint-rank interpolation)."""
     import numpy as np
@@ -1480,15 +1506,13 @@ def agg_tdigest(spark, sf_dir):
     DELTA = 100.0
 
     def partial(batches):
-        import numpy as np
-
         acc = {}
         for pdf in batches:
             for grp, vals in pdf.groupby("grp")["v"]:
-                m, w = tdigest_compress(
-                    vals.to_numpy(dtype="float64"),
-                    np.ones(len(vals)),
-                    DELTA,
+                # vectorized bulk build per batch-group; merging the
+                # (<=~delta-centroid) partials is the cheap greedy path
+                m, w = tdigest_from_values(
+                    vals.to_numpy(dtype="float64"), DELTA
                 )
                 if grp in acc:
                     pm, pw = acc[grp]

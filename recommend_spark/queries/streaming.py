@@ -606,13 +606,16 @@ def stream_session_ttl(spark, sf_dir):
     GAP_US = 1_800_000_000  # 30 min, matches win_sessionize
     GAP_MS = GAP_US // 1_000
 
-    def _emit(user, start, last, cnt):
+    def _frame(user, sessions):
+        # ONE DataFrame per (user, batch) — per-session single-row frames
+        # measured 6.6x at the sf1 campaign leg (a million 1-row pandas
+        # constructions); batching the emissions is the fix
         return pd.DataFrame(
             {
-                "user_id": [user],
-                "start_s": [start // 1_000_000],
-                "end_s": [last // 1_000_000],
-                "n_events": [cnt],
+                "user_id": [user] * len(sessions),
+                "start_s": [s[0] // 1_000_000 for s in sessions],
+                "end_s": [s[1] // 1_000_000 for s in sessions],
+                "n_events": [s[2] for s in sessions],
             }
         )
 
@@ -623,7 +626,7 @@ def stream_session_ttl(spark, sf_dir):
             # events for this user -> close the open session, drop state
             start, last, cnt = state.get
             state.remove()
-            yield _emit(user, start, last, cnt)
+            yield _frame(user, [(start, last, cnt)])
             return
         us_all = []
         for pdf in pdfs:
@@ -632,14 +635,17 @@ def stream_session_ttl(spark, sf_dir):
         start = last = cnt = None
         if state.exists:
             start, last, cnt = state.get
+        closed = []
         for us in us_all:
             if start is None:
                 start, last, cnt = us, us, 1
             elif us - last > GAP_US:
-                yield _emit(user, start, last, cnt)
+                closed.append((start, last, cnt))
                 start, last, cnt = us, us, 1
             else:
                 last, cnt = max(last, us), cnt + 1
+        if closed:
+            yield _frame(user, closed)
         state.update((start, last, cnt))
         # the event-time TTL: expires when the watermark passes it; a
         # later in-gap event simply overwrites it with a fresher deadline

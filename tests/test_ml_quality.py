@@ -893,6 +893,7 @@ def test_tdigest_kernel_rank_error_bounded():
 
     from recommend_spark.queries.aggregates import (
         tdigest_compress,
+        tdigest_from_values,
         tdigest_quantile,
     )
 
@@ -902,8 +903,14 @@ def test_tdigest_kernel_rank_error_bounded():
     )
     parts = np.array_split(data, 8)
     ms, ws = [], []
-    for p in parts:
-        m, w = tdigest_compress(p, np.ones(len(p)), delta=100.0)
+    for i, p in enumerate(parts):
+        # both build paths must produce mergeable digests: the vectorized
+        # bulk builder (the operator's hot path) and the greedy walk
+        if i % 2 == 0:
+            m, w = tdigest_from_values(p, delta=100.0)
+        else:
+            m, w = tdigest_compress(p, np.ones(len(p)), delta=100.0)
+        assert abs(sum(w) - len(p)) < 1e-9
         ms.extend(m)
         ws.extend(w)
     m, w = tdigest_compress(ms, ws, delta=100.0)
