@@ -53,6 +53,8 @@ HEADLINE = {
     "agg_weighted_median": "weights collapse to distinct values via partial agg BEFORE the ordered window",
     "pipeline_bpe_pairs": "vocab rollup, then pair expansion over |vocab| (corpus-size-free); TakeOrdered top-20",
     "scan_time_travel": "two snapshot reads planning only log-live files; no joins, per-priority rollups union",
+    "join_set_similarity": "prefix-filter candidates via token equi-join; rarity order lives in the per-doc window (no global-rank SinglePartition sort)",
+    "agg_tdigest": "partial digests map-side (mapInPandas); the exchange carries |partitions|x|groups| centroid lists, never rows",
 }
 
 
