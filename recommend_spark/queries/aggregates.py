@@ -432,6 +432,7 @@ def agg_unpivot(spark, sf_dir):
              / sqrt(((sx2 - sx * sx / n) / (n - 1))
                     * ((sy2 - sy * sy / n) / (n - 1))) AS corr_qp
     FROM s
+    WHERE n >= 2 AND (sx2 - sx * sx / n) > 0 AND (sy2 - sy * sy / n) > 0
     """,
 )
 def agg_corr(spark, sf_dir):
@@ -472,7 +473,17 @@ def agg_corr(spark, sf_dir):
     cov = (sxy - sx * sy / n) / (n - 1)
     varx = (sx2 - sx * sx / n) / (n - 1)
     vary = (sy2 - sy * sy / n) / (n - 1)
-    return s.select(
+    # degenerate-group guard (the ts_linear_forecast lesson generalized):
+    # n=1 zeroes the Bessel denominator and a constant column zeroes the
+    # sqrt argument — Spark x/0 yields NULL where DuckDB yields inf (and
+    # DuckDB sqrt(<0) errors outright), so drop such groups identically
+    # in both engines.  The comparisons are engine-consistent: the sums
+    # are exact and the float expression order is shared.
+    return s.filter(
+        (n >= 2)
+        & (sx2 - sx * sx / n > 0)
+        & (sy2 - sy * sy / n > 0)
+    ).select(
         "l_returnflag",
         "n",
         cov.alias("cov_qp"),
@@ -557,6 +568,7 @@ def events_funnel(spark, sf_dir):
            (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) AS var_samp,
            sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS stddev_samp
     FROM m
+    WHERE n >= 2 AND (s2 - n * (s1 / n) * (s1 / n)) >= 0
     """,
 )
 def agg_stddev_exact(spark, sf_dir):
@@ -579,10 +591,16 @@ def agg_stddev_exact(spark, sf_dir):
             / 10000.0
         ).alias("s2"),
     )
-    var = (
-        F.col("s2") - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
-    ) / (F.col("n") - 1)
-    return m.select(
+    num = (
+        F.col("s2")
+        - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    )
+    var = num / (F.col("n") - 1)
+    # degenerate-group guard: n=1 zeroes the Bessel denominator; a
+    # constant column can leave the numerator at a tiny NEGATIVE epsilon
+    # (float cancellation), where DuckDB's sqrt errors while Spark
+    # returns NaN.  Both filters evaluate identically in both engines.
+    return m.filter((F.col("n") >= 2) & (num >= 0)).select(
         "l_returnflag", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
     )
 
@@ -753,6 +771,7 @@ def agg_percentile_cont(spark, sf_dir):
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
              / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3 AS kurt_excess
     FROM m
+    WHERE s2 / n - (s1 / n) * (s1 / n) > 0
     """,
 )
 def agg_skew_kurt_exact(spark, sf_dir):
@@ -774,7 +793,11 @@ def agg_skew_kurt_exact(spark, sf_dir):
         F.sum(F.expr("xc * xc * xc")).cast("double").alias("s3"),
         F.sum(F.expr("xc * xc * xc * xc")).cast("double").alias("s4"),
     )
-    return m.select(
+    # degenerate-group guard: a constant group zeroes the population
+    # variance (or leaves it at a float-cancellation epsilon whose
+    # negative side makes pow(x, 1.5) NaN) — filter identically in both
+    # engines before dividing
+    return m.filter(F.expr("s2 / n - (s1 / n) * (s1 / n) > 0")).select(
         "l_returnflag",
         "n",
         F.expr(
@@ -958,6 +981,7 @@ def agg_count_min(spark, sf_dir):
            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
              / ((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS r2
     FROM s
+    WHERE (sx2 - sx * sx / n) > 0 AND (sy2 - sy * sy / n) > 0
     """,
 )
 def agg_regression(spark, sf_dir):
@@ -992,7 +1016,13 @@ def agg_regression(spark, sf_dir):
             / 10000.0
         ).alias("sy2"),
     )
-    return s.select(
+    # degenerate-group guard (shared with ts_linear_forecast / agg_corr):
+    # constant x zeroes the slope denominator, constant y zeroes r2's —
+    # Spark 0-division yields NULL where DuckDB yields inf/NaN, so drop
+    # such groups with the identical expression in both engines
+    return s.filter(
+        F.expr("(sx2 - sx * sx / n) > 0 AND (sy2 - sy * sy / n) > 0")
+    ).select(
         "l_returnflag",
         "n",
         F.expr("(sxy - sx * sy / n) / (sx2 - sx * sx / n)").alias("slope"),
@@ -1050,6 +1080,7 @@ def agg_hll_sketch(spark, sf_dir):
              / (100.0 * CAST(SUM(qc) AS DOUBLE)) AS wavg_price,
            CAST(SUM(pc) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price
     FROM c GROUP BY l_returnflag
+    HAVING SUM(qc) <> 0
     """,
 )
 def agg_weighted_avg(spark, sf_dir):
@@ -1066,12 +1097,25 @@ def agg_weighted_avg(spark, sf_dir):
     qc = F.round(F.col("l_quantity") * 100).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     c = li.select("l_returnflag", qc.alias("qc"), pc.alias("pc"))
-    return c.groupBy("l_returnflag").agg(
-        (
-            F.sum((F.col("qc") * F.col("pc")).cast("decimal(38,0)")).cast("double")
-            / (100.0 * F.sum("qc").cast("double"))
-        ).alias("wavg_price"),
-        (F.sum("pc").cast("double") / (100.0 * F.count("*"))).alias("avg_price"),
+    # degenerate-group guard: an all-zero-weight group zeroes SUM(w) —
+    # Spark x/0 is NULL, DuckDB is inf/NaN — so such groups drop
+    # identically in both engines (the sum is exact integer cents, the
+    # comparison engine-consistent)
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.sum("qc").alias("sqc"),
+            (
+                F.sum((F.col("qc") * F.col("pc")).cast("decimal(38,0)"))
+                .cast("double")
+                / (100.0 * F.sum("qc").cast("double"))
+            ).alias("wavg_price"),
+            (F.sum("pc").cast("double") / (100.0 * F.count("*"))).alias(
+                "avg_price"
+            ),
+        )
+        .filter(F.col("sqc") != 0)
+        .drop("sqc")
     )
 
 
@@ -1274,6 +1318,7 @@ def agg_boolean(spark, sf_dir):
     SELECT pri AS o_orderpriority, n,
            (2.0 * six - (n + 1) * sx) / (n * sx) AS gini
     FROM s
+    WHERE sx <> 0
     """,
 )
 def agg_gini(spark, sf_dir):
@@ -1308,7 +1353,9 @@ def agg_gini(spark, sf_dir):
         F.sum("x").cast("double").alias("sx"),
         F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
     )
-    return s.select(
+    # degenerate-group guard: an all-zero-value group zeroes n*sx (Spark
+    # NULL vs DuckDB NaN on 0/0) — drop identically in both engines
+    return s.filter(F.col("sx") != 0).select(
         F.col("pri").alias("o_orderpriority"),
         "n",
         (

@@ -1431,6 +1431,8 @@ def dq_freshness(spark, sf_dir):
                     + ((q_b - s_b * s_b / np_b) / (np_b - 1)) / np_b)
              AS z_welch
     FROM conv CROSS JOIN m
+    WHERE n_a > 0 AND n_b > 0 AND np_a > 1 AND np_b > 1
+      AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
     """,
 )
 def events_ab_test(spark, sf_dir):
@@ -1510,7 +1512,19 @@ def events_ab_test(spark, sf_dir):
     vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("np_b")) / (
         F.col("np_b") - 1
     )
-    return conv.crossJoin(F.broadcast(m)).select(
+    # degenerate-corpus guard: an empty arm (n=0 or np<=1) or an all-/
+    # never-converting population zeroes a denominator or the pooled
+    # variance — Spark 0-division yields NULL where DuckDB yields
+    # inf/NaN, so a pathological corpus must drop the report row in both
+    # engines rather than hash-diverge
+    return conv.crossJoin(F.broadcast(m)).filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("np_a") > 1)
+        & (F.col("np_b") > 1)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    ).select(
         "n_a",
         "n_b",
         "conv_a",
@@ -2021,6 +2035,7 @@ def ts_changepoint(spark, sf_dir):
            (sxy - sx * sy / n)
              / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS autocorr
     FROM s
+    WHERE n >= 2 AND (sx2 - sx * sx / n) > 0 AND (sy2 - sy * sy / n) > 0
     """,
 )
 def ts_autocorr(spark, sf_dir):
@@ -2090,7 +2105,15 @@ def ts_autocorr(spark, sf_dir):
             / 10000.0
         ).alias("sy2"),
     )
-    return s.select(
+    # degenerate-series guard (the agg_corr pattern): a constant daily
+    # series zeroes a variance term — Spark 0-division NULL vs DuckDB
+    # inf/NaN (and DuckDB sqrt(<0) errors on the cancellation-epsilon
+    # side) — so drop such lags identically in both engines
+    return s.filter(
+        (F.col("n") >= 2)
+        & (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n") > 0)
+        & (F.col("sy2") - F.col("sy") * F.col("sy") / F.col("n") > 0)
+    ).select(
         "lag",
         "n",
         (
