@@ -1380,3 +1380,75 @@ def dedup_normalized(spark, sf_dir):
     return norm.groupBy(F.md5("norm").alias("norm_hash")).agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
     )
+
+
+@register(
+    "dedup_span_fraction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM t, UNNEST(generate_series(1, len(w) - 4)) AS g(i)
+      WHERE len(w) >= 5
+    ), df AS (
+      SELECT s, CASE WHEN min(doc_id) <> max(doc_id) THEN 1 ELSE 0 END AS dup
+      FROM sh GROUP BY s
+    )
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(SUM(dup) AS BIGINT) AS n_dup,
+           CAST(SUM(dup) AS DOUBLE) / count(*) AS dup_frac
+    FROM sh JOIN df USING (s)
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_fraction(spark, sf_dir):
+    """Duplicated-span fraction per document: the share of a document's
+    5-word shingle POSITIONS whose shingle also occurs in at least one
+    OTHER document — the substring-level duplication signal behind
+    "Deduplicating Training Data Makes Language Models Better"-style
+    corpus cleaning, complementing the whole-document near-dup family:
+    a doc can be unique as a whole yet 60% boilerplate, and this is the
+    metric that sees it (filter or down-weight above a threshold).
+
+    Scale shape: two key exchanges over the shingle stream and nothing
+    else — (1) groupBy(shingle) reduced to a BOOLEAN cross-doc marker
+    via min(doc)!=max(doc) (deliberately NOT count(DISTINCT doc): the
+    dup test needs only "seen in two docs", so the reducer state is two
+    longs, no distinct expansion); (2) the shingle-keyed join back onto
+    the position stream, then a doc-keyed count.  No vocabulary
+    broadcast, no quadratic pair set; both aggregates partial map-side.
+    The fraction is one long/long double division — hash-exact."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1
+        # happily counts DOWNWARD and would fabricate shingles
+        .filter(F.size("w") >= 5)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> concat_ws(' ', slice(w, i, 5)))"
+            )
+        ).alias("s"),
+    )
+    dup = sh.groupBy("s").agg(
+        F.when(F.min("doc_id") != F.max("doc_id"), 1)
+        .otherwise(0)
+        .alias("dup")
+    )
+    return (
+        sh.join(dup, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("dup").cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
