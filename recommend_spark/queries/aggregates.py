@@ -1453,6 +1453,8 @@ def tdigest_compress(means, weights, delta=100.0):
     is the MERGEABILITY contract."""
     import numpy as np
 
+    if len(means) == 0:  # empty digest in, empty digest out (mirrors
+        return [], []    # tdigest_from_values' n == 0 handling)
     order = np.argsort(means, kind="stable")
     means, weights = np.asarray(means, dtype="float64")[order], np.asarray(
         weights, dtype="float64"

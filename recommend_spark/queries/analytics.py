@@ -1433,6 +1433,8 @@ def dq_freshness(spark, sf_dir):
     FROM conv CROSS JOIN m
     WHERE n_a > 0 AND n_b > 0 AND np_a > 1 AND np_b > 1
       AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+      AND ((q_a - s_a * s_a / np_a) / (np_a - 1)) / np_a
+        + ((q_b - s_b * s_b / np_b) / (np_b - 1)) / np_b > 0
     """,
 )
 def events_ab_test(spark, sf_dir):
@@ -1516,7 +1518,10 @@ def events_ab_test(spark, sf_dir):
     # never-converting population zeroes a denominator or the pooled
     # variance — Spark 0-division yields NULL where DuckDB yields
     # inf/NaN, so a pathological corpus must drop the report row in both
-    # engines rather than hash-diverge
+    # engines rather than hash-diverge.  The last predicate guards the
+    # Welch denominator itself: constant purchase values in both arms
+    # make q - s^2/np collapse to 0 (or a negative cancellation epsilon),
+    # where DuckDB errors on sqrt(<0) while Spark yields NULL/NaN.
     return conv.crossJoin(F.broadcast(m)).filter(
         (F.col("n_a") > 0)
         & (F.col("n_b") > 0)
@@ -1524,6 +1529,7 @@ def events_ab_test(spark, sf_dir):
         & (F.col("np_b") > 1)
         & (F.col("conv_a") + F.col("conv_b") > 0)
         & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+        & (va / F.col("np_a") + vb / F.col("np_b") > 0)
     ).select(
         "n_a",
         "n_b",

@@ -623,10 +623,16 @@ def dedup_simhash(spark, sf_dir):
     token → signed bit votes → 24-bit signature → Hamming<=3 pairs.
 
     Fully deterministic in both engines, so unlike typical simhash this one
-    carries a value-hash oracle.  At scale the pair step would use the
-    standard bit-block banding (split signature into 4 blocks, equi-join on
-    block value) — same lossless-candidate trick as the Jaccard prefix
-    filter; at fixture scale the direct self-join is fine."""
+    carries a value-hash oracle.  The pair step is the standard bit-block
+    banding: each signature explodes into 4 six-bit (block, value) keys and
+    candidates come from an EQUI-join on them — lossless by pigeonhole
+    (3 differing bits can dirty at most 3 of the 4 blocks, so any
+    Hamming<=3 pair agrees exactly on >=1 block), then candidate pairs are
+    deduped (a pair can collide on several blocks) and rescored with the
+    exact popcount.  Same candidate trick as the Jaccard prefix filter:
+    the quadratic theta self-join becomes a hash-partitioned equi-join
+    whose cost follows bucket occupancy, not corpus², and whose skew
+    (a hot block value) is ordinary join skew that AQE splits."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
     # substring with a dynamic (lambda-bound) index needs the SQL expr form
@@ -637,10 +643,17 @@ def dedup_simhash(spark, sf_dir):
             "(a, i) -> pmod(a * 131 + CAST(ascii(substring(w, i, 1)) AS BIGINT), 2147483647L))"
         ),
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     votes = (
         tok.join(F.broadcast(th), "w")
-        .crossJoin(F.broadcast(bits))
+        # bit fan-out as a Generate (explode of a constant range), not a
+        # 24-row broadcast cross join — same rows, one fewer join node
+        .select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+            ).alias("bit"),
+        )
         .groupBy("doc_id", "bit")
         .agg(
             F.sum(
@@ -648,16 +661,56 @@ def dedup_simhash(spark, sf_dir):
             ).alias("s")
         )
     )
-    sh = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-        ).alias("simhash")
+    # materialize the signature table once — both join sides read it, and
+    # without the checkpoint the whole token->vote->signature pipeline
+    # runs twice (once per side).  One long per doc: at 100 TB this is
+    # O(doc_count * 16 B), the cheapest artifact in the pipeline.
+    sh = (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+        .localCheckpoint()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    blk_vals = F.array(
+        *[
+            F.shiftright("simhash", i * 6).bitwiseAND(F.lit(63))
+            for i in range(_SIMHASH_BITS // 6)
+        ]
+    )
+    sigb = sh.select(
+        "doc_id", "simhash", F.posexplode(blk_vals).alias("blk", "bval")
+    )
+    a = sigb.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "blk",
+        "bval",
+    )
+    b = sigb.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "blk",
+        "bval",
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # emit each pair EXACTLY once without a distinct shuffle: a pair
+    # colliding on several blocks is kept only where blk equals its
+    # FIRST matching block (xor block == 0) — pure codegen dedup, which
+    # matters here because near-dup corpora match on most blocks (the
+    # distinct variant aggregated ~4x the result set: 2.6 s at sf0.1)
+    xr = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    first_blk = (
+        F.when(xr.bitwiseAND(F.lit(63)) == 0, 0)
+        .when(F.shiftright(xr, 6).bitwiseAND(F.lit(63)) == 0, 1)
+        .when(F.shiftright(xr, 12).bitwiseAND(F.lit(63)) == 0, 2)
+        .otherwise(3)
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["blk", "bval"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("blk") == first_blk))
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
@@ -861,7 +914,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def _cc_min_local(e):
     """Exact min-label connected components of a SMALL residual edge set
-    in ONE task (union-find with min-id roots) — the shrinking-frontier
+    in ONE task (vectorized min-label propagation) — the shrinking-frontier
     endgame shared with kcore_peel: after the first min-contraction
     collapses near-clique components (measured at sf0.1: 5.9M edges ->
     3,618), the remaining rounds each pay full checkpoint+shuffle fixed
@@ -870,28 +923,39 @@ def _cc_min_local(e):
     import pandas as pd
 
     def fix(it):
+        # vectorized Shiloach-Vishkin-style min-label propagation: map
+        # node ids to a contiguous range, then alternate edge relaxation
+        # (np.minimum.at both ways) with pointer jumping (lab = lab[lab],
+        # valid because min-relaxation keeps lab[v] <= v, so chains are
+        # monotone decreasing into their component root).  O(E) work per
+        # round, O(log n) rounds — at the 5M-edge residual ceiling the
+        # working set is ~120 MB of int64 arrays, where the former
+        # per-edge Python union-find loop held a multi-hundred-MB dict
+        # and walked it one tuple at a time.
+        import numpy as np
+
         frames = list(it)
         if not frames:
             return
         df = pd.concat(frames, ignore_index=True)
-        parent = {}
-
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for a, b in zip(df["src"].tolist(), df["dst"].tolist()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra  # root is always the min id -> min label
-        vs = sorted(parent)
-        yield pd.DataFrame({"v": vs, "m": [find(v) for v in vs]})
+        src = df["src"].to_numpy(dtype="int64")
+        dst = df["dst"].to_numpy(dtype="int64")
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s, d = inv[: len(src)], inv[len(src):]
+        lab = np.arange(len(nodes), dtype="int64")
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, s, lab[d])
+            np.minimum.at(new, d, lab[s])
+            while True:  # full path compression between relaxations
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        yield pd.DataFrame({"v": nodes, "m": nodes[lab]})
 
     return e.coalesce(1).mapInPandas(fix, schema="v long, m long")
 

@@ -1490,25 +1490,39 @@ def kcore_peel(edges, k: int, rounds: int, local_threshold: int = 5_000_000):
     import pandas as pd
 
     def _local_fixpoint(iterator):
-        # exact cascade on the residual: one task, plain hash maps
+        # exact cascade on the residual in one task, fully vectorized:
+        # at the 5M-edge threshold the working set is two int64 index
+        # arrays (~80 MB) and each peel round is one bincount + one
+        # boolean mask — O(E) numpy passes, no per-round Python-object
+        # churn (a 5M-tuple set would be ~1 GB rebuilt every round)
+        import numpy as np
+
         frames = [f for f in iterator]
         if not frames:
             return
         df = pd.concat(frames, ignore_index=True)
-        es = set(zip(df["src"], df["dst"]))
-        while True:
-            deg = {}
-            for s, _ in es:
-                deg[s] = deg.get(s, 0) + 1
-            keep = {n for n, c in deg.items() if c >= k}
-            new = {(s, d) for s, d in es if s in keep and d in keep}
-            if len(new) == len(es):
-                break
-            es = new
-        out = sorted(es)
-        yield pd.DataFrame(
-            {"src": [e[0] for e in out], "dst": [e[1] for e in out]}
+        pairs = np.stack(
+            [
+                df["src"].to_numpy(dtype="int64"),
+                df["dst"].to_numpy(dtype="int64"),
+            ],
+            axis=1,
         )
+        # dedupe + (src, dst) sort in one pass; masking below preserves
+        # the order, so the final frame is emitted sorted for free
+        pairs = np.unique(pairs, axis=0)
+        nodes, inv = np.unique(pairs, return_inverse=True)
+        inv = inv.reshape(pairs.shape)
+        s, d = inv[:, 0], inv[:, 1]
+        while True:
+            deg = np.bincount(s, minlength=len(nodes))
+            mask = (deg[s] >= k) & (deg[d] >= k)
+            if mask.all():
+                break
+            s, d = s[mask], d[mask]
+            if len(s) == 0:
+                break
+        yield pd.DataFrame({"src": nodes[s], "dst": nodes[d]})
 
     cur = edges
     prev_n = None

@@ -534,20 +534,20 @@ def stream_stream_join_outer(spark, sf_dir):
     "stream_session_ttl",
     oracle="""
     WITH o AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS prev_us
       FROM events
     ), marked AS (
-      SELECT user_id, us,
+      SELECT user_id, event_id, us,
              CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM o
     ), sess AS (
       SELECT user_id, us,
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sid
       FROM marked

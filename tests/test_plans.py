@@ -551,3 +551,18 @@ def test_sorted_runs_manifest_skips_files(spark):
     assert row["files_read"] < row["files_total"], row
     assert row["files_read"] == 4, row
     assert row["n_rows"] > 0, row
+
+
+def test_simhash_banding_is_equi_join(spark):
+    """dedup_simhash's pair step is the 4x6-bit block banding equi-join
+    (SCALE.md §5): the quadratic theta self-join is gone — candidates
+    come from a hash-partitioned join on (block, value), so the plan may
+    contain no cartesian/nested-loop node of any flavor."""
+    plan = _plan(QUERIES["dedup_simhash"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan[:3000]
