@@ -1482,7 +1482,17 @@ def dedup_span_fraction(spark, sf_dir):
     longs, no distinct expansion); (2) the shingle-keyed join back onto
     the position stream, then a doc-keyed count.  No vocabulary
     broadcast, no quadratic pair set; both aggregates partial map-side.
-    The fraction is one long/long double division — hash-exact."""
+    The fraction is one long/long double division — hash-exact.
+
+    Both exchanges key on the raw 5-gram STRING; with
+    ``spark.graft.surrogateShuffleKeys=true`` (canon.py) the shingle is
+    replaced by a 96-bit (xxhash64, crc32) surrogate right after the explode,
+    so the shuffles move 12 B/key instead of the ~30-60 B n-gram text —
+    value-identical output (the key never reaches it; parity test in
+    tests/test_surrogate_keys.py, bytes/wall delta in
+    tools/scaleup_r10_surrogate.json)."""
+    from ..canon import surrogate_key_pair, surrogate_shuffle_keys
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
@@ -1499,13 +1509,19 @@ def dedup_span_fraction(spark, sf_dir):
             )
         ).alias("s"),
     )
-    dup = sh.groupBy("s").agg(
+    if surrogate_shuffle_keys(spark):
+        k1, k2 = surrogate_key_pair("s")
+        sh = sh.select("doc_id", k1.alias("s1"), k2.alias("s2"))
+        key = ["s1", "s2"]
+    else:
+        key = ["s"]
+    dup = sh.groupBy(*key).agg(
         F.when(F.min("doc_id") != F.max("doc_id"), 1)
         .otherwise(0)
         .alias("dup")
     )
     return (
-        sh.join(dup, "s")
+        sh.join(dup, key)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

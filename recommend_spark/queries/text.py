@@ -1209,8 +1209,15 @@ def text_bigram_surprisal(spark, sf_dir):
     surprisal rounds once through DECIMAL(18,6) (ln differs by 1 ulp
     across libm builds), per-document totals are exact decimal sums.  One
     doc_id-keyed window shuffle forms bigrams, the frequency table is
-    vocabulary²-bounded-by-corpus and broadcasts back onto the stream."""
+    vocabulary²-bounded-by-corpus and broadcasts back onto the stream.
+    The frequency aggregate keys on the raw bigram STRING; with
+    ``spark.graft.surrogateShuffleKeys=true`` (canon.py) the bigram is
+    swapped for the 96-bit (xxhash64, crc32) surrogate right after the window
+    — the freq exchange, the broadcast table, and the join probe all move
+    16 B/key (parity test in tests/test_surrogate_keys.py)."""
     from pyspark.sql import Window as W
+
+    from ..canon import surrogate_key_pair, surrogate_shuffle_keys
 
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
@@ -1224,7 +1231,13 @@ def text_bigram_surprisal(spark, sf_dir):
         )
         .filter(F.col("b").isNotNull())
     )
-    freq = bgf.groupBy("b").agg(F.count("*").alias("c"))
+    if surrogate_shuffle_keys(spark):
+        b1, b2 = surrogate_key_pair("b")
+        bgf = bgf.select("doc_id", b1.alias("b1"), b2.alias("b2"))
+        key = ["b1", "b2"]
+    else:
+        key = ["b"]
+    freq = bgf.groupBy(*key).agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").alias("t"))
     surp = (
         freq.crossJoin(F.broadcast(tot))
@@ -1233,10 +1246,10 @@ def text_bigram_surprisal(spark, sf_dir):
             (-F.log(F.col("c").cast("double") / F.col("t")))
             .cast("decimal(18,6)"),
         )
-        .select("b", "s")
+        .select(*key, "s")
     )
     return (
-        bgf.join(F.broadcast(surp), "b")
+        bgf.join(F.broadcast(surp), key)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
