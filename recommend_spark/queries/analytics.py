@@ -1830,12 +1830,12 @@ def rec_markov_attribution(spark, sf_dir):
     "events_cohort_ltv",
     oracle="""
     WITH first AS (
-      SELECT user_id, date_trunc('month', min(ts)) AS cm
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
       FROM events GROUP BY user_id
     ), ev AS (
       SELECT e.user_id,
-             strftime(f.cm, '%Y-%m') AS cohort,
-             date_diff('month', f.cm, date_trunc('month', e.ts)) AS age,
+             strftime(f.cw, '%Y-%m-%d') AS cohort,
+             date_diff('day', f.cw, date_trunc('week', e.ts)) // 7 AS age,
              CASE WHEN e.event_type = 'purchase' THEN e.value END AS pval
       FROM events e JOIN first f USING (user_id)
     )
@@ -1847,28 +1847,33 @@ def rec_markov_attribution(spark, sf_dir):
     """,
 )
 def events_cohort_ltv(spark, sf_dir):
-    """Cohort lifetime-value matrix: users grouped by first-activity month,
-    purchase revenue accumulated per cohort age (months since acquisition)
+    """Cohort lifetime-value matrix: users grouped by first-activity WEEK,
+    purchase revenue accumulated per cohort age (weeks since acquisition)
     — the `cohort x age` LTV triangle every growth team reads next to the
-    retention matrix (events_retention).
+    retention matrix (events_retention).  Weekly, not monthly: the
+    fixture's event history spans 30 days, so monthly cohorts degenerate
+    to a single 1x1 cell (a vacuous check — r10 tiny-result audit); the
+    weekly grain yields the real 5-cohort triangle at every fixture SF,
+    and the granularity is a constant in the plan either way.
 
     Determinism: revenue sums through DECIMAL(18,2) (canon dsum rule) and
-    empty cells coalesce to 0.0 in both engines; month arithmetic is on
-    month-truncated timestamps so `months_between` is exact in Spark and
-    equals DuckDB's boundary-counting date_diff('month', ...).
+    empty cells coalesce to 0.0 in both engines; age arithmetic is day
+    differences of week-TRUNCATED timestamps (both engines truncate to
+    Monday) divided by 7 — exact integers, no months_between semantics
+    to reconcile.
 
     100 TB: one groupBy(user_id) builds the cohort map (events' natural
     key, so AQE sees a co-partitioned join back to events), and the final
-    matrix is |months|^2/2 cells — broadcast-sized output regardless of
+    matrix is |weeks|^2/2 cells — broadcast-sized output regardless of
     corpus size."""
     ev = load_table(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cm")
+        F.date_trunc("week", F.min("ts")).alias("cw")
     )
     joined = ev.join(first, "user_id").select(
         "user_id",
-        F.date_format("cm", "yyyy-MM").alias("cohort"),
-        F.months_between(F.date_trunc("month", F.col("ts")), F.col("cm"))
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort"),
+        (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7)
         .cast("int")
         .alias("age"),
         F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
@@ -2882,24 +2887,24 @@ def dq_snapshot_diff(spark, sf_dir):
              max(epoch_us(ts)) AS last_us
       FROM events GROUP BY user_id
     ), marked AS (
-      SELECT (last_us - first_us) // 604800000000 AS week,
-             CASE WHEN last_us < end_us - 604800000000
+      SELECT (last_us - first_us) // 86400000000 AS day,
+             CASE WHEN last_us < end_us - 86400000000
                   THEN 1 ELSE 0 END AS churned
       FROM u, bounds
-    ), wk AS (
-      SELECT week,
+    ), dy AS (
+      SELECT day,
              CAST(SUM(churned) AS BIGINT) AS n_churned,
              CAST(SUM(1 - churned) AS BIGINT) AS n_censored
-      FROM marked GROUP BY week
+      FROM marked GROUP BY day
     ), risk AS (
-      SELECT week, n_churned, n_censored,
+      SELECT day, n_churned, n_censored,
              CAST(SUM(n_churned + n_censored) OVER (
-               ORDER BY week DESC
+               ORDER BY day DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS n_at_risk
-      FROM wk
+      FROM dy
     )
-    SELECT week, n_at_risk, n_churned, n_censored,
+    SELECT day, n_at_risk, n_churned, n_censored,
            CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
              AS hazard
     FROM risk
@@ -2907,24 +2912,31 @@ def dq_snapshot_diff(spark, sf_dir):
 )
 def events_survival_hazard(spark, sf_dir):
     """Discrete-time survival analysis of user lifetimes: the
-    life-table / hazard curve — per lifetime-week, how many users were
-    still at risk, how many churned (last event > 7 days before corpus
+    life-table / hazard curve — per lifetime-DAY, how many users were
+    still at risk, how many churned (last event > 1 day before corpus
     end), how many are right-CENSORED (still active at the cut; their
     lifetimes are lower bounds, the defining subtlety of survival
-    analysis that a naive churn histogram gets wrong).  n_at_risk(w) is
-    the reverse cumulative count of users whose observed lifetime ≥ w;
-    hazard(w) = churned(w) / at_risk(w).  The Kaplan-Meier survival
+    analysis that a naive churn histogram gets wrong).  n_at_risk(d) is
+    the reverse cumulative count of users whose observed lifetime ≥ d;
+    hazard(d) = churned(d) / at_risk(d).  The Kaplan-Meier survival
     curve is the running PRODUCT of (1 − hazard) — deliberately not
     emitted, because cross-engine exp/ln round differently (sqrt is
     IEEE-exact, ln is not); the hazard table is the sufficient
     statistic and each cell is one deterministic double division.
 
+    Daily, not weekly: the fixture's events span 30 days with every user
+    active into the final week, so a 7-day churn bar can never fire —
+    the r10 tiny-result audit found the weekly table's n_churned/hazard
+    columns identically zero (vacuous).  The 1-day bar marks a real
+    churned population at every fixture SF (1/17/156 users at
+    sf0.001/0.01/0.1) and the grain is a constant in the plan.
+
     100 TB: one user-keyed exchange to per-user bounds (the natural
     events partitioning), a scalar broadcast for the corpus end, then
-    all remaining work is over |weeks| rows."""
+    all remaining work is over |days| rows."""
     from pyspark.sql import Window as W
 
-    WEEK_US = 604_800_000_000
+    DAY_US = 86_400_000_000
     ev = load_table(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("us"), "user_id"
     )
@@ -2933,20 +2945,20 @@ def events_survival_hazard(spark, sf_dir):
         F.min("us").alias("first_us"), F.max("us").alias("last_us")
     )
     marked = u.crossJoin(F.broadcast(bounds)).select(
-        F.expr(f"(last_us - first_us) DIV {WEEK_US}").alias("week"),
+        F.expr(f"(last_us - first_us) DIV {DAY_US}").alias("day"),
         F.when(
-            F.col("last_us") < F.col("end_us") - WEEK_US, 1
+            F.col("last_us") < F.col("end_us") - DAY_US, 1
         )
         .otherwise(0)
         .alias("churned"),
     )
-    wk = marked.groupBy("week").agg(
+    wk = marked.groupBy("day").agg(
         F.sum("churned").cast("long").alias("n_churned"),
         F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
     )
     w = (
         W.partitionBy()
-        .orderBy(F.col("week").desc())
+        .orderBy(F.col("day").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     risk = wk.withColumn(
@@ -2954,7 +2966,7 @@ def events_survival_hazard(spark, sf_dir):
         F.sum(F.col("n_churned") + F.col("n_censored")).over(w).cast("long"),
     )
     return risk.select(
-        "week",
+        "day",
         "n_at_risk",
         "n_churned",
         "n_censored",

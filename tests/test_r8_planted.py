@@ -5,8 +5,8 @@ are hand-computable and assert the VALUES, pinning the semantics a
 shared misconception would get wrong in both engines:
 
 * events_survival_hazard — right-censoring: a user still active within
-  7 days of corpus end must count as censored, never churned, and the
-  at-risk set is the reverse cumulative count over lifetime weeks;
+  1 day of corpus end must count as censored, never churned, and the
+  at-risk set is the reverse cumulative count over lifetime days;
 * pipeline_bpe_pairs — pair counts are weighted by WORD frequency over
   the dedup'd vocab (not per-occurrence re-expansion), and overlapping
   pairs inside a word each count (aaab -> aa twice);
@@ -42,32 +42,36 @@ def test_survival_hazard_censoring(spark, tmp_path_factory):
         return d0 + timedelta(days=day)
 
     rows = [
-        # u1: lifetime 2d (week 0), last event day 2 < end-7d -> CHURNED
+        # u1: lifetime 2d, last event day 2 < end-1d (day 29) -> CHURNED
         (1, at(0), 1, "view", 1.0, "{}"),
         (2, at(2), 1, "view", 1.0, "{}"),
-        # u2: lifetime 16d (week 2), last day 16 < day 23 -> CHURNED
+        # u2: lifetime 16d, last day 16 < day 29 -> CHURNED
         (3, at(0), 2, "view", 1.0, "{}"),
         (4, at(16), 2, "view", 1.0, "{}"),
-        # u3: lifetime 19d (week 2), last day 29 > day 23 -> CENSORED
+        # u3: lifetime 19d, last day 29 NOT < day 29 -> CENSORED
         (5, at(10), 3, "view", 1.0, "{}"),
         (6, at(29), 3, "view", 1.0, "{}"),
-        # u4: single event at the corpus end -> week 0, CENSORED
+        # u4: single event at the corpus end -> day 0, CENSORED
         (7, at(30), 4, "view", 1.0, "{}"),
     ]
     root = tmp_path_factory.mktemp("surv")
     out = {
-        r["week"]: r
+        r["day"]: r
         for r in QUERIES["events_survival_hazard"](
             spark, _write_events(spark, root, rows)
         ).collect()
     }
-    assert set(out) == {0, 2}
-    assert out[0]["n_churned"] == 1 and out[0]["n_censored"] == 1
-    assert out[2]["n_churned"] == 1 and out[2]["n_censored"] == 1
-    # reverse cumulative risk set: week 2 first (2 users), week 0 all 4
-    assert out[2]["n_at_risk"] == 2 and out[0]["n_at_risk"] == 4
-    assert out[0]["hazard"] == pytest.approx(0.25)
-    assert out[2]["hazard"] == pytest.approx(0.5)
+    assert set(out) == {0, 2, 16, 19}
+    assert out[2]["n_churned"] == 1 and out[2]["n_censored"] == 0
+    assert out[16]["n_churned"] == 1 and out[16]["n_censored"] == 0
+    assert out[19]["n_churned"] == 0 and out[19]["n_censored"] == 1
+    assert out[0]["n_churned"] == 0 and out[0]["n_censored"] == 1
+    # reverse cumulative risk set: day 19 first (1 user), day 0 all 4
+    assert out[19]["n_at_risk"] == 1 and out[16]["n_at_risk"] == 2
+    assert out[2]["n_at_risk"] == 3 and out[0]["n_at_risk"] == 4
+    assert out[2]["hazard"] == pytest.approx(1 / 3)
+    assert out[16]["hazard"] == pytest.approx(0.5)
+    assert out[19]["hazard"] == 0.0 and out[0]["hazard"] == 0.0
 
 
 def test_bpe_pairs_weighted_overlap(spark, tmp_path_factory):
