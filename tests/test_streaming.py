@@ -64,3 +64,70 @@ def test_out_of_order_replay_still_counts_all_with_big_watermark(spark):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
     }
     assert out == batch
+
+
+def test_socket_source_smoke(spark):
+    """Replay-harness semantics hold off the file/rate/memory path: the
+    same grouped-count graph that stream_stateful_count proves over the
+    parquet replay runs against Spark's built-in SOCKET source fed by a
+    local listener, and converges to the exact batch totals.  Skips
+    cleanly if the sandbox blocks even localhost sockets."""
+    import socket
+    import threading
+    import time
+
+    import pytest
+
+    lines = [f"k{i % 3}" for i in range(30)]
+    try:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+    except OSError:
+        pytest.skip("sandbox blocks localhost sockets")
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        try:
+            conn, _ = srv.accept()
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(60)  # keep the connection open until the test ends
+            conn.close()
+        except OSError:
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    q = (
+        stream.groupBy("value")
+        .count()
+        .writeStream.format("memory")
+        .queryName("rs_socket_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    rows = {}
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            rows = {
+                r["value"]: r["count"]
+                for r in spark.table("rs_socket_smoke").collect()
+            }
+            if sum(rows.values()) >= len(lines):
+                break
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+    assert rows == {"k0": 10, "k1": 10, "k2": 10}, rows
