@@ -674,6 +674,23 @@ def dedup_simhash(spark, sf_dir):
         )
         .localCheckpoint()
     )
+    return banded_hamming_pairs(sh)
+
+
+def banded_hamming_pairs(sh, max_hamming: int = 3):
+    """Hamming<=max_hamming pairs of (doc_id, simhash) rows via 4x6-bit
+    block banding — the dedup_simhash pair step, exposed as a kernel so
+    the losslessness claim is unit-testable against brute force
+    (tests/test_r10_planted.py).
+
+    Lossless for max_hamming <= 3 by pigeonhole: 3 differing bits dirty
+    at most 3 of the 4 blocks, so every qualifying pair agrees exactly on
+    >=1 block and survives the equi-join.  Each pair is emitted EXACTLY
+    once without a distinct shuffle: a pair colliding on several blocks
+    is kept only where blk equals its FIRST matching block (xor block ==
+    0) — pure codegen dedup, which matters because near-dup corpora
+    match on most blocks (the distinct variant aggregated ~4x the result
+    set: 2.6 s at sf0.1)."""
     blk_vals = F.array(
         *[
             F.shiftright("simhash", i * 6).bitwiseAND(F.lit(63))
@@ -696,11 +713,6 @@ def dedup_simhash(spark, sf_dir):
         "bval",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # emit each pair EXACTLY once without a distinct shuffle: a pair
-    # colliding on several blocks is kept only where blk equals its
-    # FIRST matching block (xor block == 0) — pure codegen dedup, which
-    # matters here because near-dup corpora match on most blocks (the
-    # distinct variant aggregated ~4x the result set: 2.6 s at sf0.1)
     xr = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     first_blk = (
         F.when(xr.bitwiseAND(F.lit(63)) == 0, 0)
@@ -712,7 +724,7 @@ def dedup_simhash(spark, sf_dir):
         a.join(b, ["blk", "bval"])
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("blk") == first_blk))
         .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
 
