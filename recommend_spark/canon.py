@@ -98,7 +98,7 @@ def sql_md5_int(expr: str, hexdigits: int) -> str:
 
 
 def surrogate_shuffle_keys(spark) -> bool:
-    """Session opt-in for md5-surrogate shuffle keys on string-keyed
+    """Session opt-in for hash-surrogate shuffle keys on string-keyed
     exchanges (``spark.graft.surrogateShuffleKeys``, default false).
 
     The shingle family (dedup_span_fraction, pipeline_bpe_pairs,
@@ -106,7 +106,8 @@ def surrogate_shuffle_keys(spark) -> bool:
     n-gram STRINGS (~30-60 B each) that never reach the output; with the
     flag on, those keys are replaced by a 96-bit two-column surrogate
     (``surrogate_key_pair``) right after shingling, so every exchange
-    and join moves 12 fixed bytes per key instead.  Default OFF: on this
+    and join moves 16 fixed bytes per key (two BIGINT columns) instead.
+    Default OFF: on this
     single-node loopback box shuffle "network" is memory and CPU is the
     scarce resource, so the hash cost only pays off where exchanges
     cross a real network or spill (measured both ways at sf1 —
@@ -123,7 +124,10 @@ def surrogate_shuffle_keys(spark) -> bool:
 
 
 def surrogate_key_pair(col: Column | str) -> tuple[Column, Column]:
-    """96-bit surrogate key: (xxhash64, crc32) of the string, 8 + 4 B.
+    """96-bit-entropy surrogate key: (xxhash64, crc32) of the string.
+
+    Two BIGINT columns — 16 B per key on the wire (crc32 carries 32 bits
+    of entropy but serializes as a long).
 
     Companion of ``surrogate_shuffle_keys``.  Two INDEPENDENT JVM-native
     hash passes (a two-arg xxhash64(s, lit) is NOT independent — Spark

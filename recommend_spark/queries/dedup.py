@@ -672,7 +672,10 @@ def dedup_simhash(spark, sf_dir):
                 F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
             ).alias("simhash")
         )
-        .localCheckpoint()
+        # eager=False (repo convention for single-query multi-consumer
+        # cuts): materializes at first action, so plan dumps / EXPLAIN
+        # tooling can build this query without running the pipeline
+        .localCheckpoint(eager=False)
     )
     return banded_hamming_pairs(sh)
 
@@ -683,18 +686,25 @@ def banded_hamming_pairs(sh, max_hamming: int = 3):
     the losslessness claim is unit-testable against brute force
     (tests/test_r10_planted.py).
 
-    Lossless for max_hamming <= 3 by pigeonhole: 3 differing bits dirty
-    at most 3 of the 4 blocks, so every qualifying pair agrees exactly on
-    >=1 block and survives the equi-join.  Each pair is emitted EXACTLY
-    once without a distinct shuffle: a pair colliding on several blocks
-    is kept only where blk equals its FIRST matching block (xor block ==
-    0) — pure codegen dedup, which matters because near-dup corpora
-    match on most blocks (the distinct variant aggregated ~4x the result
-    set: 2.6 s at sf0.1)."""
+    Lossless by pigeonhole ONLY while max_hamming < n_blocks (differing
+    bits can dirty at most max_hamming blocks, leaving >=1 clean block to
+    agree on) — guarded explicitly, since a larger max_hamming would
+    silently drop qualifying pairs that share no block.  Each pair is
+    emitted EXACTLY once without a distinct shuffle: a pair colliding on
+    several blocks is kept only where blk equals its FIRST matching block
+    (xor block == 0) — pure codegen dedup, which matters because near-dup
+    corpora match on most blocks (the distinct variant aggregated ~4x the
+    result set: 2.6 s at sf0.1)."""
+    n_blocks = _SIMHASH_BITS // 6
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"banding over {n_blocks} blocks is only lossless for "
+            f"max_hamming < {n_blocks}, got {max_hamming}"
+        )
     blk_vals = F.array(
         *[
             F.shiftright("simhash", i * 6).bitwiseAND(F.lit(63))
-            for i in range(_SIMHASH_BITS // 6)
+            for i in range(n_blocks)
         ]
     )
     sigb = sh.select(
@@ -714,12 +724,14 @@ def banded_hamming_pairs(sh, max_hamming: int = 3):
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     xr = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    first_blk = (
-        F.when(xr.bitwiseAND(F.lit(63)) == 0, 0)
-        .when(F.shiftright(xr, 6).bitwiseAND(F.lit(63)) == 0, 1)
-        .when(F.shiftright(xr, 12).bitwiseAND(F.lit(63)) == 0, 2)
-        .otherwise(3)
-    )
+    # first matching block, derived for ALL n_blocks (a hardcoded chain
+    # would cap at its last literal and lose pairs if the width grew)
+    first_blk = F.when(xr.bitwiseAND(F.lit(63)) == 0, 0)
+    for i in range(1, n_blocks - 1):
+        first_blk = first_blk.when(
+            F.shiftright(xr, i * 6).bitwiseAND(F.lit(63)) == 0, i
+        )
+    first_blk = first_blk.otherwise(n_blocks - 1)
     return (
         a.join(b, ["blk", "bval"])
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("blk") == first_blk))
@@ -1499,7 +1511,7 @@ def dedup_span_fraction(spark, sf_dir):
     Both exchanges key on the raw 5-gram STRING; with
     ``spark.graft.surrogateShuffleKeys=true`` (canon.py) the shingle is
     replaced by a 96-bit (xxhash64, crc32) surrogate right after the explode,
-    so the shuffles move 12 B/key instead of the ~30-60 B n-gram text —
+    so the shuffles move 16 B/key (two longs) instead of the ~30-60 B n-gram text —
     value-identical output (the key never reaches it; parity test in
     tests/test_surrogate_keys.py, bytes/wall delta in
     tools/scaleup_r10_surrogate.json)."""

@@ -66,6 +66,4 @@ def test_surrogate_flag_changes_the_plan(spark):
         )
     finally:
         spark.conf.unset(FLAG)
-    assert "hashpartitioning(s1" in plan or "hashpartitioning(s1#" in plan, (
-        plan[:3000]
-    )
+    assert "hashpartitioning(s1#" in plan, plan[:3000]

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""A/B the md5-surrogate shuffle keys: wall + shuffle bytes, flag off/on.
+"""A/B the hash-surrogate shuffle keys: wall + shuffle bytes, flag off/on.
 
 Usage: python tools/surrogate_ab.py OUT.json [SF_DIR]
 
@@ -27,7 +27,14 @@ FLAG = "spark.graft.surrogateShuffleKeys"
 OPS = ["dedup_span_fraction", "pipeline_bpe_pairs", "text_bigram_surprisal"]
 
 
-def shuffle_totals(ui: str) -> tuple[int, int]:
+def shuffle_totals(spark, ui: str) -> tuple[int, int]:
+    # the AppStatusStore is fed by the ASYNC listener bus: snapshotting
+    # right after an action can miss the final stages' bytes (and leak
+    # them into the NEXT measurement's baseline), so drain the bus first
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(1.0)  # best-effort fallback on API drift
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
     stages = json.load(
@@ -70,11 +77,11 @@ def main() -> None:
             spark.conf.set(FLAG, "true" if variant == "on" else "false")
             walls, sw, sr = [], 0, 0
             for rep in range(2):
-                w0, r0 = shuffle_totals(ui)
+                w0, r0 = shuffle_totals(spark, ui)
                 t0 = time.monotonic()
                 n = QUERIES[qid](spark, sf_dir).count()
                 walls.append(round(time.monotonic() - t0, 3))
-                w1, r1 = shuffle_totals(ui)
+                w1, r1 = shuffle_totals(spark, ui)
                 if rep == 0:  # bytes are deterministic; record rep 0
                     sw, sr = w1 - w0, r1 - r0
             row[variant] = {
