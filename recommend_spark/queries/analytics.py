@@ -81,31 +81,43 @@ def events_retention(spark, sf_dir):
       SELECT event_type, date_trunc('day', ts) AS dday, count(*) AS cnt
       FROM events GROUP BY 1, 2
     ), m AS (
-      SELECT event_type, count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS q
+      SELECT event_type, count(*) AS n, sum(cnt) AS s,
+             CAST(sum(CAST(cnt AS DECIMAL(19,0)) * cnt) AS DOUBLE) AS q
       FROM d GROUP BY event_type
+    ), g AS (
+      SELECT d.event_type,
+             strftime(d.dday, '%Y-%m-%d') AS eday,
+             d.cnt,
+             CASE WHEN m.n >= 2
+                   AND m.n * m.q - CAST(m.s AS DOUBLE) * m.s > 0
+                  THEN (d.cnt - CAST(m.s AS DOUBLE) / m.n)
+                       / sqrt((m.n * m.q - CAST(m.s AS DOUBLE) * m.s)
+                              / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+             END AS zscore
+      FROM d JOIN m USING (event_type)
     )
-    SELECT d.event_type,
-           strftime(d.dday, '%Y-%m-%d') AS eday,
-           d.cnt,
-           (d.cnt - CAST(m.s AS DOUBLE) / m.n)
-             / sqrt((m.n * m.q - m.s * m.s) / (CAST(m.n AS DOUBLE) * (m.n - 1)))
-             AS zscore
-    FROM d JOIN m USING (event_type)
-    WHERE (d.cnt - CAST(m.s AS DOUBLE) / m.n)
-             / sqrt((m.n * m.q - m.s * m.s) / (CAST(m.n AS DOUBLE) * (m.n - 1)))
-          > 1.5
+    SELECT event_type, eday, cnt, zscore FROM g WHERE zscore > 1.5
     """,
 )
 def events_anomaly_days(spark, sf_dir):
     """Volume-anomaly days: per event type, flag days whose event count sits
     more than 1.5 sample standard deviations above that type's daily mean.
 
-    The moments (n, Σc, Σc²) are exact BIGINT sums of integer counts — the
-    agg_stddev_exact trick — so mean, variance, and the z-score are each one
-    correctly-rounded IEEE op from exact integers and hash-match bit-for-bit
-    (no round(), per canon.ident's finding).  Plan: daily pre-aggregation
-    (partial+final), then a broadcast join of the ~|event_type| moment rows
-    back onto the daily grid — no second full shuffle at any scale."""
+    Moments stay EXACT through aggregation: the day-count squares promote
+    one operand to DECIMAL(19,0) before the multiply (cnt*cnt as BIGINT
+    wraps/ANSI-throws past ~3e9 events/day — the ts_autocorr wrap lesson)
+    and sum associatively in DECIMAL(38,0), converting to double ONCE
+    after the group — a double SUM would be shuffle-order-dependent.
+    Mean, variance, and the z-score are then fixed IEEE expression trees
+    both engines evaluate identically (no round()).  The z-score is
+    a lazily-evaluated CASE guarded on n >= 2 and positive variance: an
+    event type with ONE active day or a perfectly flat profile has no
+    anomaly signal, and unguarded it is an engine-divergence trap — this
+    session runs Spark with ANSI on, where x/0 THROWS, while DuckDB
+    yields NULL (probed r10; the guard drops the row identically in
+    both).  Plan: daily pre-aggregation (partial+final), then a broadcast
+    join of the ~|event_type| moment rows back onto the daily grid — no
+    second full shuffle at any scale."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("dday")
@@ -113,11 +125,15 @@ def events_anomaly_days(spark, sf_dir):
     m = d.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+        F.sum(F.col("cnt").cast("decimal(19,0)") * F.col("cnt"))
+        .cast("double")
+        .alias("q"),
     )
-    z = (F.col("cnt") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
-        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-        / (F.col("n").cast("double") * (F.col("n") - 1))
+    vnum = F.col("n") * F.col("q") - F.col("s").cast("double") * F.col("s")
+    z = F.when(
+        (F.col("n") >= 2) & (vnum > 0),
+        (F.col("cnt") - F.col("s").cast("double") / F.col("n"))
+        / F.sqrt(vnum / (F.col("n").cast("double") * (F.col("n") - 1))),
     )
     return (
         d.join(F.broadcast(m), "event_type")

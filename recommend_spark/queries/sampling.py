@@ -566,7 +566,9 @@ def pipeline_dp_counts(spark, sf_dir):
       FROM c GROUP BY event_type
     ), s AS (
       SELECT event_type, n,
-             sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sd
+             CASE WHEN n >= 2 AND s2 - n * (s1 / n) * (s1 / n) > 0
+                  THEN sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1))
+                  ELSE 0.0 END AS sd
       FROM m
     ), q AS (
       SELECT event_type, n, sd,
@@ -575,11 +577,13 @@ def pipeline_dp_counts(spark, sf_dir):
       FROM s
     )
     SELECT event_type, n AS n_rows, sd AS stddev,
-           CAST(nsq AS DOUBLE) / CAST(SUM(nsq) OVER () AS DOUBLE)
-             AS weight,
-           CAST(floor(1000.0 * CAST(nsq AS DOUBLE)
-                      / CAST(SUM(nsq) OVER () AS DOUBLE)) AS BIGINT)
-             AS n_alloc
+           CASE WHEN SUM(nsq) OVER () > 0
+                THEN CAST(nsq AS DOUBLE) / CAST(SUM(nsq) OVER () AS DOUBLE)
+           END AS weight,
+           CASE WHEN SUM(nsq) OVER () > 0
+                THEN CAST(floor(1000.0 * CAST(nsq AS DOUBLE)
+                           / CAST(SUM(nsq) OVER () AS DOUBLE)) AS BIGINT)
+           END AS n_alloc
     FROM q
     """,
 )
@@ -615,13 +619,19 @@ def sample_neyman_alloc(spark, sf_dir):
             ).alias("s2"),
         )
     )
-    sd = F.sqrt(
-        (
-            F.col("s2")
-            - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
-        )
-        / (F.col("n") - 1)
+    # lazily-guarded CASE: a single-row stratum ((n-1)=0 divides by zero —
+    # Spark runs ANSI-on where that THROWS while DuckDB yields NULL) or a
+    # constant-value stratum (float cancellation can push the variance an
+    # epsilon negative, where DuckDB's sqrt ERRORS and Spark yields NaN)
+    # clamps to sd=0: no variance evidence -> zero Neyman budget, the same
+    # semantics the planted zero-variance test pins.
+    var = (
+        F.col("s2")
+        - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
     )
+    sd = F.when(
+        (F.col("n") >= 2) & (var > 0), F.sqrt(var / (F.col("n") - 1))
+    ).otherwise(F.lit(0.0))
     q = m.select(
         "event_type",
         "n",
@@ -633,7 +643,11 @@ def sample_neyman_alloc(spark, sf_dir):
         ),
     )
     tot = F.sum("nsq").over(W.partitionBy())
-    ratio = F.col("nsq").cast("double") / tot.cast("double")
+    # all-degenerate corpus (every stratum clamped to sd=0) zeroes the
+    # total: NULL weight in both engines instead of an ANSI 0/0 throw
+    ratio = F.when(
+        tot > 0, F.col("nsq").cast("double") / tot.cast("double")
+    )
     return q.select(
         "event_type",
         F.col("n").alias("n_rows"),

@@ -13,6 +13,13 @@ pin the exact semantic claims the rewrites make:
 * kcore_peel local fixpoint — the numpy peel must dedupe duplicate input
   edges (the old set()-based kernel's contract) and converge a cascade
   to the exact core.
+
+Plus the ANSI-divergence degenerate-corpus pins: this session runs Spark
+with ANSI on (x/0 THROWS; DuckDB yields NULL; DuckDB sqrt(<0) errors
+where Spark yields NaN), so every statistics op whose denominators can
+degenerate must guard with lazily-evaluated CASE on BOTH sides — planted
+single-day / constant-value / zero-purchase corpora prove Spark neither
+throws nor diverges from the oracle.
 """
 
 from __future__ import annotations
@@ -77,3 +84,143 @@ def test_kcore_local_fixpoint_dedupes_and_converges(spark):
     got = {(r["src"], r["dst"]) for r in core.collect()}
     clique = {(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b}
     assert got == clique
+
+
+def test_anomaly_and_neyman_degenerate_corpus_parity(spark, tmp_path_factory):
+    """ANSI-divergence guards (r10): this session runs Spark with ANSI on,
+    where x/0 THROWS, while DuckDB yields NULL — so a single-active-day
+    event type ((n-1)=0) or a constant-value stratum (variance 0, float
+    cancellation can even push it epsilon-negative where DuckDB's sqrt
+    ERRORS) must be handled by lazily-evaluated CASE guards on BOTH
+    sides.  Plants exactly those corpora and asserts Spark == oracle."""
+    import math
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from recommend_spark.queries import ORACLES, QUERIES
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(day, user, etype, value):
+        nonlocal eid
+        eid += 1
+        return (eid, d0 + timedelta(days=day, minutes=eid % 60), user, etype, value, "{}")
+
+    # 'single': all events on ONE day -> n=1, (n-1)=0
+    for i in range(5):
+        rows.append(ev(3, 100 + i, "single", 10.0))
+    # 'flat': constant ONE event per day -> zero variance; constant value
+    # 0.1 (inexact in binary) -> the cancellation-epsilon stratum
+    for day in range(10):
+        rows.append(ev(day, 200, "flat", 0.1))
+    # 'normal': 1/day baseline with a 9-event spike -> a real anomaly
+    for day in range(10):
+        rows.append(ev(day, 300, "normal", float(day)))
+    for i in range(9):
+        rows.append(ev(5, 300 + i, "normal", 1.0))
+
+    root = tmp_path_factory.mktemp("degen")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{root}/events.parquet/*.parquet')"
+    )
+
+    def canon(cols, recs):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = [
+            tuple(
+                "NaN" if isinstance(r[i], float) and math.isnan(r[i]) else r[i]
+                for i in order
+            )
+            for r in recs
+        ]
+        out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+        return out
+
+    for qid in ("events_anomaly_days", "sample_neyman_alloc"):
+        sdf = QUERIES[qid](spark, str(root))
+        srows = [tuple(r) for r in sdf.collect()]  # must not raise under ANSI
+        res = con.execute(ORACLES[qid])
+        assert canon(sdf.columns, srows) == canon(
+            [d[0] for d in res.description], res.fetchall()
+        ), qid
+
+    # the anomaly op keeps ONLY the planted spike; degenerate types drop
+    out = QUERIES["events_anomaly_days"](spark, str(root)).collect()
+    assert {r["event_type"] for r in out} == {"normal"}
+    assert any(r["cnt"] == 10 for r in out)
+    # neyman clamps the degenerate strata to sd=0 / zero budget, keeps them
+    alloc = {r["event_type"]: r for r in QUERIES["sample_neyman_alloc"](spark, str(root)).collect()}
+    assert alloc["single"]["stddev"] == 0.0 and alloc["single"]["n_alloc"] == 0
+    assert alloc["flat"]["stddev"] == 0.0 and alloc["flat"]["n_alloc"] == 0
+    assert alloc["normal"]["n_alloc"] > 0
+
+
+def test_ab_test_degenerate_corpus_parity(spark, tmp_path_factory):
+    """events_ab_test's guards under ANSI: a zero-purchase corpus must
+    short-circuit at the np>1 predicate before the Welch divisions
+    evaluate, and a constant-purchase corpus (Welch variance ~0, possibly
+    a cancellation epsilon) must agree with DuckDB either way."""
+    import math
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from recommend_spark.queries import ORACLES, QUERIES
+
+    d0 = datetime(2024, 1, 1)
+
+    def build(tmp, purchases):
+        rows = []
+        eid = 0
+        for u in range(40):
+            eid += 1
+            rows.append((eid, d0 + timedelta(hours=u), u, "view", 1.0, "{}"))
+            if purchases == "constant":
+                eid += 1
+                rows.append(
+                    (eid, d0 + timedelta(hours=u, minutes=30), u, "purchase", 0.1, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+        return str(tmp)
+
+    def canon(cols, recs):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = [
+            tuple(
+                "NaN" if isinstance(r[i], float) and math.isnan(r[i]) else r[i]
+                for i in order
+            )
+            for r in recs
+        ]
+        out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+        return out
+
+    for variant in ("none", "constant"):
+        root = build(tmp_path_factory.mktemp(f"ab_{variant}"), variant)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{root}/events.parquet/*.parquet')"
+        )
+        sdf = QUERIES["events_ab_test"](spark, root)
+        srows = [tuple(r) for r in sdf.collect()]  # must not raise under ANSI
+        res = con.execute(ORACLES["events_ab_test"])
+        assert canon(sdf.columns, srows) == canon(
+            [d[0] for d in res.description], res.fetchall()
+        ), variant
+        con.close()
