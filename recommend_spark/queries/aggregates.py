@@ -475,10 +475,13 @@ def agg_corr(spark, sf_dir):
     vary = (sy2 - sy * sy / n) / (n - 1)
     # degenerate-group guard (the ts_linear_forecast lesson generalized):
     # n=1 zeroes the Bessel denominator and a constant column zeroes the
-    # sqrt argument — Spark x/0 yields NULL where DuckDB yields inf (and
-    # DuckDB sqrt(<0) errors outright), so drop such groups identically
-    # in both engines.  The comparisons are engine-consistent: the sums
-    # are exact and the float expression order is shared.
+    # sqrt argument — under this session's ANSI-on Spark x/0 THROWS while
+    # DuckDB yields NULL (and DuckDB sqrt(<0) errors outright; probed
+    # r10), so drop such groups identically in both engines BEFORE the
+    # projection computes the divisions (Filter->Project pipelining
+    # evaluates the select only on surviving rows).  The comparisons are
+    # engine-consistent: the sums are exact and the float expression
+    # order is shared.
     return s.filter(
         (n >= 2)
         & (sx2 - sx * sx / n > 0)
@@ -1018,8 +1021,9 @@ def agg_regression(spark, sf_dir):
     )
     # degenerate-group guard (shared with ts_linear_forecast / agg_corr):
     # constant x zeroes the slope denominator, constant y zeroes r2's —
-    # Spark 0-division yields NULL where DuckDB yields inf/NaN, so drop
-    # such groups with the identical expression in both engines
+    # under ANSI-on Spark 0-division THROWS while DuckDB yields NULL
+    # (probed r10), so drop such groups BEFORE the projection divides,
+    # with the identical expression in both engines
     return s.filter(
         F.expr("(sx2 - sx * sx / n) > 0 AND (sy2 - sy * sy / n) > 0")
     ).select(

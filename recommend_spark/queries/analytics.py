@@ -1532,12 +1532,16 @@ def events_ab_test(spark, sf_dir):
     )
     # degenerate-corpus guard: an empty arm (n=0 or np<=1) or an all-/
     # never-converting population zeroes a denominator or the pooled
-    # variance — Spark 0-division yields NULL where DuckDB yields
-    # inf/NaN, so a pathological corpus must drop the report row in both
-    # engines rather than hash-diverge.  The last predicate guards the
-    # Welch denominator itself: constant purchase values in both arms
-    # make q - s^2/np collapse to 0 (or a negative cancellation epsilon),
-    # where DuckDB errors on sqrt(<0) while Spark yields NULL/NaN.
+    # variance — under ANSI-on Spark 0-division THROWS while DuckDB
+    # yields NULL (probed r10), so a pathological corpus must drop the
+    # report row identically in both engines.  Guard order matters: the
+    # conjunction short-circuits left-to-right, so np>1 is established
+    # before the last predicate divides by (np-1) — pinned by the
+    # planted zero-purchase corpus in tests/test_r10_planted.py.  That
+    # last predicate guards the Welch denominator itself: constant
+    # purchase values in both arms make q - s^2/np collapse to 0 (or a
+    # negative cancellation epsilon), where DuckDB errors on sqrt(<0)
+    # while Spark yields NaN.
     return conv.crossJoin(F.broadcast(m)).filter(
         (F.col("n_a") > 0)
         & (F.col("n_b") > 0)

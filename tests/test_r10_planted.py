@@ -224,3 +224,66 @@ def test_ab_test_degenerate_corpus_parity(spark, tmp_path_factory):
             [d[0] for d in res.description], res.fetchall()
         ), variant
         con.close()
+
+
+def test_corr_family_degenerate_groups_parity(spark, tmp_path_factory):
+    """The r2-era corr/stddev/regression guards, pinned against ANSI: a
+    single-row group (Bessel n-1 = 0) and a constant-column group
+    (variance 0) must be dropped/kept by the Filter BEFORE the projection
+    divides (Filter->Project pipelining), agreeing with DuckDB exactly."""
+    import math
+
+    import duckdb
+
+    from recommend_spark.queries import ORACLES, QUERIES
+
+    rows = []
+    # 'C': constant in BOTH columns (variance 0) -> corr & regression
+    # drop it; stddev (over extendedprice) keeps it with sd exactly 0
+    for i in range(4):
+        rows.append(("C", 5.0, 100.0))
+    # 'S': a single row -> n-1 = 0 everywhere -> dropped by n >= 2
+    rows.append(("S", 1.0, 50.0))
+    # 'N': both columns varying -> kept everywhere
+    for i in range(5):
+        rows.append(("N", 1.0 + i, 10.0 + 3 * i))
+    root = tmp_path_factory.mktemp("corrdeg")
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{root}/lineitem.parquet/*.parquet')"
+    )
+
+    def canon(cols, recs):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = [
+            tuple(
+                "NaN" if isinstance(r[i], float) and math.isnan(r[i]) else r[i]
+                for i in order
+            )
+            for r in recs
+        ]
+        out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+        return out
+
+    for qid in ("agg_corr", "agg_regression", "agg_stddev_exact"):
+        sdf = QUERIES[qid](spark, str(root))
+        srows = [tuple(r) for r in sdf.collect()]  # must not raise under ANSI
+        res = con.execute(ORACLES[qid])
+        assert canon(sdf.columns, srows) == canon(
+            [d[0] for d in res.description], res.fetchall()
+        ), qid
+
+    corr_groups = {
+        r["l_returnflag"] for r in QUERIES["agg_corr"](spark, str(root)).collect()
+    }
+    assert corr_groups == {"N"}
+    sd = {
+        r["l_returnflag"]: r["stddev_samp"]
+        for r in QUERIES["agg_stddev_exact"](spark, str(root)).collect()
+    }
+    assert sd["C"] == 0.0 and "S" not in sd and sd["N"] > 0
