@@ -1534,14 +1534,21 @@ def events_ab_test(spark, sf_dir):
     # never-converting population zeroes a denominator or the pooled
     # variance — under ANSI-on Spark 0-division THROWS while DuckDB
     # yields NULL (probed r10), so a pathological corpus must drop the
-    # report row identically in both engines.  Guard order matters: the
-    # conjunction short-circuits left-to-right, so np>1 is established
-    # before the last predicate divides by (np-1) — pinned by the
-    # planted zero-purchase corpus in tests/test_r10_planted.py.  That
-    # last predicate guards the Welch denominator itself: constant
-    # purchase values in both arms make q - s^2/np collapse to 0 (or a
-    # negative cancellation epsilon), where DuckDB errors on sqrt(<0)
-    # while Spark yields NaN.
+    # report row identically in both engines.  The Welch-denominator
+    # predicate (the only conjunct that itself divides by np and np-1)
+    # sits inside a CASE gated on np>1 for both arms: CASE branches are
+    # contractually lazy, so the guard survives any Catalyst conjunct
+    # reordering — a bare `np>1 AND va/np+vb/np>0` conjunction would
+    # rely on left-to-right short-circuit order, which pushdown/CNF
+    # rules are free to permute.  Pinned by the planted zero-purchase
+    # corpus in tests/test_r10_planted.py.  The predicate guards the
+    # Welch denominator itself: constant purchase values in both arms
+    # make q - s^2/np collapse to 0 (or a negative cancellation
+    # epsilon), where DuckDB errors on sqrt(<0) while Spark yields NaN.
+    welch_den_pos = F.when(
+        (F.col("np_a") > 1) & (F.col("np_b") > 1),
+        va / F.col("np_a") + vb / F.col("np_b") > 0,
+    ).otherwise(F.lit(False))
     return conv.crossJoin(F.broadcast(m)).filter(
         (F.col("n_a") > 0)
         & (F.col("n_b") > 0)
@@ -1549,7 +1556,7 @@ def events_ab_test(spark, sf_dir):
         & (F.col("np_b") > 1)
         & (F.col("conv_a") + F.col("conv_b") > 0)
         & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
-        & (va / F.col("np_a") + vb / F.col("np_b") > 0)
+        & welch_den_pos
     ).select(
         "n_a",
         "n_b",

@@ -52,18 +52,49 @@ def test_surrogate_keys_value_identical(spark, qid):
     assert on == base
 
 
+def _hash_shuffle_key_types(df) -> list[list[str]]:
+    """Type names of every hash-exchange's partitioning keys, collected by
+    walking the physical plan tree structurally (node classes + expression
+    dataTypes, never the formatted plan string — expression-ID rendering
+    and node names drift across Spark minor versions; r10 ADVICE)."""
+    out: list[list[str]] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getName()
+        if cls.endswith("AdaptiveSparkPlanExec"):
+            walk(node.executedPlan())
+            return
+        if cls.endswith("ShuffleExchangeExec"):
+            part = node.outputPartitioning()
+            if part.getClass().getSimpleName() == "HashPartitioning":
+                exprs = part.expressions()
+                out.append(
+                    [
+                        exprs.apply(i).dataType().typeName()
+                        for i in range(exprs.size())
+                    ]
+                )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_surrogate_flag_changes_the_plan(spark):
     """The flag must actually engage: flag-on, no raw string column may
-    survive into dedup_span_fraction's exchanges (the shingle column s is
-    replaced by the two-long key before the first shuffle)."""
+    survive into dedup_span_fraction's hash exchanges (the shingle column
+    is replaced by the two-long surrogate key before the first shuffle);
+    flag-off, the same probe DOES see a string-keyed exchange — proving
+    the probe detects raw keys and the assertion is not vacuous."""
+    off_keys = _hash_shuffle_key_types(QUERIES["dedup_span_fraction"](spark, SF_DIR))
+    assert any("string" in ks for ks in off_keys), off_keys
     spark.conf.set(FLAG, "true")
     try:
-        plan = (
+        on_keys = _hash_shuffle_key_types(
             QUERIES["dedup_span_fraction"](spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
         )
     finally:
         spark.conf.unset(FLAG)
-    assert "hashpartitioning(s1#" in plan, plan[:3000]
+    assert on_keys and all("string" not in ks for ks in on_keys), on_keys
