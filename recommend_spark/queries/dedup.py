@@ -984,6 +984,87 @@ def _cc_min_local(e):
     return e.coalesce(1).mapInPandas(fix, schema="v long, m long")
 
 
+#: Broadcast budget for the per-round node→min-label map, in MAP ROWS
+#: (each row is two longs ≈ 16 B payload; 8M rows ≈ 128 MiB serialized —
+#: comfortably under executor memory, same philosophy as blockkernel.py's
+#: byte budget).  The map's row count is bounded by the CURRENT edge
+#: count (every mapped node appears as a src in the doubled edge set), so
+#: the gate needs no extra counting job — the loop already counts edges.
+#: Override for tests / small executors via the env var.
+_CC_BROADCAST_MAX_MAP_ROWS = 8_000_000
+#: Target rows per partition for the contraction loop's checkpointed
+#: tables (labels/edges are 2-3 longs/row; 2M rows ≈ tens of MB a task).
+_CC_ROWS_PER_PARTITION = 2_000_000
+
+
+def _cc_map_broadcastable(n_edges: int) -> bool:
+    import os
+
+    budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_CC_BROADCAST_MAX_MAP_ROWS", _CC_BROADCAST_MAX_MAP_ROWS
+        )
+    )
+    return n_edges <= budget
+
+
+def _cc_width(n_rows: int) -> int:
+    """Checkpoint partition count sized to the table, not a constant: a
+    pinned coalesce(4) is right for the fixture's post-contraction
+    thousands of rows but serializes a billion-row round-1 map on 4
+    tasks.  Clamped to [4, 256]."""
+    return max(4, min(256, -(-n_rows // _CC_ROWS_PER_PARTITION)))
+
+
+def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
+    """One min-contraction round: relabel every node to min(self,
+    neighbors), rewrite ``rep`` through the map, contract the edge set.
+
+    The node→label map joins with a broadcast hint ONLY when ``n_edges``
+    proves it is under the row budget (round 1 on a near-dup-dense 100 TB
+    corpus has a map as big as the node set — an unconditional hint there
+    OOMs the executors, and AQE will not override an explicit hint);
+    past the budget the joins run as plain equi-joins and AQE picks the
+    strategy.  ``checkpoint=False`` keeps the join plans inspectable for
+    the plan tests; the operator always checkpoints (plan stays O(1) in
+    rounds).  Returns (rep', e')."""
+    width = _cc_width(n_edges)
+    mapv = (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("v"),
+            F.least(F.col("src"), F.col("mn")).alias("m"),
+        )
+        .coalesce(width)
+    )
+    if checkpoint:
+        mapv = mapv.localCheckpoint()
+    bc = _cc_map_broadcastable(n_edges)
+
+    def _hint(df):
+        return F.broadcast(df) if bc else df
+
+    rep2 = (
+        rep.join(_hint(mapv), rep.cur == mapv.v, "left")
+        .select("orig", F.coalesce("m", "cur").alias("cur"))
+        .coalesce(rep_width)
+    )
+    ms = _hint(mapv.select(F.col("v").alias("sv"), F.col("m").alias("sm")))
+    md = _hint(mapv.select(F.col("v").alias("dv"), F.col("m").alias("dm")))
+    e2 = (
+        e.join(ms, e.src == ms.sv)
+        .join(md, e.dst == md.dv)
+        .select(F.col("sm").alias("src"), F.col("dm").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .coalesce(width)
+    )
+    if checkpoint:
+        rep2, e2 = rep2.localCheckpoint(), e2.localCheckpoint()
+    return rep2, e2
+
+
 @register(
     "dedup_cluster",
     oracle=f"""
@@ -1022,7 +1103,11 @@ def dedup_cluster(spark, sf_dir):
     near-cliques, so round one collapses almost everything (measured at
     sf0.1: 3M edges -> a few hundred) and later rounds run on the residue —
     O(log n) rounds worst case (the Kiveris et al. MapReduce-CC recipe),
-    each a groupBy + two broadcast joins + distinct.  The component minimum
+    each a groupBy + two map joins + distinct (the node→label map joins
+    with a SIZE-GATED broadcast hint — see _cc_round; round 1's map is as
+    big as the raw node set, so the hint engages only under the row
+    budget and a 100× corpus falls back to AQE-planned equi-joins with
+    partition widths derived from the edge count).  The component minimum
     never relabels, so the fixpoint labels every node with its component's
     min doc_id — unique, hence hash-stable.  localCheckpoint per round (not
     just persist): the plan would otherwise embed the similarity pipeline
@@ -1035,13 +1120,27 @@ def dedup_cluster(spark, sf_dir):
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
         "src", "dst"
     )
+    # One cheap count of the (cached) pair artifact seeds the loop's
+    # broadcast gate and partition widths: the round-1 node→label map is
+    # as big as the NODE SET of the uncontracted pair graph (the "tiny
+    # after contraction" premise only holds from round 2), so the
+    # broadcast hint must be size-gated from the very first round —
+    # _cc_round hints only when the current edge count (an upper bound
+    # on map rows) is under _CC_BROADCAST_MAX_MAP_ROWS, else plain
+    # equi-joins with AQE picking the strategy.  Later rounds reuse the
+    # count the loop takes anyway.
+    n = 2 * pairs.count()
     # rep: original node -> current contracted label (isolated docs never
-    # enter; they are unioned back with their own id at the end)
+    # enter; they are unioned back with their own id at the end).  rep
+    # never contracts — one row per round-0 node forever — so its width
+    # derives from the INITIAL edge count, not the shrinking residual.
+    rep_width = _cc_width(n)
+    rep_broadcastable = _cc_map_broadcastable(n)
     rep = (
         edges.select(F.col("src").alias("orig"))
         .distinct()
         .select("orig", F.col("orig").alias("cur"))
-        .coalesce(4)
+        .coalesce(rep_width)
         .localCheckpoint()
     )
     # Post-contraction tables are a few thousand rows; AQE's partition
@@ -1050,36 +1149,8 @@ def dedup_cluster(spark, sf_dir):
     # (the old set/restore raced under concurrent queries on one session).
     e = edges
     LOCAL_THRESHOLD = 5_000_000
-    while True:
-        # m(v) = min(v, min neighbor): the node set is tiny after the
-        # first contraction, so the map always broadcasts
-        mapv = (
-            e.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select(
-                F.col("src").alias("v"),
-                F.least(F.col("src"), F.col("mn")).alias("m"),
-            )
-            .coalesce(4)
-            .localCheckpoint()
-        )
-        rep = (
-            rep.join(F.broadcast(mapv), rep.cur == mapv.v, "left")
-            .select("orig", F.coalesce("m", "cur").alias("cur"))
-            .coalesce(4)
-            .localCheckpoint()
-        )
-        ms = mapv.select(F.col("v").alias("sv"), F.col("m").alias("sm"))
-        md = mapv.select(F.col("v").alias("dv"), F.col("m").alias("dm"))
-        e = (
-            e.join(F.broadcast(ms), e.src == ms.sv)
-            .join(F.broadcast(md), e.dst == md.dv)
-            .select(F.col("sm").alias("src"), F.col("dm").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .coalesce(4)
-            .localCheckpoint()
-        )
+    while n > 0:
+        rep, e = _cc_round(e, rep, n, rep_width)
         n = e.count()
         if n == 0:
             break
@@ -1089,18 +1160,23 @@ def dedup_cluster(spark, sf_dir):
             # jobs per remaining round (measured: rounds 2-4 moved 3,618
             # -> 90 -> 6 -> 0 edges at sf0.1, ~0.5 s of fixed cost each).
             # A residual above the threshold keeps contracting
-            # distributed — the same contract as kcore_peel.
+            # distributed — the same contract as kcore_peel.  fm is
+            # bounded by 2×LOCAL_THRESHOLD rows, so its broadcast is a
+            # bounded constant, not a scale hazard.
             fm = _cc_min_local(e)
             rep = (
                 rep.join(F.broadcast(fm), rep.cur == fm.v, "left")
                 .select("orig", F.coalesce("m", "cur").alias("cur"))
-                .coalesce(4)
+                .coalesce(rep_width)
                 .localCheckpoint()
             )
             break
     docs = load_table(spark, sf_dir, "documents")
+    # the final labeling join ships rep (|round-0 nodes| rows) to every
+    # doc partition — hint it under the same row budget as the loop map
+    rep_hinted = F.broadcast(rep) if rep_broadcastable else rep
     lab = docs.select("doc_id").join(
-        F.broadcast(rep), docs.doc_id == rep.orig, "left"
+        rep_hinted, docs.doc_id == rep.orig, "left"
     ).select("doc_id", F.coalesce("cur", "doc_id").alias("lab"))
     return lab.select(
         "doc_id",
