@@ -104,12 +104,24 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
-@register("sim_ivf_topk")  # rows-only: centroid assignment is float-order sensitive
-def sim_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse cells = per-label centroids (the fixture's label
-    is the trained quantizer stand-in); each query probes its nearest cell
-    only, then exact-ranks within it.  At 100 TB: centroids broadcast,
-    candidates shuffle on cell id only (nprobe controls recall)."""
+#: IVF probe width shared by sim_ivf_topk and sim_ivf_pq — a nprobe/cell
+#: retune lands in ONE place (the coarse-assignment block used to be
+#: duplicated at both call sites; r10 verdict nit #2).
+_IVF_NPROBE = 3
+
+
+def _ivf_route(spark, sf_dir, nprobe: int = _IVF_NPROBE):
+    """Shared IVF coarse routing: coarse cells = per-label mean centroids
+    (the fixture's label is the trained-quantizer stand-in); each of the
+    10 fixture queries is assigned to its ``nprobe`` highest-dot cells.
+    Returns one row per probe: (query_id, qe — the RAW-typed query
+    embedding, callers cast as they need, cell).
+
+    At 100 TB: the centroid table is |labels|-sized and broadcast; all
+    downstream candidate work shuffles on cell id only.  nprobe is the
+    recall/cost knob (random-vector fixtures carry little cell signal —
+    see the quality gates in tests/test_ml_quality.py and the
+    tools/ann_recall records)."""
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
     cent = (
@@ -122,16 +134,25 @@ def sim_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    # assign each query to its best cell (centroids are tiny -> broadcast)
+    # assign each query to its best cells (centroids are tiny -> broadcast)
     qc = q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell"))).withColumn(
         "score", _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
     )
     wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
-    # nprobe=3: probe the 3 closest cells (recall/cost knob; fixtures are
-    # random vectors, so cells carry little signal — see quality gate)
-    best = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 3).select(
-        "query_id", "qe", "cell"
+    return (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qe", "cell")
     )
+
+
+@register("sim_ivf_topk")  # rows-only: centroid assignment is float-order sensitive
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse routing via the shared ``_ivf_route`` kernel,
+    then exact ranking within the probed cells only.  At 100 TB:
+    centroids broadcast, candidates shuffle on cell id only (nprobe
+    controls recall)."""
+    best = _ivf_route(spark, sf_dir)
     cand = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("cell"),
@@ -985,29 +1006,13 @@ def sim_ivf_pq(spark, sf_dir):
         encode, "neighbor_id long, codes array<int>"
     )
 
-    # (2) coarse routing: queries -> 3 nearest per-label centroids
+    # (2) coarse routing via the shared kernel (ADC wants double queries;
+    # float->double widening is exact, so casting after routing is
+    # value-identical to the old cast-before-routing block)
+    routed = _ivf_route(spark, sf_dir).withColumn(
+        "qe", F.col("qe").cast("array<double>")
+    )
     e = load_table(spark, sf_dir, "embeddings")
-    pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s.getField("c")).alias("centroid"))
-    )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-    )
-    qc = q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell"))).withColumn(
-        "score", _dot(F.col("qe"), F.col("centroid"))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
-    routed = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "qe", "cell")
-    )
 
     # (3) ADC scoring inside probed cells only
     cand = codes_df.join(
