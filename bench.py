@@ -154,6 +154,22 @@ def main() -> None:
         # the seconds a mid-replay cleaner stall costs
         drain_cleaner(i, every=4)
 
+    # Replay floor: wall of a minimal stateful replay over the same chunked
+    # source (same min-of-reps protocol).  Six of the eleven slowest suite
+    # ids are stream_* whose wall is dominated by this micro-batch
+    # checkpoint/state-store fixed cost — reporting it per stream id makes
+    # a real streaming regression distinguishable from the harness floor.
+    stream_ids = sorted(
+        q for q in list(times) + list(heavy_times) if q.startswith("stream_")
+    )
+    replay_floor_s = None
+    if stream_ids:
+        from recommend_spark.streaming.replay import replay_floor
+
+        replay_floor_s = round(
+            min(replay_floor(spark, sf_dir) for _ in range(reps)), 3
+        )
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -173,6 +189,11 @@ def main() -> None:
     if heavy_times:
         out["queries_heavy"] = heavy_times
         out["heavy_seconds"] = round(sum(heavy_times.values()), 3)
+    if replay_floor_s is not None:
+        # every registered stream op replays the same config (8 chunks,
+        # 4 files/trigger, unshuffled — recommend_spark/streaming/replay.py),
+        # so one measured floor applies to each id
+        out["replay_floor_seconds"] = {q: replay_floor_s for q in stream_ids}
     spark.stop()
 
     # The driver records only the last ~2000 chars of stdout; the full
@@ -218,6 +239,8 @@ def main() -> None:
         compact["heavy_seconds"] = out["heavy_seconds"]
         compact["n_heavy"] = len(heavy_times)
         compact["queries_heavy"] = heavy_times
+    if replay_floor_s is not None:
+        compact["replay_floor_seconds"] = replay_floor_s
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the recorded tail no matter what
         compact.pop("queries_heavy", None)
