@@ -796,12 +796,85 @@ _PQ_CACHE: dict = {}
 def _pq_emb(spark, sf_dir):
     """The PQ training/encode input: embeddings as double arrays, spread to
     32 partitions (the source is a single parquet file — without the spread
-    every mapInPandas kernel below runs on one task)."""
+    every mapInPandas kernel below runs on one task).  Carries the label
+    column so residual-mode consumers can subtract their cell centroid."""
     return (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("x"),
+        )
         .repartition(32)
     )
+
+
+def _cell_centroids(spark, sf_dir):
+    """Per-label mean embedding as a (n_labels, dim) float64 array — the
+    coarse-quantizer centroids the residual PQ mode subtracts (IVFADC,
+    Jegou et al. 2011 §III: quantize x − centroid(cell(x)), not x).
+
+    Distributed and deterministic: one mapInPandas pass emits per-
+    partition (label, sum, count) partials — |partitions| × |labels| rows,
+    never the points — and the driver folds them in a canonical sorted
+    order (fixed float-add order, the _pq_train recipe).  Memoized per
+    (session, corpus) and on disk: both the trainer and both encode/ADC
+    kernels need bit-identical centroids."""
+    import numpy as np
+    import pandas as pd
+
+    from pathlib import Path
+
+    from ..io import ART_ROOT
+
+    key = (id(spark.sparkContext), sf_dir, "ivf_cells")
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    disk = Path(ART_ROOT) / f"ivf_cells_{sf_key(sf_dir)}.npy"
+    if disk.exists():
+        cells = np.load(disk)
+        _PQ_CACHE[key] = cells
+        return cells
+
+    def partials(batches):
+        sums: dict = {}
+        cnts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
+            labs = np.asarray(pdf["label"].to_list(), dtype=np.int64)
+            for lab in np.unique(labs):
+                sel = X[labs == lab]
+                sums[int(lab)] = sums.get(int(lab), 0.0) + sel.sum(axis=0)
+                cnts[int(lab)] = cnts.get(int(lab), 0) + len(sel)
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "label": list(sums),
+                    "s": [sums[k].tolist() for k in sums],
+                    "c": [cnts[k] for k in sums],
+                }
+            )
+
+    rows = (
+        _pq_emb(spark, sf_dir)
+        .mapInPandas(partials, "label int, s array<double>, c bigint")
+        .collect()
+    )
+    n_labels = max(r["label"] for r in rows) + 1
+    dim = len(rows[0]["s"])
+    cells = np.zeros((n_labels, dim))
+    counts = np.zeros(n_labels, dtype=np.int64)
+    for r in sorted(rows, key=lambda r: (r["label"], r["c"], r["s"])):
+        cells[r["label"]] += np.asarray(r["s"])
+        counts[r["label"]] += r["c"]
+    nz = counts > 0
+    cells[nz] /= counts[nz][:, None]
+    _PQ_CACHE[key] = cells
+    disk.parent.mkdir(parents=True, exist_ok=True)
+    np.save(disk, cells)
+    return cells
 
 
 def _pq_assign(X, C, M, SUB):
@@ -824,12 +897,20 @@ def _pq_assign(X, C, M, SUB):
     return codes, err
 
 
-def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
+def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8, residual=False):
     """Train the M product-quantizer codebooks in one distributed pass per
     Lloyd iteration; memoized per (session, corpus) because both
     `mm_embed_pq` and `sim_ivf_pq` need the same deterministic codebook
     and the fit is the expensive part.  See `mm_embed_pq` for the full
-    design rationale (partial-sum shuffle shape, determinism argument)."""
+    design rationale (partial-sum shuffle shape, determinism argument).
+
+    ``residual=True`` trains on x − cell_centroid(label(x)) instead of
+    raw x — the IVFADC recipe (Jegou et al. 2011 §III).  On clustered
+    corpora raw-vector codes capture cluster identity, which the IVF
+    routing already resolved, and carry no within-cell ranking signal
+    (measured: recall@5 collapsed to 0.02 on the r11 planted-cluster
+    corpus); residual codes spend all their bits on exactly the
+    within-cell differences ADC must rank."""
     import numpy as np
     import pandas as pd
 
@@ -839,27 +920,41 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
 
     from ..io import ART_ROOT
 
-    key = (id(spark.sparkContext), sf_dir, M, SUB, K, iters)
+    key = (id(spark.sparkContext), sf_dir, M, SUB, K, iters, residual)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
     # disk layer under the session cache: the codebook is deterministic for
     # a corpus, tiny (M*K*SUB doubles = 8 KiB), and costs ~8 Spark jobs to
     # fit — the same artifact rationale as disk_memo, stored as .npy
+    tag = "_res" if residual else ""
     disk = (
         Path(ART_ROOT)
-        / f"pq_codebook_v{M}x{SUB}_{K}_{iters}_{sf_key(sf_dir)}.npy"
+        / f"pq_codebook_v{M}x{SUB}_{K}_{iters}{tag}_{sf_key(sf_dir)}.npy"
     )
     if disk.exists():
         cents = _np.load(disk)
         _PQ_CACHE[key] = cents
         return cents
+    sc = spark.sparkContext
+    cells = _cell_centroids(spark, sf_dir) if residual else None
+    bc_cells = sc.broadcast(cells) if residual else None
+
+    def as_train_X(pdf):
+        X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
+        if residual:
+            labs = np.asarray(pdf["label"].to_list(), dtype=np.int64)
+            X = X - bc_cells.value[labs]
+        return X
+
     emb = _pq_emb(spark, sf_dir)
     init = emb.orderBy("vec_id").limit(K).collect()
-    cents = np.asarray(
-        [r["x"] for r in init], dtype=np.float64
-    ).reshape(K, M, SUB).transpose(1, 0, 2).copy()  # (M, K, SUB)
+    init_X = np.asarray([r["x"] for r in init], dtype=np.float64)
+    if residual:
+        init_X = init_X - cells[
+            np.asarray([r["label"] for r in init], dtype=np.int64)
+        ]
+    cents = init_X.reshape(K, M, SUB).transpose(1, 0, 2).copy()  # (M, K, SUB)
 
-    sc = spark.sparkContext
     for _ in range(iters):
         bc = sc.broadcast(cents)
 
@@ -870,7 +965,7 @@ def _pq_train(spark, sf_dir, M=8, SUB=8, K=16, iters=8):
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
+                X = as_train_X(pdf)
                 for m in range(M):
                     S = X[:, m * SUB:(m + 1) * SUB]
                     d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
@@ -972,12 +1067,16 @@ def sim_ivf_pq(spark, sf_dir):
     per query.  Composed: candidates shuffle only on probed cell ids, and
     each candidate costs 8 bytes of codes + one table lookup per subspace.
 
-    Pipeline (all deterministic): (1) encode every vector once with the
-    shared memoized `_pq_train` codebook (map-only); (2) route queries to
-    their 3 nearest label-cells exactly like `sim_ivf_topk`; (3) score
-    candidates ASYMMETRICALLY — the query keeps full precision, the
-    candidate is reconstructed from its codes, score = dot(q, recon(c)) —
-    via one vectorized numpy kernel in mapInPandas (the ADC table-lookup
+    Pipeline (all deterministic): (1) encode every vector's RESIDUAL
+    against its cell centroid with the shared memoized residual-mode
+    `_pq_train` codebook (map-only; the IVFADC recipe — raw-vector codes
+    spend their bits re-encoding cluster identity the routing already
+    resolved, and collapsed to recall@5 = 0.02 on the r11
+    planted-cluster corpus); (2) route queries to their 3 nearest
+    label-cells exactly like `sim_ivf_topk`; (3) score candidates
+    ASYMMETRICALLY — the query keeps full precision, score =
+    dot(q, cell_centroid) + dot(q, recon(residual codes)) — via one
+    vectorized numpy kernel in mapInPandas (the ADC table-lookup
     formulation, batched as a reconstruct+matmul which is numerically
     identical).  Top-5 per query by (adc_score DESC, neighbor_id).
     Gates in tests/test_ml_quality.py: bit-determinism across runs and
@@ -986,18 +1085,22 @@ def sim_ivf_pq(spark, sf_dir):
     import pandas as pd
 
     M, SUB = 8, 8
-    cents = _pq_train(spark, sf_dir)  # (M, K, SUB)
+    cents = _pq_train(spark, sf_dir, residual=True)  # (M, K, SUB)
+    cells = _cell_centroids(spark, sf_dir)  # (n_labels, 64)
 
-    # (1) PQ-encode all candidate vectors (map-only, reuses final codebook)
+    # (1) PQ-encode every vector's residual (map-only, reuses codebook)
     bc = spark.sparkContext.broadcast(cents)
+    bc_cells = spark.sparkContext.broadcast(cells)
 
     def encode(batches):
         C = bc.value
+        cellsC = bc_cells.value
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.asarray(pdf["x"].to_list(), dtype=np.float64)
-            codes, _ = _pq_assign(X, C, M, SUB)
+            labs = np.asarray(pdf["label"].to_list(), dtype=np.int64)
+            codes, _ = _pq_assign(X - cellsC[labs], C, M, SUB)
             yield pd.DataFrame(
                 {"neighbor_id": pdf["vec_id"], "codes": [c.tolist() for c in codes]}
             )
@@ -1023,28 +1126,68 @@ def sim_ivf_pq(spark, sf_dir):
 
     def adc(batches):
         C = bc.value
+        cellsC = bc_cells.value
         for pdf in batches:
             if not len(pdf):
                 continue
             Q = np.asarray(pdf["qe"].to_list(), dtype=np.float64)
+            cell = np.asarray(pdf["cell"].to_list(), dtype=np.int64)
             codes = np.asarray(pdf["codes"].to_list(), dtype=np.int64)
             R = np.concatenate(
                 [C[m][codes[:, m]] for m in range(M)], axis=1
-            )  # (n, 64) reconstructed candidates
+            )  # (n, 64) reconstructed residuals
+            # recon(x) = cell_centroid + recon(residual): score both terms
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
                     "neighbor_id": pdf["neighbor_id"],
-                    "adc_score": (Q * R).sum(axis=1),
+                    "adc_score": (Q * (cellsC[cell] + R)).sum(axis=1),
                 }
             )
 
     scored = pairs.mapInPandas(adc, "query_id long, neighbor_id long, adc_score double")
-    w = W.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("neighbor_id"))
+
+    # (4) refine: ADC ranks a SHORTLIST, exact dot ranks the final 5 (the
+    # FAISS IVFPQR two-stage shape).  Quantization error at practical code
+    # sizes cannot separate the top-5 from rank ~50 when within-cell
+    # margins are tight (measured on the r11 planted corpus: pure ADC
+    # recall@5 plateaus at ~0.2-0.34 even at 128-bit codes; refine at
+    # R=100 reaches 0.92 at the 2k-vector leg).  R must scale with cell
+    # density — a fixed R covers a shrinking fraction of each cell as the
+    # corpus grows (measured: 0.92 -> 0.38 at 10x with R pinned at 100;
+    # R=N/50 restores 0.66) — so it derives from the corpus size, clamped
+    # to keep the refine join bounded.  At 10^9 vectors the refine join is
+    # cheap BY CONSTRUCTION: the shortlist is |queries| x R rows —
+    # broadcast it against the embedding table and only those rows' raw
+    # vectors are ever fetched; the scan-heavy stage stays codes-only.
+    REFINE = max(100, min(1000, e.count() // 50))
+    wad = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(wad))
+        .filter(F.col("rn") <= REFINE)
+        .select("query_id", "neighbor_id")
+    )
+    q_full = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    n_full = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ne"),
+    )
+    refined = (
+        F.broadcast(short)
+        .join(n_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .withColumn("score", _dot(F.col("qe"), F.col("ne")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        refined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "adc_score")
+        .select("query_id", "neighbor_id", "score")
     )
 
 

@@ -10,12 +10,15 @@ cells/buckets?  For each sf_dir it runs the exact brute-force twin
 (sim_cosine_topk) and each approximate op, and reports per-op recall@5
 (pair-set intersection over the same 10 queries) plus wall seconds.
 
-Caveat recorded in the output: the synthetic sf1 replicates embedding
-vectors byte-identically with shifted ids (tools/scaleup_synth.py), so
-the denser corpus is ALSO tie-heavy — exact top-5 is then id-tie-broken
-among equal cosines while ANN candidate sets include all replicas of a
-matching vector; recall measured here is a lower bound for organically
-denser data.
+Caveat (default-synth legs only): a corpus built WITHOUT
+--plant-embeddings replicates embedding vectors byte-identically with
+shifted ids (tools/scaleup_synth.py), so the denser corpus is tie-heavy —
+exact top-5 is then id-tie-broken among equal cosines while ANN candidate
+sets include all replicas of a matching vector; recall measured there is
+a lower bound for organically denser data.  r11+: run the planted-cluster
+legs (scaleup_synth --plant-embeddings) so IVF/PQ recall is measured in
+the clustered regime those indexes are built for, alongside the original
+random-vector fixture leg for the no-structure regime.
 """
 
 from __future__ import annotations
