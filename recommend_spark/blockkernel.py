@@ -76,3 +76,132 @@ def index_ordered_dot_block(a_mat, b_mat):
     for k in range(b_mat.shape[1]):
         acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
     return acc
+
+
+def bitset_gemm_pairs(
+    stream_df,
+    index_rows,
+    vocab_map,
+    *,
+    metric,
+    tau,
+    exclude_self=False,
+):
+    """All qualifying (stream, index) set-intersection pairs via a dense
+    0/1 GEMM block kernel — the degenerate-vocabulary twin of the
+    embedding block kernels above.
+
+    When a corpus's whole vocabulary fits a small universe (templated or
+    boilerplate-heavy corpora; the regime that DEFEATS rare-token prefix
+    filtering, because every posting list is a large fraction of the
+    corpus, so the candidate join degenerates toward the quadratic pair
+    space it exists to avoid), each document's distinct-token set is a
+    |V|-bit incidence vector and the exact intersection size of every
+    pair is one matrix product: ``n_common = A_bits @ B_bits.T``.  The
+    index side ships as a compact uint8 matrix via torrent broadcast
+    (N×V bytes; callers gate on ``max_staged_bytes``), the stream side
+    flows through ``mapInPandas`` in Arrow batches — a map-only plan:
+    no candidate shuffle, no pair materialization beyond the qualifying
+    output.
+
+    Unlike ``index_ordered_dot_block`` (floats: accumulation order
+    changes the bits, so BLAS is banned there), every partial sum here
+    is an integer ≤ |V| ≤ 1024 < 2^24 — exact in float32 under ANY
+    accumulation order, so this kernel may (and does) use the platform
+    GEMM.  The final metric is one float64 division of exact small
+    ints — bit-identical to Spark's and DuckDB's double division.
+
+    Args:
+      stream_df: DataFrame (id long, nt long, toks array<string>) —
+        each streamed document's distinct tokens.
+      index_rows: list of (id, nt, toks-list) rows (already collected;
+        the caller gates the size against ``max_staged_bytes``).
+      vocab_map: dict token -> bit index over the WHOLE corpus
+        vocabulary (caller gates len(vocab_map) ≤ 1024).
+      metric: 'containment' (n_common / nt_stream) or
+        'jaccard' (n_common / (nt_stream + nt_index − n_common)).
+      tau: qualifying threshold, metric ≥ tau.
+      exclude_self: drop stream id == index id pairs (self-join mode).
+
+    Returns a DataFrame (sid long, iid long, n_common long, metric
+    double); callers rename/reorder/cast to their output contract.
+    """
+    import numpy as np
+
+    vocab_bits = len(vocab_map)
+    idx_ids = np.asarray([r[0] for r in index_rows], dtype=np.int64)
+    idx_nt = np.asarray([r[1] for r in index_rows], dtype=np.float64)
+    idx_mat = np.zeros((len(index_rows), vocab_bits), dtype=np.uint8)
+    for i, r in enumerate(index_rows):
+        if r[2]:
+            idx_mat[i, [vocab_map[t] for t in r[2]]] = 1
+    # torrent broadcast, fetched once per python worker and shared by its
+    # tasks — NOT a closure capture, which would re-pickle the matrix into
+    # every task (the embed-cosine kernel's established transport)
+    bc = stream_df.sparkSession.sparkContext.broadcast(
+        (idx_ids, idx_nt, idx_mat)
+    )
+
+    # Sub-block the stream batch so each (block × N_index) float32 score
+    # matrix stays cache-sized (≤64 MB) regardless of Arrow batch size.
+    block = max(1, min(512, (64 << 20) // max(1, 4 * len(index_rows))))
+
+    def kernel(batches):
+        import pandas as pd
+
+        b_ids, b_nt, b_mat = bc.value
+        bt = b_mat.astype(np.float32).T  # cast once per partition
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            a = np.zeros((m, vocab_bits), dtype=np.float32)
+            for i, ts in enumerate(pdf["toks"]):
+                if len(ts):
+                    a[i, [vocab_map[t] for t in ts]] = 1.0
+            s_ids = pdf["id"].to_numpy(np.int64)
+            s_nt = pdf["nt"].to_numpy(np.float64)
+            for lo in range(0, m, block):
+                hi = min(m, lo + block)
+                c = a[lo:hi] @ bt  # exact small ints in float32
+                # Conservative integer PREFILTER in float32 (c is
+                # integer-valued, so c >= floor(x) admits every pair with
+                # c/denom >= tau and at most one spurious count level);
+                # the exact float64 division — the one both engines hash —
+                # runs only on the sparse survivors, not the dense block.
+                if metric == "containment":
+                    pre = c >= np.floor(tau * s_nt[lo:hi])[:, None].astype(
+                        np.float32
+                    )
+                else:  # jaccard: c/(na+nb-c) >= tau  <=  c >= t/(1+t)*(na+nb)
+                    pre = c >= np.floor(
+                        (tau / (1.0 + tau))
+                        * (s_nt[lo:hi, None] + b_nt[None, :])
+                    ).astype(np.float32)
+                si, ii = np.nonzero(pre)
+                if len(si) == 0:
+                    continue
+                cs = c[si, ii].astype(np.float64)
+                na = s_nt[lo + si]
+                denom = na if metric == "containment" else (
+                    na + b_nt[ii] - cs
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    val = cs / denom
+                ok = (denom > 0) & (val >= tau)
+                if exclude_self:
+                    ok &= s_ids[lo + si] != b_ids[ii]
+                if not ok.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "sid": s_ids[lo + si[ok]],
+                        "iid": b_ids[ii[ok]],
+                        "n_common": cs[ok].astype(np.int64),
+                        "metric": val[ok],
+                    }
+                )
+
+    return stream_df.mapInPandas(
+        kernel, "sid long, iid long, n_common long, metric double"
+    )

@@ -336,10 +336,15 @@ def dedup_containment(spark, sf_dir):
     (token ranks follow the same global order in both docs, so shared
     tokens are ordered consistently — the bound is lossless).  Candidate
     fan-out is governed by A-prefix (rare-token) posting lists; the
-    nb >= ceil(tau*na) length filter prunes at join time.  The degenerate
-    small-vocab/small-corpus fast path broadcasts signatures and
-    popcount-joins all ordered pairs map-side, exactly like the Jaccard
-    twin.  n_common and na are exact ints; the single division then one
+    nb >= ceil(tau*na) length filter prunes at join time.  When the
+    WHOLE vocabulary fits the mask universe (≤1024 tokens — templated
+    corpora, where every posting list is corpus-sized and prefix
+    filtering cannot prune) the op routes to the bitset GEMM block
+    kernel instead: the corpus ships as an N×|V| uint8 incidence
+    matrix, the A side streams through mapInPandas, and each pair's
+    exact intersection is one integer-exact float32 GEMM cell
+    (blockkernel.bitset_gemm_pairs; gated on max_staged_bytes).
+    n_common and na are exact ints; the single division then one
     compare is bit-deterministic in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     return _containment_pairs(docs)
@@ -348,7 +353,7 @@ def dedup_containment(spark, sf_dir):
 def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
     """Directional containment pairs; see dedup_containment.  The
     ``force_prefix_path`` hook lets tests exercise the web-scale prefix
-    pipeline on corpora that would otherwise take the broadcast fast
+    pipeline on corpora that would otherwise take the GEMM kernel
     path."""
     if toks_expr is None:
         toks_expr = _TOKS()
@@ -389,39 +394,43 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
             .select("doc_a", "doc_b", "n_common", "containment")
         )
 
-    if not force_prefix_path and n_vocab <= top_bits and d.count() <= 20_000:
-        # fast path: all ordered pairs, signatures broadcast, popcount inline
-        sa0 = sig.filter(F.col("nt") >= min_n).select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("rare").alias("rare_a"),
-            F.col("nt").alias("na"),
-            *[F.col(f"mask{s}").alias(f"ma{s}") for s in range(n_slots)],
-        )
-        sb0 = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("rare").alias("rare_b"),
-            F.col("nt").alias("nb"),
-            *[F.col(f"mask{s}").alias(f"mb{s}") for s in range(n_slots)],
-        )
-        popcnt = sum(
-            F.bit_count(F.col(f"ma{s}").bitwiseAND(F.col(f"mb{s}")))
-            for s in range(n_slots)
-        )
-        inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast("int")
-        return (
-            sa0.join(
-                F.broadcast(sb0),
-                (F.col("doc_a") != F.col("doc_b"))
-                & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na"))),
+    if not force_prefix_path and n_vocab <= top_bits:
+        # Degenerate-vocabulary regime: the whole vocabulary fits the
+        # mask universe, which means token posting lists are each a large
+        # fraction of the corpus and the one-sided prefix join below
+        # degenerates toward the quadratic candidate space (measured at
+        # the perturbed sf1 campaign corpus: 147 s for ~55M true pairs —
+        # >100× candidate waste).  Route to the bitset GEMM block kernel:
+        # the corpus ships as an N×|V| uint8 incidence matrix, the A side
+        # streams map-only, and every pair's exact intersection is one
+        # float32 GEMM cell (integer-exact; see bitset_gemm_pairs).
+        from ..blockkernel import bitset_gemm_pairs, max_staged_bytes
+
+        n_docs = d.count()
+        if n_docs * n_vocab * 4 <= max_staged_bytes():
+            vocab_map = {
+                r["w"]: i for i, r in enumerate(parts["freq"].collect())
+            }
+            index_rows = [
+                (r["doc_id"], r["nt"], r["toks"])
+                for r in d.select("doc_id", "nt", "toks").collect()
+            ]
+            stream = d.filter(F.col("nt") >= min_n).select(
+                F.col("doc_id").alias("id"), "nt", "toks"
             )
-            .withColumn("n_common", inter)
-            .withColumn(
-                "containment",
-                F.col("n_common").cast("double") / F.col("na").cast("double"),
+            return bitset_gemm_pairs(
+                stream,
+                index_rows,
+                vocab_map,
+                metric="containment",
+                tau=tau,
+                exclude_self=True,
+            ).select(
+                F.col("sid").alias("doc_a"),
+                F.col("iid").alias("doc_b"),
+                F.col("n_common").cast("int").alias("n_common"),
+                F.col("metric").alias("containment"),
             )
-            .filter(F.col("containment") >= tau)
-            .select("doc_a", "doc_b", "n_common", "containment")
-        )
 
     a_pref = ranked.filter(F.col("nt") >= min_n).filter(
         F.col("r") <= F.col("nt") - F.ceil(F.lit(tau) * F.col("nt")) + 1

@@ -1005,11 +1005,28 @@ def join_set_similarity(spark, sf_dir):
     token-keyed shuffle whose volume is governed by rare-token postings
     (the frequency ordering is exactly what keeps hot tokens out of
     prefixes); rescoring touches only candidates.  The vocabulary rank
-    table is |vocab|-sized and broadcast."""
+    table is |vocab|-sized and broadcast.
+
+    Degenerate-vocabulary regime: the corpus side of the candidate join
+    is ALL tokens of all corpus docs (one-sided prefix — B's shared
+    token may sit anywhere), so when the vocabulary is small every
+    posting is corpus-sized and candidates degenerate quadratic
+    (measured: 17 s for 394k true pairs at the perturbed sf1 campaign
+    corpus).  When the whole vocabulary fits 1024 bits and the PROBE
+    matrix fits the staging budget, route to the bitset GEMM kernel:
+    probes broadcast as a P×|V| incidence matrix, the corpus STREAMS
+    map-only through mapInPandas — no shuffle at all, cost O(corpus·P)
+    integer-exact GEMM cells (blockkernel.bitset_gemm_pairs)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
     )
+    return _set_similarity_pairs(docs)
+
+
+def _set_similarity_pairs(docs, force_prefix_path: bool = False):
+    """join_set_similarity body; ``force_prefix_path`` pins the web-scale
+    prefix pipeline for tests on corpora the GEMM kernel would take."""
     toks = docs.select(
         "doc_id", F.size("toks").alias("nt"), F.explode("toks").alias("tok")
     )
@@ -1019,6 +1036,47 @@ def join_set_similarity(spark, sf_dir):
     # an integer rank would need a no-partition row_number (a single-task
     # sort over |vocab|, the classic web-corpus bottleneck) for zero gain.
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    is_probe = F.col("doc_id") % 100 == 0
+    if not force_prefix_path:
+        from ..blockkernel import bitset_gemm_pairs, max_staged_bytes
+
+        n_vocab = vocab.count()
+        if n_vocab <= 1024:
+            probes = docs.filter(is_probe).select(
+                "doc_id", F.size("toks").alias("nt"), "toks"
+            )
+            n_probes = probes.count()
+            if n_probes * n_vocab * 4 <= max_staged_bytes():
+                vocab_map = {
+                    r["tok"]: i for i, r in enumerate(vocab.collect())
+                }
+                index_rows = [
+                    (r["doc_id"], r["nt"], r["toks"])
+                    for r in probes.collect()
+                ]
+                # single local parquet file = one input split; spread the
+                # corpus before the kernel so all cores stream it
+                stream = (
+                    docs.filter(~is_probe)
+                    .select(
+                        F.col("doc_id").alias("id"),
+                        F.size("toks").alias("nt"),
+                        "toks",
+                    )
+                    .repartition(32)
+                )
+                return bitset_gemm_pairs(
+                    stream,
+                    index_rows,
+                    vocab_map,
+                    metric="jaccard",
+                    tau=_SSJ_TAU,
+                ).select(
+                    F.col("iid").alias("probe_id"),
+                    F.col("sid").alias("match_id"),
+                    F.col("n_common"),
+                    F.col("metric").alias("jaccard"),
+                )
     ranked = toks.join(F.broadcast(vocab), "tok").select(
         "doc_id",
         "nt",
@@ -1027,7 +1085,6 @@ def join_set_similarity(spark, sf_dir):
         .over(W.partitionBy("doc_id").orderBy("c", "tok"))
         .alias("pos"),
     )
-    is_probe = F.col("doc_id") % 100 == 0
     prefix = ranked.filter(is_probe).filter(
         F.col("pos")
         <= F.col("nt") - F.ceil(F.lit(_SSJ_TAU) * F.col("nt")) + 1

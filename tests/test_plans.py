@@ -420,17 +420,33 @@ def test_hop_tvf_expands_not_joins(spark):
 
 
 def test_set_similarity_join_never_quadratic(spark):
-    """join_set_similarity: prefix-filtered equi-joins only — the plan
-    must contain no cartesian/nested-loop node, and the vocabulary rank
-    table must arrive broadcast."""
-    plan = _plan(QUERIES["join_set_similarity"](spark, SF_DIR))
-    assert "CartesianProduct" not in plan, plan[:3000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "BroadcastHashJoin" in plan, plan[:3000]
+    """join_set_similarity: no cartesian/nested-loop node on EITHER path.
+    The fixture's 31-token vocabulary routes the auto path to the bitset
+    GEMM kernel — a map-only plan (MapInPandas, zero join operators);
+    the forced web-scale path keeps the prefix-filtered equi-join shape
+    with the vocabulary rank table broadcast."""
+    auto = _plan(QUERIES["join_set_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in auto, auto[:3000]
+    assert "BroadcastNestedLoopJoin" not in auto, auto[:3000]
+    assert "MapInPandas" in auto, auto[:3000]
+    # kernel path: probes ship via broadcast variable, the corpus streams —
+    # no join operator of any kind in the plan
+    assert "Join" not in auto, auto[:3000]
+
+    from recommend_spark.queries.joins import _set_similarity_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    forced = _plan(_set_similarity_pairs(docs, force_prefix_path=True))
+    assert "CartesianProduct" not in forced, forced[:3000]
+    assert "BroadcastNestedLoopJoin" not in forced, forced[:3000]
+    assert "BroadcastHashJoin" in forced, forced[:3000]
     # the rarity order must never materialize through a global rank: a
     # no-partition window is a single-task sort over |vocab| (fails on a
     # web corpus's open vocabulary); ordering lives in the per-doc window
-    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in forced, forced[:3000]
 
 
 def test_ivm_upsert_merges_not_recomputes(spark):

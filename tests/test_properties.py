@@ -937,3 +937,105 @@ def test_bfs_kernel_on_planted_graphs(spark):
     two = sym([(0, 1), (5, 6)])
     got = {r["node"]: r["dist"] for r in bfs_distances(two, seed, 4).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def _degenerate_corpus(rng, n_docs, vocab_size, id_of):
+    """Small-vocabulary corpus (the bitset GEMM kernel's regime): every
+    token posting is a large corpus fraction, so prefix filtering can't
+    prune and the auto path must route to the kernel."""
+    vocab = [f"w{i:03d}" for i in range(vocab_size)]
+    docs = []
+    for k in range(n_docs):
+        n = rng.randint(3, min(30, vocab_size))
+        docs.append((id_of(k), " ".join(rng.sample(vocab, n))))
+    # planted near-subset family: doc id_of(1) ⊂ doc id_of(2) plus noise
+    base = docs[1][1].split()
+    docs[2] = (docs[2][0], " ".join(base + rng.sample(vocab, 2)))
+    return docs
+
+
+def test_containment_gemm_kernel_matches_brute_force(spark):
+    """The degenerate-vocabulary GEMM kernel path must return EXACTLY the
+    brute-force containment pairs — ids, counts AND the float64 metric
+    (the kernel divides exact small ints in float64, the same operation
+    Spark and DuckDB hash)."""
+    import random
+
+    from recommend_spark.queries.dedup import (
+        _CONTAIN_MIN_TOKENS,
+        _CONTAIN_TAU,
+        _containment_pairs,
+    )
+
+    rng = random.Random(29)
+    docs = _degenerate_corpus(rng, 90, 48, lambda k: k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = _containment_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "kernel path must engage on small vocab"
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["containment"])
+        for r in out.collect()
+    }
+
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    want = set()
+    for a, ta in sets.items():
+        if len(ta) < _CONTAIN_MIN_TOKENS:
+            continue
+        for b, tb in sets.items():
+            if a == b:
+                continue
+            inter = len(ta & tb)
+            if inter / len(ta) >= _CONTAIN_TAU:
+                want.add((a, b, inter, inter / len(ta)))
+    assert want, "fixture must contain at least one qualifying pair"
+    assert got == want
+
+
+def test_ssj_gemm_kernel_matches_brute_force_and_prefix(spark):
+    """join_set_similarity's GEMM kernel path must equal both the python
+    brute force and the forced web-scale prefix path on the same
+    degenerate-vocabulary corpus."""
+    import random
+
+    from recommend_spark.queries.joins import _SSJ_TAU, _set_similarity_pairs
+
+    rng = random.Random(31)
+    # ids 0..119 → probes {0, 100}; planted near-dup pair lands on 1/2
+    docs = _degenerate_corpus(rng, 120, 40, lambda k: k)
+    # make one PROBE a planted near-duplicate of a corpus doc so the
+    # qualifying set is non-trivial on the probe side too
+    docs[100] = (100, docs[3][1])
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+
+    got = {
+        (r["probe_id"], r["match_id"], r["n_common"], r["jaccard"])
+        for r in _set_similarity_pairs(df).collect()
+    }
+    forced = {
+        (r["probe_id"], r["match_id"], r["n_common"], r["jaccard"])
+        for r in _set_similarity_pairs(
+            df, force_prefix_path=True
+        ).collect()
+    }
+
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    want = set()
+    for a, ta in sets.items():
+        if a % 100 != 0:
+            continue
+        for b, tb in sets.items():
+            if b % 100 == 0:
+                continue
+            inter = len(ta & tb)
+            j = inter / (len(ta) + len(tb) - inter)
+            if j >= _SSJ_TAU:
+                want.add((a, b, inter, j))
+    assert want, "fixture must contain at least one qualifying pair"
+    assert got == want
+    assert forced == want
