@@ -703,7 +703,19 @@ def banded_hamming_pairs(sh, max_hamming: int = 3):
     several blocks is kept only where blk equals its FIRST matching block
     (xor block == 0) — pure codegen dedup, which matters because near-dup
     corpora match on most blocks (the distinct variant aggregated ~4x the
-    result set: 2.6 s at sf0.1)."""
+    result set: 2.6 s at sf0.1).
+
+    Banding runs at SIGNATURE-CLASS level (r11): boilerplate-heavy
+    corpora collapse many docs onto one signature (perturbed sf1
+    campaign corpus: 50k docs → 19.8k distinct signatures), and banding
+    distinct signatures instead of docs shrank the candidate join
+    10× (535M → 53.7M rows) for the same output.  Same-class pairs
+    (Hamming 0) come straight from a signature equi-self-join; the
+    2.2M qualifying class pairs expand back to doc pairs through two
+    signature-keyed equi-joins, so every post-banding stage is sized
+    by classes or by output, never by docs².  On a diverse corpus
+    classes ≈ docs and the collapse is one extra 16-byte-key
+    aggregate — the no-regret default."""
     n_blocks = _SIMHASH_BITS // 6
     if max_hamming >= n_blocks:
         raise ValueError(
@@ -716,21 +728,12 @@ def banded_hamming_pairs(sh, max_hamming: int = 3):
             for i in range(n_blocks)
         ]
     )
-    sigb = sh.select(
-        "doc_id", "simhash", F.posexplode(blk_vals).alias("blk", "bval")
+    cls = sh.select("simhash").distinct()
+    sigb = cls.select(
+        "simhash", F.posexplode(blk_vals).alias("blk", "bval")
     )
-    a = sigb.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        "blk",
-        "bval",
-    )
-    b = sigb.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        "blk",
-        "bval",
-    )
+    a = sigb.select(F.col("simhash").alias("sh_a"), "blk", "bval")
+    b = sigb.select(F.col("simhash").alias("sh_b"), "blk", "bval")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     xr = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     # first matching block, derived for ALL n_blocks (a hardcoded chain
@@ -741,13 +744,34 @@ def banded_hamming_pairs(sh, max_hamming: int = 3):
             F.shiftright(xr, i * 6).bitwiseAND(F.lit(63)) == 0, i
         )
     first_blk = first_blk.otherwise(n_blocks - 1)
-    return (
+    cpairs = (
         a.join(b, ["blk", "bval"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("blk") == first_blk))
+        .filter((F.col("sh_a") < F.col("sh_b")) & (F.col("blk") == first_blk))
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("sh_a", "sh_b", "hamming")
     )
+    da = sh.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sh_a"))
+    db = sh.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sh_b"))
+    cross = (
+        cpairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = (
+        da.join(db, da.sh_a == db.sh_b)
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 _SQL_DOT = """
@@ -1584,14 +1608,20 @@ def dedup_span_fraction(spark, sf_dir):
     a doc can be unique as a whole yet 60% boilerplate, and this is the
     metric that sees it (filter or down-weight above a threshold).
 
-    Scale shape: two key exchanges over the shingle stream and nothing
-    else — (1) groupBy(shingle) reduced to a BOOLEAN cross-doc marker
-    via min(doc)!=max(doc) (deliberately NOT count(DISTINCT doc): the
-    dup test needs only "seen in two docs", so the reducer state is two
-    longs, no distinct expansion); (2) the shingle-keyed join back onto
-    the position stream, then a doc-keyed count.  No vocabulary
-    broadcast, no quadratic pair set; both aggregates partial map-side.
-    The fraction is one long/long double division — hash-exact.
+    Scale shape (r11 rewrite — the join-back is gone): (1) ONE
+    shingle-keyed exchange, groupBy(shingle, doc) collapsing repeated
+    positions to a count (partial map-side, so hot boilerplate shingles
+    combine before the wire); (2) a window over the collapsed
+    (shingle, doc) rows counts distinct docs per shingle — the dup test
+    needs only "seen in ≥2 docs"; (3) a doc-keyed re-aggregate weighs
+    each shingle by its position count.  The old shape re-joined the
+    FULL position stream against the shingle roll-up — one more
+    full-stream exchange plus a join whose probe side is the corpus'
+    positions (measured 12.6 s → 7.7 s at the perturbed sf1 corpus;
+    the position stream is also shingled in ONE branch now, so the
+    single-file local fixture no longer tokenizes twice).  No
+    vocabulary broadcast, no quadratic pair set.  The fraction is one
+    long/long double division — hash-exact.
 
     Both exchanges key on the raw 5-gram STRING; with
     ``spark.graft.surrogateShuffleKeys=true`` (canon.py) the shingle is
@@ -1608,6 +1638,9 @@ def dedup_span_fraction(spark, sf_dir):
         # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1
         # happily counts DOWNWARD and would fabricate shingles
         .filter(F.size("w") >= 5)
+        # single local parquet file = one input split; spread the docs so
+        # the shingling map (the expensive narrow stage) uses every core
+        .repartition(32, "doc_id")
     )
     sh = docs.select(
         "doc_id",
@@ -1624,17 +1657,18 @@ def dedup_span_fraction(spark, sf_dir):
         key = ["s1", "s2"]
     else:
         key = ["s"]
-    dup = sh.groupBy(*key).agg(
-        F.when(F.min("doc_id") != F.max("doc_id"), 1)
-        .otherwise(0)
-        .alias("dup")
-    )
+    collapsed = sh.groupBy(*key, "doc_id").agg(F.count("*").alias("pc"))
+    ndocs = F.count("*").over(W.partitionBy(*key))
     return (
-        sh.join(dup, key)
+        collapsed.withColumn("ndocs", ndocs)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum("dup").cast("long").alias("n_dup"),
+            F.sum("pc").cast("long").alias("n_shingles"),
+            F.coalesce(
+                F.sum(F.when(F.col("ndocs") >= 2, F.col("pc"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup"),
         )
         .withColumn(
             "dup_frac",

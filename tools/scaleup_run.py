@@ -42,8 +42,22 @@ def run_leg(sf_dir: str) -> dict:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:] + "\n")
         raise SystemExit(f"bench leg failed for {sf_dir}")
-    # first stdout line is the FULL record (bench.py contract)
-    rec = json.loads(proc.stdout.strip().splitlines()[0])
+    # The FULL record is the first stdout line that parses (bench.py
+    # contract) — but the JVM's unified logging can interleave warning
+    # lines onto STDOUT (observed: "[93s][warning][gc,alloc] ... Retried
+    # waiting for GCLocker" landed before the record and broke a blind
+    # splitlines()[0] parse), so scan for the first parseable record line.
+    rec = None
+    for line in proc.stdout.strip().splitlines():
+        if line.startswith('{"metric"'):
+            try:
+                rec = json.loads(line)
+                break
+            except ValueError:
+                continue
+    if rec is None:
+        sys.stderr.write(proc.stdout[-2000:] + "\n")
+        raise SystemExit(f"no parseable bench record for {sf_dir}")
     rec["leg_wall_seconds"] = round(wall, 1)
     print(
         f"leg {sf_dir}: suite {rec['value']}s / {rec['n_queries']}q, "
