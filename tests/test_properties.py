@@ -612,14 +612,17 @@ def test_jsonl_shards_file_count_and_round_trip(spark):
     """The export writes exactly 4 JSONL shards and loses no rows."""
     from pathlib import Path
 
-    from recommend_spark.io import ART_ROOT, load_table
+    from recommend_spark.io import ART_ROOT, load_table, sf_key
     from recommend_spark.queries import QUERIES
     from tests.conftest import SF_DIR
 
     n_src = load_table(spark, SF_DIR, "documents").count()
     n_out = QUERIES["sink_jsonl_shards"](spark, SF_DIR).count()
     assert n_out == n_src
-    shard_dir = Path(ART_ROOT) / f"sink_jsonl_docs_{Path(SF_DIR).name}"
+    # sf_key, not basename: the sink keys artifacts by basename + resolved
+    # path hash (io.sf_key).  The basename form silently passed for rounds
+    # on a STALE pre-sf_key shard dir until that leftover was cleaned.
+    shard_dir = Path(ART_ROOT) / f"sink_jsonl_docs_{sf_key(SF_DIR)}"
     parts = list(shard_dir.glob("part-*.json"))
     assert len(parts) == 4, parts
 
