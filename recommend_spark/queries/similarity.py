@@ -1152,15 +1152,20 @@ def sim_ivf_pq(spark, sf_dir):
     # sizes cannot separate the top-5 from rank ~50 when within-cell
     # margins are tight (measured on the r11 planted corpus: pure ADC
     # recall@5 plateaus at ~0.2-0.34 even at 128-bit codes; refine at
-    # R=100 reaches 0.92 at the 2k-vector leg).  R must scale with cell
-    # density — a fixed R covers a shrinking fraction of each cell as the
-    # corpus grows (measured: 0.92 -> 0.38 at 10x with R pinned at 100;
-    # R=N/50 restores 0.66) — so it derives from the corpus size, clamped
-    # to keep the refine join bounded.  At 10^9 vectors the refine join is
-    # cheap BY CONSTRUCTION: the shortlist is |queries| x R rows —
-    # broadcast it against the embedding table and only those rows' raw
-    # vectors are ever fetched; the scan-heavy stage stays codes-only.
-    REFINE = max(100, min(1000, e.count() // 50))
+    # R=100 reaches 0.92 at the 2k-vector leg).  R must scale with the
+    # PROBED CANDIDATE count, not the corpus — a fixed R (or a fixed
+    # corpus fraction) covers a shrinking share of what ADC actually
+    # ranks as cells densify.  Measured on the 20k planted leg:
+    # R=100 → 0.38, R=N/50=400 → 0.66, R=probed/6≈1000 → 0.84,
+    # R=probed/3≈2000 → 0.98 recall@5 at IDENTICAL wall (the refine join
+    # is |queries|×R rows either way).  probed/3 is the committed
+    # setting; the clamp keeps the refine join bounded when a production
+    # query batch is large.  At 10^9 vectors the refine join stays cheap
+    # BY CONSTRUCTION: the shortlist is |queries| x R rows — broadcast
+    # against the embedding table, only those rows' raw vectors are ever
+    # fetched; the scan-heavy stage stays codes-only.
+    n_probed = _IVF_NPROBE * e.count() // max(1, cells.shape[0])
+    REFINE = max(100, min(4000, n_probed // 3))
     wad = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
     )
