@@ -59,6 +59,21 @@ def fallback_buckets(parquet_path: str, dim: int) -> int:
     return max(1, min(MAX_BUCKETS, b))
 
 
+#: Rough per-object driver costs of collect()ing (id, nt, toks) rows —
+#: pyspark Row + list + short-str overhead.  The matrix-bytes gate alone
+#: under-measures the GEMM kernels' collects by 10-100x at small
+#: vocabularies (the matrix is N×V/8 bits but the token lists are
+#: N×nt Python strings), so callers bound BOTH against the same budget.
+COLLECT_ROW_BYTES = 96
+COLLECT_TOKEN_BYTES = 80
+
+
+def collected_toks_bytes(n_rows: int, n_tokens: int) -> int:
+    """Estimated driver bytes for collecting n_rows (id, nt, toks) rows
+    holding n_tokens token strings in total."""
+    return n_rows * COLLECT_ROW_BYTES + n_tokens * COLLECT_TOKEN_BYTES
+
+
 def index_ordered_dot_block(a_mat, b_mat):
     """Dense dot-product block via an index-ordered left fold over the
     dimensions: acc[i,j] = (((0 + a[i,0]·b[j,0]) + a[i,1]·b[j,1]) + …) —
@@ -98,9 +113,13 @@ def bitset_gemm_pairs(
     space it exists to avoid), each document's distinct-token set is a
     |V|-bit incidence vector and the exact intersection size of every
     pair is one matrix product: ``n_common = A_bits @ B_bits.T``.  The
-    index side ships as a compact uint8 matrix via torrent broadcast
-    (N×V bytes; callers gate on ``max_staged_bytes``), the stream side
-    flows through ``mapInPandas`` in Arrow batches — a map-only plan:
+    index side ships as an N×V float32 incidence matrix via torrent
+    broadcast (callers gate on ``max_staged_bytes``; float32 at the
+    source so each python worker holds exactly ONE gated-size copy —
+    the in-kernel transpose is a numpy view, and a uint8 transport
+    would re-materialize a per-partition float32 cast on top of it).
+    The stream side flows through ``mapInPandas`` in Arrow batches — a
+    map-only plan:
     no candidate shuffle, no pair materialization beyond the qualifying
     output.
 
@@ -131,10 +150,10 @@ def bitset_gemm_pairs(
     vocab_bits = len(vocab_map)
     idx_ids = np.asarray([r[0] for r in index_rows], dtype=np.int64)
     idx_nt = np.asarray([r[1] for r in index_rows], dtype=np.float64)
-    idx_mat = np.zeros((len(index_rows), vocab_bits), dtype=np.uint8)
+    idx_mat = np.zeros((len(index_rows), vocab_bits), dtype=np.float32)
     for i, r in enumerate(index_rows):
         if r[2]:
-            idx_mat[i, [vocab_map[t] for t in r[2]]] = 1
+            idx_mat[i, [vocab_map[t] for t in r[2]]] = 1.0
     # torrent broadcast, fetched once per python worker and shared by its
     # tasks — NOT a closure capture, which would re-pickle the matrix into
     # every task (the embed-cosine kernel's established transport)
@@ -150,7 +169,7 @@ def bitset_gemm_pairs(
         import pandas as pd
 
         b_ids, b_nt, b_mat = bc.value
-        bt = b_mat.astype(np.float32).T  # cast once per partition
+        bt = b_mat.T  # float32 already; transpose is a view, not a copy
         for pdf in batches:
             m = len(pdf)
             if m == 0:

@@ -404,10 +404,22 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
         # the corpus ships as an N×|V| uint8 incidence matrix, the A side
         # streams map-only, and every pair's exact intersection is one
         # float32 GEMM cell (integer-exact; see bitset_gemm_pairs).
-        from ..blockkernel import bitset_gemm_pairs, max_staged_bytes
+        from ..blockkernel import (
+            bitset_gemm_pairs,
+            collected_toks_bytes,
+            max_staged_bytes,
+        )
 
-        n_docs = d.count()
-        if n_docs * n_vocab * 4 <= max_staged_bytes():
+        stats = d.agg(F.count("*"), F.sum("nt")).first()
+        n_docs, n_toks = stats[0], stats[1] or 0
+        # gate BOTH driver-side footprints against the budget: the f32
+        # incidence matrix AND the Python-object cost of collecting the
+        # (id, nt, toks) rows the matrix is built from — the matrix
+        # alone under-measures the collect by 10-100x at small vocabs
+        if (
+            n_docs * n_vocab * 4 <= max_staged_bytes()
+            and collected_toks_bytes(n_docs, n_toks) <= max_staged_bytes()
+        ):
             vocab_map = {
                 r["w"]: i for i, r in enumerate(parts["freq"].collect())
             }
@@ -1193,12 +1205,15 @@ def dedup_cluster(spark, sf_dir):
             # jobs per remaining round (measured: rounds 2-4 moved 3,618
             # -> 90 -> 6 -> 0 edges at sf0.1, ~0.5 s of fixed cost each).
             # A residual above the threshold keeps contracting
-            # distributed — the same contract as kcore_peel.  fm is
-            # bounded by 2×LOCAL_THRESHOLD rows, so its broadcast is a
-            # bounded constant, not a scale hazard.
+            # distributed — the same contract as kcore_peel.  fm holds
+            # up to 2×|edges| rows, which can EXCEED the map-broadcast
+            # row budget (2×5M > 8M default), so the hint obeys the same
+            # gate as every other broadcast in this loop instead of the
+            # old unconditional hint the budget couldn't reach.
             fm = _cc_min_local(e)
+            fm_hinted = F.broadcast(fm) if _cc_map_broadcastable(2 * n) else fm
             rep = (
-                rep.join(F.broadcast(fm), rep.cur == fm.v, "left")
+                rep.join(fm_hinted, rep.cur == fm.v, "left")
                 .select("orig", F.coalesce("m", "cur").alias("cur"))
                 .coalesce(rep_width)
                 .localCheckpoint()

@@ -1035,18 +1035,33 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
     # (count, token) pair serves as the sort key directly — materializing
     # an integer rank would need a no-partition row_number (a single-task
     # sort over |vocab|, the classic web-corpus bottleneck) for zero gain.
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # persist: BOTH the kernel gate's n_vocab count and the taken path's
+    # consumers read this aggregate — without the persist the full
+    # tokenize+groupBy would run once per consumer (the _token_sigs
+    # precedent for the same freq table)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c")).persist()
     is_probe = F.col("doc_id") % 100 == 0
     if not force_prefix_path:
-        from ..blockkernel import bitset_gemm_pairs, max_staged_bytes
+        from ..blockkernel import (
+            bitset_gemm_pairs,
+            collected_toks_bytes,
+            max_staged_bytes,
+        )
 
         n_vocab = vocab.count()
         if n_vocab <= 1024:
             probes = docs.filter(is_probe).select(
                 "doc_id", F.size("toks").alias("nt"), "toks"
             )
-            n_probes = probes.count()
-            if n_probes * n_vocab * 4 <= max_staged_bytes():
+            pstats = probes.agg(F.count("*"), F.sum("nt")).first()
+            n_probes, n_ptoks = pstats[0], pstats[1] or 0
+            # bound the f32 probe matrix AND the Python-object cost of
+            # the probes collect (the matrix alone under-measures it)
+            if (
+                n_probes * n_vocab * 4 <= max_staged_bytes()
+                and collected_toks_bytes(n_probes, n_ptoks)
+                <= max_staged_bytes()
+            ):
                 vocab_map = {
                     r["tok"]: i for i, r in enumerate(vocab.collect())
                 }

@@ -1164,7 +1164,14 @@ def sim_ivf_pq(spark, sf_dir):
     # BY CONSTRUCTION: the shortlist is |queries| x R rows — broadcast
     # against the embedding table, only those rows' raw vectors are ever
     # fetched; the scan-heavy stage stays codes-only.
-    n_probed = _IVF_NPROBE * e.count() // max(1, cells.shape[0])
+    # corpus size from the parquet FOOTER (row count only, no data, no
+    # job) — an e.count() here would add a full-table job to every
+    # invocation just to size the shortlist (blockkernel's
+    # candidate_matrix_bytes precedent)
+    import pyarrow.parquet as _pq
+
+    n_vecs = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_probed = _IVF_NPROBE * n_vecs // max(1, cells.shape[0])
     REFINE = max(100, min(4000, n_probed // 3))
     wad = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")

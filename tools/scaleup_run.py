@@ -47,14 +47,22 @@ def run_leg(sf_dir: str) -> dict:
     # lines onto STDOUT (observed: "[93s][warning][gc,alloc] ... Retried
     # waiting for GCLocker" landed before the record and broke a blind
     # splitlines()[0] parse), so scan for the first parseable record line.
+    # STRICT: parse the FIRST candidate line only.  Falling through to a
+    # later parseable line would silently accept the trailing COMPACT
+    # record (bench.py prints it last, ~25 headline queries) whenever the
+    # full record's own line is the corrupted one — the per-query ratio
+    # table would then quietly cover a subset instead of failing loudly.
     rec = None
     for line in proc.stdout.strip().splitlines():
         if line.startswith('{"metric"'):
             try:
                 rec = json.loads(line)
-                break
             except ValueError:
-                continue
+                sys.stderr.write(line[:2000] + "\n")
+                raise SystemExit(
+                    f"first bench record line unparseable for {sf_dir}"
+                )
+            break
     if rec is None:
         sys.stderr.write(proc.stdout[-2000:] + "\n")
         raise SystemExit(f"no parseable bench record for {sf_dir}")
