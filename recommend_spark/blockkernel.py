@@ -147,13 +147,9 @@ def bitset_gemm_pairs(
     """
     import numpy as np
 
-    vocab_bits = len(vocab_map)
     idx_ids = np.asarray([r[0] for r in index_rows], dtype=np.int64)
     idx_nt = np.asarray([r[1] for r in index_rows], dtype=np.float64)
-    idx_mat = np.zeros((len(index_rows), vocab_bits), dtype=np.float32)
-    for i, r in enumerate(index_rows):
-        if r[2]:
-            idx_mat[i, [vocab_map[t] for t in r[2]]] = 1.0
+    idx_mat = _toks_matrix([r[2] for r in index_rows], vocab_map)
     # torrent broadcast, fetched once per python worker and shared by its
     # tasks — NOT a closure capture, which would re-pickle the matrix into
     # every task (the embed-cosine kernel's established transport)
@@ -161,66 +157,187 @@ def bitset_gemm_pairs(
         (idx_ids, idx_nt, idx_mat)
     )
 
-    # Sub-block the stream batch so each (block × N_index) float32 score
-    # matrix stays cache-sized (≤64 MB) regardless of Arrow batch size.
-    block = max(1, min(512, (64 << 20) // max(1, 4 * len(index_rows))))
-
     def kernel(batches):
-        import pandas as pd
-
         b_ids, b_nt, b_mat = bc.value
         bt = b_mat.T  # float32 already; transpose is a view, not a copy
         for pdf in batches:
-            m = len(pdf)
-            if m == 0:
+            if len(pdf) == 0:
                 continue
-            a = np.zeros((m, vocab_bits), dtype=np.float32)
-            for i, ts in enumerate(pdf["toks"]):
-                if len(ts):
-                    a[i, [vocab_map[t] for t in ts]] = 1.0
-            s_ids = pdf["id"].to_numpy(np.int64)
-            s_nt = pdf["nt"].to_numpy(np.float64)
-            for lo in range(0, m, block):
-                hi = min(m, lo + block)
-                c = a[lo:hi] @ bt  # exact small ints in float32
-                # Conservative integer PREFILTER in float32 (c is
-                # integer-valued, so c >= floor(x) admits every pair with
-                # c/denom >= tau and at most one spurious count level);
-                # the exact float64 division — the one both engines hash —
-                # runs only on the sparse survivors, not the dense block.
-                if metric == "containment":
-                    pre = c >= np.floor(tau * s_nt[lo:hi])[:, None].astype(
-                        np.float32
-                    )
-                else:  # jaccard: c/(na+nb-c) >= tau  <=  c >= t/(1+t)*(na+nb)
-                    pre = c >= np.floor(
-                        (tau / (1.0 + tau))
-                        * (s_nt[lo:hi, None] + b_nt[None, :])
-                    ).astype(np.float32)
-                si, ii = np.nonzero(pre)
-                if len(si) == 0:
-                    continue
-                cs = c[si, ii].astype(np.float64)
-                na = s_nt[lo + si]
-                denom = na if metric == "containment" else (
-                    na + b_nt[ii] - cs
-                )
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    val = cs / denom
-                ok = (denom > 0) & (val >= tau)
-                if exclude_self:
-                    ok &= s_ids[lo + si] != b_ids[ii]
-                if not ok.any():
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "sid": s_ids[lo + si[ok]],
-                        "iid": b_ids[ii[ok]],
-                        "n_common": cs[ok].astype(np.int64),
-                        "metric": val[ok],
-                    }
-                )
+            a = _toks_matrix(pdf["toks"], vocab_map)
+            yield from _score_bitset_blocks(
+                a,
+                pdf["id"].to_numpy(np.int64),
+                pdf["nt"].to_numpy(np.float64),
+                bt,
+                b_ids,
+                b_nt,
+                metric=metric,
+                tau=tau,
+                exclude_self=exclude_self,
+            )
 
     return stream_df.mapInPandas(
         kernel, "sid long, iid long, n_common long, metric double"
+    )
+
+
+def _toks_matrix(tok_lists, vocab_map):
+    """|rows|×|V| float32 incidence matrix from token lists (float32 at
+    the source — see bitset_gemm_pairs' transport note)."""
+    import numpy as np
+
+    m = np.zeros((len(tok_lists), len(vocab_map)), dtype=np.float32)
+    for i, ts in enumerate(tok_lists):
+        if len(ts):
+            m[i, [vocab_map[t] for t in ts]] = 1.0
+    return m
+
+
+def _score_bitset_blocks(
+    a, s_ids, s_nt, bt, b_ids, b_nt, *, metric, tau, exclude_self
+):
+    """THE single scoring definition shared by the broadcast kernel and
+    the bucketed cogroup twin (the index_ordered_dot_block convention:
+    one implementation, or the two paths silently diverge).  Yields
+    pandas frames of qualifying (sid, iid, n_common, metric) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    # Sub-block the stream side so each (block × N_index) float32 score
+    # matrix stays cache-sized (≤64 MB) regardless of input batch size.
+    block = max(1, min(512, (64 << 20) // max(1, 4 * bt.shape[1])))
+    for lo in range(0, a.shape[0], block):
+        hi = min(a.shape[0], lo + block)
+        c = a[lo:hi] @ bt  # exact small ints in float32
+        # Conservative integer PREFILTER in float32 (c is integer-valued,
+        # so c >= floor(x) admits every pair with c/denom >= tau and at
+        # most one spurious count level); the exact float64 division —
+        # the one both engines hash — runs only on the sparse survivors,
+        # not the dense block.
+        if metric == "containment":
+            pre = c >= np.floor(tau * s_nt[lo:hi])[:, None].astype(
+                np.float32
+            )
+        else:  # jaccard: c/(na+nb-c) >= tau  <=>  c >= t/(1+t)*(na+nb)
+            pre = c >= np.floor(
+                (tau / (1.0 + tau)) * (s_nt[lo:hi, None] + b_nt[None, :])
+            ).astype(np.float32)
+        si, ii = np.nonzero(pre)
+        if len(si) == 0:
+            continue
+        cs = c[si, ii].astype(np.float64)
+        na = s_nt[lo + si]
+        denom = na if metric == "containment" else (na + b_nt[ii] - cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = cs / denom
+        ok = (denom > 0) & (val >= tau)
+        if exclude_self:
+            ok &= s_ids[lo + si] != b_ids[ii]
+        if not ok.any():
+            continue
+        yield pd.DataFrame(
+            {
+                "sid": s_ids[lo + si[ok]],
+                "iid": b_ids[ii[ok]],
+                "n_common": cs[ok].astype(np.int64),
+                "metric": val[ok],
+            }
+        )
+
+
+def bitset_gemm_pairs_bucketed(
+    stream_df,
+    index_df,
+    vocab_map,
+    *,
+    metric,
+    tau,
+    exclude_self=False,
+    n_buckets,
+):
+    """The bitset GEMM kernel WITHOUT driver staging — for index sides
+    past ``max_staged_bytes`` (the _embed_pairs_bucketed shape): both
+    sides hash into B buckets, every (i, j) grid cell cogroups stream
+    bucket i with index bucket j, and the cell runs the SAME
+    ``_score_bitset_blocks`` scorer on matrices built executor-side from
+    the cogrouped rows.  A (stream, index) pair lands in exactly one
+    cell — (s%B, i%B) — so the output is identical to the broadcast
+    path with no dedup pass.  Cost: the stream side shuffles B×, the
+    index side once; each cell's index matrix is ~1/B of the whole, so
+    B = ceil(index_bytes / budget) keeps every cell within the staging
+    budget (callers cap at MAX_BUCKETS).
+
+    Inputs are DataFrames (id long, nt long, toks array<string>);
+    NOTHING is collected to the driver.  Output contract matches
+    bitset_gemm_pairs."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    # The two sides are usually derived from the SAME DataFrame (self
+    # dedup) — rename the index side's data columns and give each side
+    # its OWN explode expression, otherwise the duplicated attribute ids
+    # trip the analyzer's self-cogroup deduplication and the right-side
+    # data columns arrive pruned in the udf (observed: rpdf carrying
+    # only the grouping keys).
+    left = stream_df.withColumn(
+        "bi", F.pmod("id", F.lit(n_buckets)).cast("int")
+    ).withColumn("bj", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))))
+    right = (
+        index_df.select(
+            F.col("id").alias("rid"),
+            F.col("nt").alias("rnt"),
+            F.col("toks").alias("rtoks"),
+        )
+        .withColumn("bj", F.pmod("rid", F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "bi", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+        )
+    )
+
+    def cell(lpdf, rpdf):
+        import numpy as np
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"sid": [], "iid": [], "n_common": [], "metric": []}
+            ).astype(
+                {
+                    "sid": "int64",
+                    "iid": "int64",
+                    "n_common": "int64",
+                    "metric": "float64",
+                }
+            )
+        a = _toks_matrix(lpdf["toks"], vocab_map)
+        bt = _toks_matrix(rpdf["rtoks"], vocab_map).T
+        outs = list(
+            _score_bitset_blocks(
+                a,
+                lpdf["id"].to_numpy(np.int64),
+                lpdf["nt"].to_numpy(np.float64),
+                bt,
+                rpdf["rid"].to_numpy(np.int64),
+                rpdf["rnt"].to_numpy(np.float64),
+                metric=metric,
+                tau=tau,
+                exclude_self=exclude_self,
+            )
+        )
+        if not outs:
+            return pd.DataFrame(
+                {"sid": [], "iid": [], "n_common": [], "metric": []}
+            ).astype(
+                {
+                    "sid": "int64",
+                    "iid": "int64",
+                    "n_common": "int64",
+                    "metric": "float64",
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(cell, "sid long, iid long, n_common long, metric double")
     )

@@ -405,44 +405,69 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
         # streams map-only, and every pair's exact intersection is one
         # float32 GEMM cell (integer-exact; see bitset_gemm_pairs).
         from ..blockkernel import (
+            MAX_BUCKETS,
             bitset_gemm_pairs,
+            bitset_gemm_pairs_bucketed,
             collected_toks_bytes,
             max_staged_bytes,
         )
 
         stats = d.agg(F.count("*"), F.sum("nt")).first()
         n_docs, n_toks = stats[0], stats[1] or 0
+        vocab_map = {
+            r["w"]: i for i, r in enumerate(parts["freq"].collect())
+        }
+        stream = d.filter(F.col("nt") >= min_n).select(
+            F.col("doc_id").alias("id"), "nt", "toks"
+        )
         # gate BOTH driver-side footprints against the budget: the f32
         # incidence matrix AND the Python-object cost of collecting the
         # (id, nt, toks) rows the matrix is built from — the matrix
         # alone under-measures the collect by 10-100x at small vocabs
+        matrix_bytes = n_docs * n_vocab * 4
         if (
-            n_docs * n_vocab * 4 <= max_staged_bytes()
+            matrix_bytes <= max_staged_bytes()
             and collected_toks_bytes(n_docs, n_toks) <= max_staged_bytes()
         ):
-            vocab_map = {
-                r["w"]: i for i, r in enumerate(parts["freq"].collect())
-            }
             index_rows = [
                 (r["doc_id"], r["nt"], r["toks"])
                 for r in d.select("doc_id", "nt", "toks").collect()
             ]
-            stream = d.filter(F.col("nt") >= min_n).select(
-                F.col("doc_id").alias("id"), "nt", "toks"
-            )
-            return bitset_gemm_pairs(
+            pairs = bitset_gemm_pairs(
                 stream,
                 index_rows,
                 vocab_map,
                 metric="containment",
                 tau=tau,
                 exclude_self=True,
-            ).select(
-                F.col("sid").alias("doc_a"),
-                F.col("iid").alias("doc_b"),
-                F.col("n_common").cast("int").alias("n_common"),
-                F.col("metric").alias("containment"),
             )
+        else:
+            # corpus too big to stage driver-side but the vocabulary is
+            # still degenerate (the prefix path would candidate-explode):
+            # the bucketed cogroup twin shuffles grid cells instead of
+            # staging anything — each cell's index block is ~1/B of the
+            # whole, sized back under the budget
+            pairs = bitset_gemm_pairs_bucketed(
+                stream,
+                d.select(F.col("doc_id").alias("id"), "nt", "toks"),
+                vocab_map,
+                metric="containment",
+                tau=tau,
+                exclude_self=True,
+                n_buckets=max(
+                    2,
+                    min(
+                        MAX_BUCKETS,
+                        -(-matrix_bytes // max_staged_bytes()),
+                    ),
+                ),
+            )
+        return pairs.select(
+            F.col("sid").alias("doc_a"),
+            F.col("iid").alias("doc_b"),
+            F.col("n_common").cast("int").alias("n_common"),
+            F.col("metric").alias("containment"),
+        )
 
     a_pref = ranked.filter(F.col("nt") >= min_n).filter(
         F.col("r") <= F.col("nt") - F.ceil(F.lit(tau) * F.col("nt")) + 1

@@ -1043,7 +1043,9 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
     is_probe = F.col("doc_id") % 100 == 0
     if not force_prefix_path:
         from ..blockkernel import (
+            MAX_BUCKETS,
             bitset_gemm_pairs,
+            bitset_gemm_pairs_bucketed,
             collected_toks_bytes,
             max_staged_bytes,
         )
@@ -1051,47 +1053,66 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
         n_vocab = vocab.count()
         if n_vocab <= 1024:
             probes = docs.filter(is_probe).select(
-                "doc_id", F.size("toks").alias("nt"), "toks"
+                F.col("doc_id").alias("id"), F.size("toks").alias("nt"), "toks"
             )
             pstats = probes.agg(F.count("*"), F.sum("nt")).first()
             n_probes, n_ptoks = pstats[0], pstats[1] or 0
+            vocab_map = {
+                r["tok"]: i for i, r in enumerate(vocab.collect())
+            }
+            # single local parquet file = one input split; spread the
+            # corpus before the kernel so all cores stream it
+            stream = (
+                docs.filter(~is_probe)
+                .select(
+                    F.col("doc_id").alias("id"),
+                    F.size("toks").alias("nt"),
+                    "toks",
+                )
+                .repartition(32)
+            )
             # bound the f32 probe matrix AND the Python-object cost of
             # the probes collect (the matrix alone under-measures it)
+            matrix_bytes = n_probes * n_vocab * 4
             if (
-                n_probes * n_vocab * 4 <= max_staged_bytes()
+                matrix_bytes <= max_staged_bytes()
                 and collected_toks_bytes(n_probes, n_ptoks)
                 <= max_staged_bytes()
             ):
-                vocab_map = {
-                    r["tok"]: i for i, r in enumerate(vocab.collect())
-                }
                 index_rows = [
-                    (r["doc_id"], r["nt"], r["toks"])
-                    for r in probes.collect()
+                    (r["id"], r["nt"], r["toks"]) for r in probes.collect()
                 ]
-                # single local parquet file = one input split; spread the
-                # corpus before the kernel so all cores stream it
-                stream = (
-                    docs.filter(~is_probe)
-                    .select(
-                        F.col("doc_id").alias("id"),
-                        F.size("toks").alias("nt"),
-                        "toks",
-                    )
-                    .repartition(32)
-                )
-                return bitset_gemm_pairs(
+                pairs = bitset_gemm_pairs(
                     stream,
                     index_rows,
                     vocab_map,
                     metric="jaccard",
                     tau=_SSJ_TAU,
-                ).select(
-                    F.col("iid").alias("probe_id"),
-                    F.col("sid").alias("match_id"),
-                    F.col("n_common"),
-                    F.col("metric").alias("jaccard"),
                 )
+            else:
+                # probe relation too big to stage driver-side: the
+                # bucketed cogroup twin grids stream×probe buckets with
+                # each cell's probe block back under the budget
+                pairs = bitset_gemm_pairs_bucketed(
+                    stream,
+                    probes,
+                    vocab_map,
+                    metric="jaccard",
+                    tau=_SSJ_TAU,
+                    n_buckets=max(
+                        2,
+                        min(
+                            MAX_BUCKETS,
+                            -(-matrix_bytes // max_staged_bytes()),
+                        ),
+                    ),
+                )
+            return pairs.select(
+                F.col("iid").alias("probe_id"),
+                F.col("sid").alias("match_id"),
+                F.col("n_common"),
+                F.col("metric").alias("jaccard"),
+            )
     ranked = toks.join(F.broadcast(vocab), "tok").select(
         "doc_id",
         "nt",

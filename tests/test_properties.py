@@ -1042,3 +1042,47 @@ def test_ssj_gemm_kernel_matches_brute_force_and_prefix(spark):
     assert want, "fixture must contain at least one qualifying pair"
     assert got == want
     assert forced == want
+
+
+def test_gemm_kernel_bucketed_fallback_matches_broadcast(spark, monkeypatch):
+    """With the staging budget forced tiny, both GEMM ops must route to
+    the bucketed cogroup twin (FlatMapCoGroupsInPandas, nothing
+    collected driver-side) and return results identical to the
+    broadcast kernel — the shared-scorer guarantee."""
+    import random
+
+    from recommend_spark.queries.dedup import _containment_pairs
+    from recommend_spark.queries.joins import _set_similarity_pairs
+
+    # same corpora as the broadcast-path parity tests above (their seeds
+    # are known to plant at least one qualifying pair for each op)
+    cdocs = spark.createDataFrame(
+        _degenerate_corpus(random.Random(29), 90, 48, lambda k: k),
+        "doc_id long, text string",
+    )
+    sdocs_raw = _degenerate_corpus(random.Random(31), 120, 40, lambda k: k)
+    sdocs_raw[100] = (100, sdocs_raw[3][1])
+    sdocs = spark.createDataFrame(
+        sdocs_raw, "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    base_contain = rows(_containment_pairs(cdocs))
+    base_ssj = rows(_set_similarity_pairs(sdocs))
+    assert base_contain and base_ssj
+
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "2048")
+    bucketed_contain = _containment_pairs(cdocs)
+    plan = bucketed_contain._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert rows(bucketed_contain) == base_contain
+
+    bucketed_ssj = _set_similarity_pairs(sdocs)
+    plan = bucketed_ssj._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert rows(bucketed_ssj) == base_ssj
