@@ -262,8 +262,12 @@ def bitset_gemm_pairs_bucketed(
     ``_score_bitset_blocks`` scorer on matrices built executor-side from
     the cogrouped rows.  A (stream, index) pair lands in exactly one
     cell — (s%B, i%B) — so the output is identical to the broadcast
-    path with no dedup pass.  Cost: the stream side shuffles B×, the
-    index side once; each cell's index matrix is ~1/B of the whole, so
+    path with no dedup pass.  Cost: BOTH sides shuffle B× — the stream
+    side explodes over all B ``bj`` values and the index side over all
+    B ``bi`` values, so the cogroup shuffle moves B·|stream| + B·|index|
+    rows (the B²-grid has no one-sided replication; measured shuffle
+    amplification is recorded beside the perturbed-sf1 12.2 s entry in
+    SCALE.md §10s).  Each cell's index matrix is ~1/B of the whole, so
     B = ceil(index_bytes / budget) keeps every cell within the staging
     budget (callers cap at MAX_BUCKETS).
 

@@ -47,11 +47,14 @@ def run_leg(sf_dir: str) -> dict:
     # lines onto STDOUT (observed: "[93s][warning][gc,alloc] ... Retried
     # waiting for GCLocker" landed before the record and broke a blind
     # splitlines()[0] parse), so scan for the first parseable record line.
-    # STRICT: parse the FIRST candidate line only.  Falling through to a
-    # later parseable line would silently accept the trailing COMPACT
-    # record (bench.py prints it last, ~25 headline queries) whenever the
-    # full record's own line is the corrupted one — the per-query ratio
-    # table would then quietly cover a subset instead of failing loudly.
+    # STRICT: parse the FIRST candidate line only, and never accept the
+    # trailing COMPACT record (bench.py prints it last, ~25 headline
+    # queries, tagged with its 'full_detail' key).  A warning interleaved
+    # as a PREFIX on the full record's line (no newline before the JSON)
+    # would make startswith() skip it entirely — without the compact
+    # guard the scan would then fall through to the compact line, parse
+    # fine, and the per-query ratio table would quietly cover a subset
+    # instead of failing loudly.
     rec = None
     for line in proc.stdout.strip().splitlines():
         if line.startswith('{"metric"'):
@@ -61,6 +64,14 @@ def run_leg(sf_dir: str) -> dict:
                 sys.stderr.write(line[:2000] + "\n")
                 raise SystemExit(
                     f"first bench record line unparseable for {sf_dir}"
+                )
+            if "full_detail" in rec or len(rec.get("queries", {})) != rec.get(
+                "n_queries"
+            ):
+                sys.stderr.write(line[:2000] + "\n")
+                raise SystemExit(
+                    f"full bench record missing for {sf_dir} (scan reached "
+                    "the compact/partial record — full line likely corrupted)"
                 )
             break
     if rec is None:
