@@ -194,6 +194,20 @@ def main() -> None:
         # 4 files/trigger, unshuffled — recommend_spark/streaming/replay.py),
         # so one measured floor applies to each id
         out["replay_floor_seconds"] = {q: replay_floor_s for q in stream_ids}
+        # engine cost net of the micro-batch replay fixed cost (r11
+        # verdict item 6): round-over-round comparisons should chase
+        # the engine, not the harness floor.  Clamped at 0 — a stream id
+        # occasionally measures under the floor (both are min-of-reps).
+        out["engine_seconds_stream"] = {
+            q: round(
+                max(
+                    0.0,
+                    (times.get(q) or heavy_times.get(q)) - replay_floor_s,
+                ),
+                3,
+            )
+            for q in stream_ids
+        }
     spark.stop()
 
     # The driver records only the last ~2000 chars of stdout; the full
@@ -241,6 +255,8 @@ def main() -> None:
         compact["queries_heavy"] = heavy_times
     if replay_floor_s is not None:
         compact["replay_floor_seconds"] = replay_floor_s
+        # engine-net wall per stream id (see the full record's comment)
+        compact["engine_seconds_stream"] = out["engine_seconds_stream"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the recorded tail no matter what
         compact.pop("queries_heavy", None)

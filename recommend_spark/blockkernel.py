@@ -74,6 +74,33 @@ def collected_toks_bytes(n_rows: int, n_tokens: int) -> int:
     return n_rows * COLLECT_ROW_BYTES + n_tokens * COLLECT_TOKEN_BYTES
 
 
+#: Content-keyed memo for kernel torrent broadcasts.  bench.py invokes
+#: each query BUILDER multiple reps on one session, and a fresh
+#: ``sparkContext.broadcast`` per build accumulates driver + executor
+#: blobs across reps (r11 ADVICE).  Keyed by content hash, so identical
+#: rebuilds reuse ONE blob; evicted entries are ``unpersist()``ed —
+#: executors drop their blocks and any straggler plan that still
+#: references the broadcast refetches from the driver (``destroy()``
+#: would hard-break such a plan).  Bounded small: entries are
+#: budget-gated (≤ max_staged_bytes each).
+_BC_MEMO: dict = {}
+_BC_MEMO_MAX = 4
+
+
+def memo_broadcast(sc, key, make_value):
+    """Return a (possibly cached) broadcast of ``make_value()`` under the
+    content ``key``; evicts oldest-inserted past ``_BC_MEMO_MAX``."""
+    bc = _BC_MEMO.get(key)
+    if bc is not None:
+        return bc
+    while len(_BC_MEMO) >= _BC_MEMO_MAX:
+        oldest = next(iter(_BC_MEMO))
+        _BC_MEMO.pop(oldest).unpersist(blocking=False)
+    bc = sc.broadcast(make_value())
+    _BC_MEMO[key] = bc
+    return bc
+
+
 def index_ordered_dot_block(a_mat, b_mat):
     """Dense dot-product block via an index-ordered left fold over the
     dimensions: acc[i,j] = (((0 + a[i,0]·b[j,0]) + a[i,1]·b[j,1]) + …) —
@@ -152,9 +179,21 @@ def bitset_gemm_pairs(
     idx_mat = _toks_matrix([r[2] for r in index_rows], vocab_map)
     # torrent broadcast, fetched once per python worker and shared by its
     # tasks — NOT a closure capture, which would re-pickle the matrix into
-    # every task (the embed-cosine kernel's established transport)
-    bc = stream_df.sparkSession.sparkContext.broadcast(
-        (idx_ids, idx_nt, idx_mat)
+    # every task (the embed-cosine kernel's established transport).
+    # Content-memoized: bench reps rebuild the same index; hashing the
+    # staged arrays (gated ≤ budget) is far cheaper than re-broadcasting.
+    key = (
+        "bitset",
+        idx_mat.shape,
+        hash(idx_ids.tobytes()),
+        hash(idx_nt.tobytes()),
+        hash(idx_mat.tobytes()),
+        hash(tuple(sorted(vocab_map.items()))),
+    )
+    bc = memo_broadcast(
+        stream_df.sparkSession.sparkContext,
+        key,
+        lambda: (idx_ids, idx_nt, idx_mat),
     )
 
     def kernel(batches):

@@ -354,7 +354,15 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
     """Directional containment pairs; see dedup_containment.  The
     ``force_prefix_path`` hook lets tests exercise the web-scale prefix
     pipeline on corpora that would otherwise take the GEMM kernel
-    path."""
+    path.
+
+    DELIBERATELY EAGER in the degenerate-vocabulary regime: the
+    kernel-vs-prefix route is data-dependent (vocab size, corpus
+    footprint), so building the plan runs the gate's stats jobs and —
+    on the staged path — collects the gated-size corpus driver-side
+    before any action.  This is the same trade AQE makes at runtime;
+    the cost is that EXPLAIN/plan-dump tooling on this op executes
+    small Spark jobs (r11 ADVICE, accepted)."""
     if toks_expr is None:
         toks_expr = _TOKS()
     parts = _token_sigs(docs, toks_expr)
@@ -446,7 +454,12 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
             # still degenerate (the prefix path would candidate-explode):
             # the bucketed cogroup twin shuffles grid cells instead of
             # staging anything — each cell's index block is ~1/B of the
-            # whole, sized back under the budget
+            # whole, sized back under the budget.  B derives from the
+            # LARGER of the two footprints the gate above measured: the
+            # fallback fires precisely when the token-list bytes (which
+            # exceed the matrix by 10-100x at small vocabs) blow the
+            # budget, so sizing from matrix_bytes alone could pick B=2
+            # and hand each cogroup cell a pandas block 100x over budget.
             pairs = bitset_gemm_pairs_bucketed(
                 stream,
                 d.select(F.col("doc_id").alias("id"), "nt", "toks"),
@@ -458,7 +471,13 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
                     2,
                     min(
                         MAX_BUCKETS,
-                        -(-matrix_bytes // max_staged_bytes()),
+                        -(
+                            -max(
+                                matrix_bytes,
+                                collected_toks_bytes(n_docs, n_toks),
+                            )
+                            // max_staged_bytes()
+                        ),
                     ),
                 ),
             )
@@ -1325,8 +1344,10 @@ def dedup_minhash_banded(spark, sf_dir):
 
     Rescore shape: this corpus is boilerplate-heavy (true near-dup cliques
     of thousands of docs), so band buckets emit tens of millions of
-    duplicated candidates at bench scale.  Rescoring joins the broadcast
-    bitmask signatures (_token_sigs) — a map-side popcount per candidate,
+    duplicated candidates at bench scale.  Rescoring joins the bitmask
+    signatures (_token_sigs; broadcast-hinted ONLY while the sig table
+    provably fits the staging budget, else plain joins under AQE — the
+    dedup_cluster gate rule) — a map-side popcount per candidate,
     no token arrays in flight — then filters to J >= tau BEFORE the
     distinct, so the only shuffle after banding carries true pairs (3M at
     sf0.1), not the 49M raw candidates.  Pairs are memoized per corpus via
@@ -1339,7 +1360,11 @@ def dedup_minhash_banded(spark, sf_dir):
 
 
 def _minhash_banded_pairs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_banded_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_banded_pairs_from(docs):
+    spark = docs.sparkSession
     tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
     th = tok.select("w").distinct().withColumn(
         "h",
@@ -1377,13 +1402,32 @@ def _minhash_banded_pairs(spark, sf_dir):
         & (F.col("x.band_key") == F.col("y.band_key"))
         & (F.col("x.doc_id") < F.col("y.doc_id")),
     ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    # rescore against BROADCAST compact signatures: popcount masks + rare
-    # residual, identical math to the exact pipeline's rescore — no token
-    # arrays in flight, and the J >= tau filter runs map-side BEFORE the
-    # one distinct shuffle, so only true pairs (plus their <= 8x band
+    # rescore against compact signatures: popcount masks + rare residual,
+    # identical math to the exact pipeline's rescore — no token arrays in
+    # flight, and the J >= tau filter runs map-side BEFORE the one
+    # distinct shuffle, so only true pairs (plus their <= 8x band
     # duplication) ever shuffle.
     parts = _token_sigs(docs, _TOKS())
     sig, n_slots = parts["sig"], parts["n_slots"]
+    # SIZE-GATED broadcast (r11 verdict item 1): an unconditional hint
+    # pins the FULL per-doc signature table into every executor — right
+    # at fixture scale, a hard OOM at 1e8+ docs, and AQE cannot override
+    # an explicit hint.  Hint only when the signature footprint provably
+    # fits the staging budget (collected_toks_bytes over-estimates the
+    # sig table: rare ⊆ toks, and mask longs are within the per-row
+    # constant); past the budget the rescore joins run plain and AQE
+    # picks the strategy — the same rule as dedup_cluster's contraction
+    # broadcast and the GEMM kernels' max_staged_bytes gate.  The stats
+    # agg is one tiny job on the already-persisted tokenized corpus,
+    # matching _token_sigs' own n_vocab count.
+    from ..blockkernel import collected_toks_bytes, max_staged_bytes
+
+    stats = parts["d"].agg(F.count("*"), F.sum("nt")).first()
+    n_docs, n_toks = stats[0], stats[1] or 0
+    bc = collected_toks_bytes(n_docs, n_toks) <= max_staged_bytes()
+
+    def _hint(df):
+        return F.broadcast(df) if bc else df
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("rare").alias("rare_a"),
@@ -1402,8 +1446,8 @@ def _minhash_banded_pairs(spark, sf_dir):
     )
     inter = (popcnt + F.size(F.array_intersect("rare_a", "rare_b"))).cast("int")
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(_hint(sa), "doc_a")
+        .join(_hint(sb), "doc_b")
         .withColumn("n_common", inter)
         .withColumn(
             "jaccard",

@@ -1060,6 +1060,10 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
             vocab_map = {
                 r["tok"]: i for i, r in enumerate(vocab.collect())
             }
+            # the kernel-path plan no longer references vocab (stream and
+            # probes derive from docs) — release the cached table instead
+            # of leaking it across bench reps (r11 ADVICE)
+            vocab.unpersist(blocking=False)
             # single local parquet file = one input split; spread the
             # corpus before the kernel so all cores stream it
             stream = (
@@ -1092,7 +1096,11 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
             else:
                 # probe relation too big to stage driver-side: the
                 # bucketed cogroup twin grids stream×probe buckets with
-                # each cell's probe block back under the budget
+                # each cell's probe block back under the budget.  B sizes
+                # from the LARGER measured footprint — the fallback fires
+                # precisely when the token-list bytes (10-100x the matrix
+                # at small vocabs) blow the budget, so matrix_bytes alone
+                # could pick B=2 with cells far over budget.
                 pairs = bitset_gemm_pairs_bucketed(
                     stream,
                     probes,
@@ -1103,7 +1111,13 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
                         2,
                         min(
                             MAX_BUCKETS,
-                            -(-matrix_bytes // max_staged_bytes()),
+                            -(
+                                -max(
+                                    matrix_bytes,
+                                    collected_toks_bytes(n_probes, n_ptoks),
+                                )
+                                // max_staged_bytes()
+                            ),
                         ),
                     ),
                 )

@@ -1086,3 +1086,47 @@ def test_gemm_kernel_bucketed_fallback_matches_broadcast(spark, monkeypatch):
     plan = bucketed_ssj._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
     assert rows(bucketed_ssj) == base_ssj
+
+
+def test_minhash_banded_rescore_broadcast_gate(spark, monkeypatch):
+    """The banded-LSH rescore's signature-table broadcast is SIZE-GATED
+    (r11 verdict item 1): with the staging budget forced tiny the two
+    rescore hints must disappear from the optimized plan (the joins run
+    plain under AQE instead of pinning the full per-doc signature table
+    into every executor), and the pairs must be bit-identical — the gate
+    changes the physical strategy only, never the math."""
+    import random
+
+    from recommend_spark.queries.dedup import _minhash_banded_pairs_from
+
+    rng = random.Random(7)
+    vocab = [f"tok{i:04d}" for i in range(500)]
+    docs = []
+    for k in range(80):
+        docs.append((k, " ".join(rng.sample(vocab, rng.randint(20, 60)))))
+    docs[3] = (3, docs[2][1])  # exact dup: all bands match, J = 1
+    near = docs[5][1].split()
+    near[0] = "tok9999"
+    docs[6] = (6, " ".join(near))  # near dup above the family threshold
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def hints(d):
+        return (
+            d._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .count("strategy=broadcast")
+        )
+
+    base = _minhash_banded_pairs_from(df)
+    base_hints = hints(base)
+    base_rows = sorted(tuple(r) for r in base.collect())
+    assert base_rows, "planted dup pairs must be found"
+
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "64")
+    gated = _minhash_banded_pairs_from(df)
+    # exactly the TWO rescore hints (sig side a, sig side b) are gated
+    # off; the pipeline's other broadcasts (token hash, minhash params,
+    # top-bits vocab) are bounded-size and keep their hints
+    assert hints(gated) == base_hints - 2
+    assert sorted(tuple(r) for r in gated.collect()) == base_rows
