@@ -109,19 +109,35 @@ def sim_ann_lsh(spark, sf_dir):
 #: duplicated at both call sites; r10 verdict nit #2).
 _IVF_NPROBE = 3
 
+#: Adaptive widening (r11 verdict item 5): when a query's coarse
+#: assignment is FLAT (no cell dominates — the structure-free regime
+#: where fixed nprobe floors recall at ~nprobe/ncells), probe this
+#: fraction of all cells instead.  0.7 of 10 fixture cells lifts the
+#: random-leg recall@5 from the 0.36 floor to ~0.7 while planted
+#: corpora (one dominant cell per query) keep the narrow 3-cell probe.
+_IVF_FLAT_FRAC = 0.7
+
 
 def _ivf_route(spark, sf_dir, nprobe: int = _IVF_NPROBE):
     """Shared IVF coarse routing: coarse cells = per-label mean centroids
     (the fixture's label is the trained-quantizer stand-in); each of the
-    10 fixture queries is assigned to its ``nprobe`` highest-dot cells.
+    10 fixture queries is assigned to its ``nprobe`` highest-dot cells —
+    widened adaptively per query when the assignment margin is flat.
     Returns one row per probe: (query_id, qe — the RAW-typed query
     embedding, callers cast as they need, cell).
 
+    Flatness test (per query, over its K cell scores): STRUCTURED iff
+    z1 = (max − mean)/sd ≥ 2.0 AND zgap = (top1 − top2)/sd ≥ 0.8 (the
+    joint rule; thresholds simulated — see the inline comment).  Sharply
+    clustered corpora keep the narrow probe (wall unregressed); flat or
+    ambiguous queries widen to ``_IVF_FLAT_FRAC`` of the cells (recall
+    off the nprobe/ncells floor; widening can only cost wall, never
+    recall).  Measured: tools/ann_recall_r12.json.
+
     At 100 TB: the centroid table is |labels|-sized and broadcast; all
     downstream candidate work shuffles on cell id only.  nprobe is the
-    recall/cost knob (random-vector fixtures carry little cell signal —
-    see the quality gates in tests/test_ml_quality.py and the
-    tools/ann_recall records)."""
+    recall/cost knob; the flatness stats are per-query window aggs over
+    the tiny |cells| probe table — no extra shuffle of the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
     cent = (
@@ -139,11 +155,43 @@ def _ivf_route(spark, sf_dir, nprobe: int = _IVF_NPROBE):
         "score", _dot(F.col("qe").cast("array<double>"), F.col("centroid"))
     )
     wq = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
-    return (
+    wall = W.partitionBy("query_id")
+    sd = F.stddev("score").over(wall) + F.lit(1e-12)
+    scored = (
         qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qe", "cell")
+        .withColumn("k_cells", F.count("*").over(wall))
+        .withColumn(
+            "z1", (F.max("score").over(wall) - F.avg("score").over(wall)) / sd
+        )
+        .withColumn(
+            "zgap",
+            (
+                F.max("score").over(wall)
+                - F.max(F.when(F.col("rn") >= 2, F.col("score"))).over(wall)
+            )
+            / sd,
+        )
     )
+    # regime split, joint rule (thresholds from a 4k-trial simulation of
+    # both regimes at K=10/dim=64; see the r12 commit): STRUCTURED iff
+    # z1 = (max−mean)/sd >= 2.0 AND zgap = (top1−top2)/sd >= 0.8.
+    # Clustered queries: own-cell score dominates → both large (sharp
+    # clusters: 100% structured).  Flat queries: z1 ≈ max of K iid
+    # normals can cross 2.0 at large K, but the top-two ORDER-STAT gap
+    # shrinks with K — the zgap conjunct is what keeps the rule valid as
+    # cells grow, where any K-tuned z1 threshold alone would not.
+    # Ambiguous corpora widen (probe-more-when-uncertain: widening can
+    # only cost wall, never recall).  K=1 leaves z1/zgap NULL (sample
+    # stddev of one row); NULL comparisons are falsy → flat arm off,
+    # rn <= nprobe arm still fires.
+    n_flat = F.greatest(
+        F.lit(nprobe), F.ceil(F.lit(_IVF_FLAT_FRAC) * F.col("k_cells"))
+    )
+    structured = (F.col("z1") >= 2.0) & (F.col("zgap") >= 0.8)
+    return scored.filter(
+        (F.col("rn") <= nprobe)
+        | (~structured & (F.col("rn") <= n_flat))
+    ).select("query_id", "qe", "cell")
 
 
 @register("sim_ivf_topk")  # rows-only: centroid assignment is float-order sensitive
@@ -1171,7 +1219,12 @@ def sim_ivf_pq(spark, sf_dir):
     import pyarrow.parquet as _pq
 
     n_vecs = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    n_probed = _IVF_NPROBE * n_vecs // max(1, cells.shape[0])
+    # size the shortlist for the WIDEST probe the adaptive router can
+    # pick (flat regime probes _IVF_FLAT_FRAC of the cells) — a
+    # narrow-probe estimate would cover a shrinking share of what ADC
+    # actually ranks exactly when flat corpora widen the candidate set
+    probe_frac = max(_IVF_NPROBE / max(1, cells.shape[0]), _IVF_FLAT_FRAC)
+    n_probed = int(probe_frac * n_vecs)
     REFINE = max(100, min(4000, n_probed // 3))
     wad = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")

@@ -63,10 +63,13 @@ def test_ivf_recall_vs_exact(spark):
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["sim_ivf_topk"](spark, SF_DIR).collect()
     }
-    # nprobe=3 of 10 cells; fixture vectors are random (no cluster
-    # structure), so expected recall ~= nprobe/ncells ~= 0.3
+    # fixture vectors are random (no cluster structure): the adaptive
+    # router must detect the flat coarse-assignment margin and widen
+    # from nprobe=3 to _IVF_FLAT_FRAC of the 10 cells, lifting recall
+    # off the ~nprobe/ncells=0.3 floor (r11 verdict item 5; measured
+    # 0.78 at sf0.1 — tools/ann_recall_r12.json)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.15, f"IVF recall@5 {recall:.3f} suspiciously low"
+    assert recall >= 0.5, f"IVF recall@5 {recall:.3f} below the flat-regime gate"
 
 
 def test_als_training_quality(spark):
@@ -950,3 +953,66 @@ def test_agg_tdigest_operator_matches_exact_quantiles(spark):
         ).fetchone()
         assert n == r["n"], (r["grp"], n, r["n"])
         assert abs(rank - r["q"]) < 0.02, (r["grp"], r["q"], rank)
+
+
+def test_ivf_adaptive_probe_widths(spark, tmp_path):
+    """The adaptive router's regime split, pinned on synthetic corpora:
+    clustered queries (one dominant cell) keep the narrow nprobe=3 probe
+    — the planted-leg wall stays unregressed — while structure-free
+    queries widen to _IVF_FLAT_FRAC of the cells, lifting recall off the
+    nprobe/ncells floor (r11 verdict item 5)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recommend_spark.queries.similarity import (
+        _IVF_FLAT_FRAC,
+        _IVF_NPROBE,
+        _ivf_route,
+    )
+
+    K, dim, n = 10, 64, 400
+    rng = np.random.default_rng(5)
+
+    def write_corpus(dirname, clustered):
+        cents = rng.normal(size=(K, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        ids, labs, embs = [], [], []
+        for i in range(n):
+            lab = i % K
+            v = (
+                cents[lab] + 0.1 * rng.normal(size=dim)
+                if clustered
+                else rng.normal(size=dim)
+            )
+            v /= np.linalg.norm(v)
+            ids.append(i)
+            labs.append(lab)
+            embs.append([float(x) for x in v])
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(embs, pa.list_(pa.float32())),
+                    "label": pa.array(labs, pa.int32()),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d)
+
+    def probes_per_query(sf_dir):
+        rows = _ivf_route(spark, sf_dir).groupBy("query_id").count().collect()
+        return {r["query_id"]: r["count"] for r in rows}
+
+    planted = probes_per_query(write_corpus("planted", clustered=True))
+    assert planted and all(v == _IVF_NPROBE for v in planted.values()), planted
+
+    flat = probes_per_query(write_corpus("flat", clustered=False))
+    wide = math.ceil(_IVF_FLAT_FRAC * K)
+    # noise can make the odd query look structured; the REGIME must widen
+    assert flat and sum(v == wide for v in flat.values()) >= len(flat) - 2, flat
