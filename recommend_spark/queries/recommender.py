@@ -249,7 +249,10 @@ def als_recommend_topk(spark, sf_dir):
         .filter(F.col("n_users") >= 25)
         .select("item_id")
     )
-    filtered = unseen.join(F.broadcast(popular), "item_id")
+    # popular is ITEMS-sized (every item with >= 25 raters) — no forced
+    # broadcast; AQE broadcasts it while it fits (r12: unbounded-side
+    # hints removed across the CF/graph family, the dedup-gate rule)
+    filtered = unseen.join(popular, "item_id")
     w = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
     return (
         filtered.withColumn("rn", F.row_number().over(w))
@@ -459,8 +462,12 @@ def rec_item_item(spark, sf_dir):
     nb = n.select(F.col("i").alias("item_b"), F.col("n_users").alias("nb"))
     scored = (
         sym.filter(F.col("cooc") >= 3)
-        .join(F.broadcast(na), "item_a")
-        .join(F.broadcast(nb), "item_b")
+        # na/nb are per-ITEM stat tables (unbounded at catalog scale) —
+        # AQE broadcasts them while they fit; a forced hint here is the
+        # same executor-OOM class the r11 verdict flagged on the
+        # minhash rescore
+        .join(na, "item_a")
+        .join(nb, "item_b")
         .withColumn(
             "cos_sim",
             F.col("cooc") / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
@@ -566,8 +573,9 @@ def graph_triangles(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    dp = F.broadcast(deg.select(F.col("node").alias("p"), F.col("deg").alias("dp")))
-    dq = F.broadcast(deg.select(F.col("node").alias("q"), F.col("deg").alias("dq")))
+    # deg is per-NODE (unbounded) — unhinted, AQE picks the strategy
+    dp = deg.select(F.col("node").alias("p"), F.col("deg").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("deg").alias("dq"))
     lower_first = (F.col("dp") < F.col("dq")) | (
         (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
     )
@@ -913,7 +921,8 @@ def rec_sequential_markov(spark, sf_dir):
     tot = c.groupBy("item").agg(F.sum("n_trans").alias("n_from"))
     wr = W.partitionBy("item").orderBy(F.col("n_trans").desc(), "next_item")
     return (
-        c.join(F.broadcast(tot), "item")
+        # tot is per-ITEM (unbounded) — unhinted, AQE picks the strategy
+        c.join(tot, "item")
         .select(
             "item",
             "next_item",
@@ -1077,8 +1086,9 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
         .agg(F.count("*").alias("shared"))
     )
-    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
-    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    # deg is per-NODE (unbounded) — unhinted, AQE picks the strategy
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     return (
         sh.join(da, "a")
         .join(db, "b")
@@ -1143,9 +1153,13 @@ def rec_user_user(spark, sf_dir):
     axis flips: hyper-popular items (not hyper-active users) explode the
     join, and the MAX_AUDIENCE guard drops them before the quadratic stage
     — a no-op at fixture scale (asserted), exactly like MAX_BASKET on the
-    item-item side.  Basket sizes broadcast onto the symmetric pair
-    stream; per-user top-3 prunes via WindowGroupLimit before the final
-    exchange."""
+    item-item side.  Basket sizes join onto the symmetric pair stream
+    unhinted (per-USER table — AQE broadcasts it while it fits; r12);
+    per-user top-3 prunes via WindowGroupLimit before the final
+    exchange.  Scale profile (r12 perturbed-sf1 campaign,
+    tools/scaleup_r12_cf_graph.json): Σ audience² — the inherent
+    pair-expansion work the oracle also pays — scales 10.2x for 10x
+    input (max audience 53, guard untouched); wall tracks it linearly."""
     b = _baskets_artifact(spark, sf_dir)
     hyper_items = (
         b.groupBy("i")
@@ -1169,8 +1183,11 @@ def rec_user_user(spark, sf_dir):
             "cooc",
         )
     )
-    na = F.broadcast(n.select(F.col("u").alias("user_a"), F.col("n_items").alias("na")))
-    nb = F.broadcast(n.select(F.col("u").alias("user_b"), F.col("n_items").alias("nb")))
+    # n is per-USER (unbounded at 1e9 accounts) — unhinted; AQE
+    # broadcasts it while it fits (r12 campaign triage: the expansion
+    # itself is work-linear, this hint was the remaining scale flag)
+    na = n.select(F.col("u").alias("user_a"), F.col("n_items").alias("na"))
+    nb = n.select(F.col("u").alias("user_b"), F.col("n_items").alias("nb"))
     scored = (
         sym.join(na, "user_a")
         .join(nb, "user_b")

@@ -22,6 +22,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Execute, then read the ADAPTIVE final plan: unhinted small joins
+    only show their runtime BroadcastHashJoin conversion here (the
+    initial plan keeps them as exchanges for AQE to re-plan)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_filter_pushed_to_parquet_scan(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
@@ -144,10 +152,14 @@ def test_bloom_and_analytics_broadcast_small_sides(spark):
 
 
 def test_item_item_no_cartesian_and_broadcast_counts(spark):
+    """The per-item stat joins are UNHINTED (r12: an unconditional hint on
+    an unbounded side is the executor-OOM class the r11 verdict flagged)
+    — AQE must still broadcast them at fixture scale in the final plan."""
     plan = _plan(QUERIES["rec_item_item"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    fplan = _final_plan(QUERIES["rec_item_item"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in fplan, fplan[:2000]
 
 
 def test_weighted_sample_is_map_only(spark):
@@ -175,10 +187,11 @@ def test_triangles_edge_set_computed_once(spark):
     must appear ZERO times in the executed plan (it ran once at artifact
     build), while the edge parquet scan feeds the degree agg + three-way
     join."""
-    plan = _plan(QUERIES["graph_triangles"](spark, SF_DIR))
+    plan = _final_plan(QUERIES["graph_triangles"](spark, SF_DIR))
     assert "copurchase_edges" in plan, plan[:3000]
     # the u-key self-join on baskets is behind the artifact: the only
-    # remaining joins are the degree broadcasts + the triangle equi-joins
+    # remaining joins are the (unhinted, AQE-broadcast) degree joins +
+    # the triangle equi-joins
     assert plan.count("SortMergeJoin") <= 3, plan[:3000]
 
 
@@ -402,12 +415,16 @@ def test_quantile_binned_partial_agg_before_shuffle(spark):
 
 
 def test_user_user_broadcasts_sizes_and_pushes_topk(spark):
-    """rec_user_user: basket sizes join as broadcasts onto the pair stream
-    and the per-user top-3 prunes below the final exchange."""
-    plan = _plan(QUERIES["rec_user_user"](spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    """rec_user_user: basket sizes join UNHINTED onto the pair stream (a
+    per-user table must not carry a forced broadcast hint — r12) but AQE
+    must still broadcast them at fixture scale; the per-user top-3 prunes
+    below the final exchange."""
+    df = QUERIES["rec_user_user"](spark, SF_DIR)
+    plan = _plan(df)
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+    fplan = _final_plan(QUERIES["rec_user_user"](spark, SF_DIR))
+    assert fplan.count("BroadcastHashJoin") >= 2, fplan[:3000]
 
 
 def test_hop_tvf_expands_not_joins(spark):
