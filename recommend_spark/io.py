@@ -80,6 +80,48 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+#: Budget for an EXPLICIT broadcast hint (a forced hint bypasses both the
+#: static autoBroadcastJoinThreshold and AQE, so it must never be pinned
+#: to a side that can outgrow executor memory).  64 MiB estimated: well
+#: under any sane executor, well over every fixture dimension.
+BROADCAST_HINT_BUDGET = 64 << 20
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER — metadata only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
+def table_file_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes — a static lower bound on the table's data
+    volume (and, times a decompression factor, an upper-bound proxy for
+    anything derived from its distinct values)."""
+    import os as _os
+
+    return _os.path.getsize(f"{sf_dir}/{name}.parquet")
+
+
+def hint_if(df: DataFrame, est_bytes: int) -> DataFrame:
+    """``F.broadcast(df)`` iff the caller's STATIC upper bound on the
+    side's size fits ``BROADCAST_HINT_BUDGET``; the plain DataFrame
+    otherwise, so the optimizer (static threshold or AQE at runtime) owns
+    the choice.
+
+    This is the scale rule behind every explicit hint in the inventory
+    (r11 verdict item 1, applied package-wide in r12): a hint is a claim
+    the planner cannot check and will not override, so it must come with
+    a bound the caller CAN check — parquet-footer row counts
+    (``table_rows`` × estimated row bytes) for dimension-derived sides,
+    file bytes (``table_file_bytes`` × a decompression factor) for
+    vocabulary/token-derived sides.  At fixture scale every gate passes
+    and plans are bit-identical to the always-hint versions; at 100 TB
+    the same call sites degrade to optimizer-chosen joins instead of
+    executor OOMs."""
+    return F.broadcast(df) if est_bytes <= BROADCAST_HINT_BUDGET else df
+
+
 def disk_memo(spark: SparkSession, key: str, build) -> DataFrame:
     """Parquet-memoized DataFrame artifact under ART_ROOT/<key>/data.
 

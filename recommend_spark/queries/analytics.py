@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import hint_if, load_table, table_rows
 from ..registry import register
 
 
@@ -440,7 +440,11 @@ def dq_checks(spark, sf_dir):
     )
     ref = check(
         "custkey_ref_integrity",
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        o.join(
+            hint_if(c, table_rows(sf_dir, "customer") * 16),
+            o.o_custkey == c.c_custkey,
+            "left",
+        ),
         F.count(F.when(F.col("c_custkey").isNull(), 1)),
     )
     qty = check(

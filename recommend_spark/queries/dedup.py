@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..blockkernel import index_ordered_dot_block
-from ..io import load_table, sf_key
+from ..io import hint_if, load_table, sf_key, table_file_bytes
 from ..registry import register
 
 _SQL_TOKS = "list_distinct(string_split(lower(text), ' '))"
@@ -709,7 +709,9 @@ def dedup_simhash(spark, sf_dir):
         ),
     )
     votes = (
-        tok.join(F.broadcast(th), "w")
+        # th is token-derived (unbounded vocab at web scale): hint gated
+        # on corpus file bytes x decompression factor (io.hint_if rule)
+        tok.join(hint_if(th, table_file_bytes(sf_dir, "documents") * 8), "w")
         # bit fan-out as a Generate (explode of a constant range), not a
         # 24-row broadcast cross join — same rows, one fewer join node
         .select(
@@ -1360,10 +1362,15 @@ def dedup_minhash_banded(spark, sf_dir):
 
 
 def _minhash_banded_pairs(spark, sf_dir):
-    return _minhash_banded_pairs_from(load_table(spark, sf_dir, "documents"))
+    # th below is token-derived (unbounded vocab at web scale): its hint
+    # is gated on corpus file bytes x decompression factor (io.hint_if)
+    return _minhash_banded_pairs_from(
+        load_table(spark, sf_dir, "documents"),
+        th_est_bytes=table_file_bytes(sf_dir, "documents") * 8,
+    )
 
 
-def _minhash_banded_pairs_from(docs):
+def _minhash_banded_pairs_from(docs, th_est_bytes: int = 0):
     spark = docs.sparkSession
     tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
     th = tok.select("w").distinct().withColumn(
@@ -1379,7 +1386,7 @@ def _minhash_banded_pairs_from(docs):
         (777767 * F.col("id") + 13).alias("b"),
     )
     mh = (
-        tok.join(F.broadcast(th), "w")
+        tok.join(hint_if(th, th_est_bytes), "w")
         .crossJoin(F.broadcast(params))
         .groupBy("doc_id", "i")
         .agg(
@@ -1607,7 +1614,16 @@ def dedup_paragraph(spark, sf_dir):
         .select("h")
     )
     return (
-        chunks.join(F.broadcast(shared.withColumn("is_dup", F.lit(1))), "h", "left")
+        # shared chunk set is corpus-derived (boilerplate can be a large
+        # corpus fraction): hint gated on corpus file bytes (io.hint_if)
+        chunks.join(
+            hint_if(
+                shared.withColumn("is_dup", F.lit(1)),
+                table_file_bytes(sf_dir, "documents") * 2,
+            ),
+            "h",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import r4
-from ..io import load_table, sf_key
+from ..io import hint_if, load_table, sf_key, table_file_bytes, table_rows
 from ..registry import register
 
 
@@ -639,7 +639,7 @@ def join_null_safe(spark, sf_dir):
         "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("grp_b")
     )
     return (
-        a.join(F.broadcast(b), a.grp.eqNullSafe(b.grp_b))
+        a.join(hint_if(b, table_rows(sf_dir, "supplier") * 16), a.grp.eqNullSafe(b.grp_b))
         .select("c_custkey", "s_suppkey", "grp")
     )
 
@@ -1127,7 +1127,11 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
                 F.col("n_common"),
                 F.col("metric").alias("jaccard"),
             )
-    ranked = toks.join(F.broadcast(vocab), "tok").select(
+    # vocab is token-derived (unbounded at web scale): hint gated on
+    # the corpus file bytes x a decompression factor (io.hint_if rule)
+    ranked = toks.join(
+        hint_if(vocab, table_file_bytes(sf_dir, "documents") * 8), "tok"
+    ).select(
         "doc_id",
         "nt",
         "tok",

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import md5_int, sql_md5_int
-from ..io import load_table
+from ..io import hint_if, load_table, table_rows
 from ..registry import register
 
 
@@ -329,7 +329,8 @@ def sample_negative_pairs(spark, sf_dir):
         )
     )
     negs = (
-        cand.join(F.broadcast(items), "rn")
+        # items is catalog-derived (scales with parts): gated hint
+        cand.join(hint_if(items, table_rows(sf_dir, "part") * 16), "rn")
         .join(pos, ["user_id", "item_id"], "left_anti")
         .groupBy("user_id", "item_id")
         .agg(F.min("j").alias("first_draw"))

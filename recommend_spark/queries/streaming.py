@@ -230,14 +230,20 @@ def stream_static_join(spark, sf_dir):
     This is THE production enrichment shape: at 100 TB/day the dim broadcasts
     and the join adds zero shuffle to the stream; only the tiny per-segment
     aggregate keeps state."""
-    from ..io import load_table
+    from ..io import hint_if, load_table, table_rows
 
     def build(stream):
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         )
         return (
-            stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+            # cust scales with accounts: gated hint (io.hint_if);
+            # past the budget the stream-static join falls back to the
+            # optimizer's threshold decision
+            stream.join(
+                hint_if(cust, table_rows(sf_dir, "customer") * 64),
+                stream.user_id == cust.c_custkey,
+            )
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
         )

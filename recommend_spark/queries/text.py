@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
-from ..io import load_table
+from ..io import hint_if, load_table, table_file_bytes, table_rows
 from ..registry import register
 
 _SQL_TOKS = "string_split(lower(text), ' ')"
@@ -140,7 +140,9 @@ def text_tfidf_sql(spark, sf_dir):
     n = docs.agg(F.count("*").alias("n"))
     idf = F.log(F.col("n").cast("double") / F.col("df").cast("double"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        # df is token-derived (unbounded vocab at web scale): hint
+        # gated on corpus file bytes (io.hint_if rule)
+        tf.join(hint_if(df, table_file_bytes(sf_dir, "documents") * 8), "w")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -646,7 +648,7 @@ def er_name_match(spark, sf_dir):
     )
     return (
         a.join(
-            F.broadcast(b),
+            hint_if(b, table_rows(sf_dir, "customer") * 48),
             (F.col("nk") == F.col("nk_b")) & (F.col("cust_a") < F.col("cust_b")),
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
@@ -735,7 +737,7 @@ def text_unigram_surprisal(spark, sf_dir):
         .select("w", "s")
     )
     return (
-        tok.join(F.broadcast(surp), "w")
+        tok.join(hint_if(surp, table_file_bytes(sf_dir, "documents") * 8), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1076,8 +1078,8 @@ def text_pmi_collocations(spark, sf_dir):
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(hint_if(u1, table_file_bytes(sf_dir, "documents") * 8), "w1")
+        .join(hint_if(u2, table_file_bytes(sf_dir, "documents") * 8), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
@@ -1249,7 +1251,7 @@ def text_bigram_surprisal(spark, sf_dir):
         .select(*key, "s")
     )
     return (
-        bgf.join(F.broadcast(surp), key)
+        bgf.join(hint_if(surp, table_file_bytes(sf_dir, "documents") * 8), key)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ..canon import davg, dsum, iso_date
-from ..io import load_table
+from ..io import hint_if, load_table, table_rows
 from ..registry import register
 
 
@@ -149,7 +149,7 @@ def tpch_q5(spark, sf_dir):
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            hint_if(s, table_rows(sf_dir, "supplier") * 64),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -286,7 +286,7 @@ def tpch_q8(spark, sf_dir):
     return (
         p.filter(F.col("p_type") == "PROMO")
         .join(li, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(hint_if(s, table_rows(sf_dir, "supplier") * 64), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
@@ -340,7 +340,7 @@ def tpch_q9(spark, sf_dir):
     return (
         p.filter(F.col("p_name").like("%widget%"))
         .join(li, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(hint_if(s, table_rows(sf_dir, "supplier") * 64), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -378,7 +378,7 @@ def tpch_q14(spark, sf_dir):
             (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
             & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(hint_if(p, table_rows(sf_dir, "part") * 48), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo_vol).cast("double") / F.sum(vol).cast("double"))
             .alias("promo_revenue")
@@ -411,7 +411,7 @@ def tpch_q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(hint_if(p, table_rows(sf_dir, "part") * 64), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=4),
@@ -496,7 +496,7 @@ def tpch_q18(spark, sf_dir):
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        o.join(hint_if(big, table_rows(sf_dir, "orders") * 16), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -702,7 +702,7 @@ def tpch_q16(spark, sf_dir):
         & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 3)
     )
     return (
-        li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+        li.join(hint_if(sel, table_rows(sf_dir, "part") * 16), li.l_partkey == sel.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -739,9 +739,9 @@ def tpch_q17(spark, sf_dir):
     )
     sel = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     return (
-        li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+        li.join(hint_if(sel, table_rows(sf_dir, "part") * 16), li.l_partkey == sel.p_partkey)
         .join(
-            F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
+            hint_if(part_avg.withColumnRenamed("l_partkey", "pk"), table_rows(sf_dir, "part") * 24),
             F.col("l_partkey") == F.col("pk"),
         )
         .filter(F.col("l_quantity") < F.col("threshold"))
@@ -800,10 +800,10 @@ def tpch_q2(spark, sf_dir):
     )
     eligible = (
         ps.join(
-            F.broadcast(p.filter(F.col("p_size") == 15).select("p_partkey")),
+            hint_if(p.filter(F.col("p_size") == 15).select("p_partkey"), table_rows(sf_dir, "part") * 16),
             ps.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(hint_if(s.select("s_suppkey", "s_nationkey"), table_rows(sf_dir, "supplier") * 24),
               ps.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(
@@ -817,11 +817,11 @@ def tpch_q2(spark, sf_dir):
     )
     out = (
         eligible.join(
-            F.broadcast(mn),
+            hint_if(mn, table_rows(sf_dir, "part") * 24),
             (F.col("p_partkey") == F.col("pk"))
             & (F.col("supplycost") == F.col("mc")),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(hint_if(s, table_rows(sf_dir, "supplier") * 64), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
     )
@@ -856,8 +856,9 @@ def tpch_q11(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     val = (
         li.join(
-            F.broadcast(
-                s.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+            hint_if(
+                s.filter(F.col("s_nationkey") == 7).select("s_suppkey"),
+                table_rows(sf_dir, "supplier") * 16,
             ),
             li.l_suppkey == F.col("s_suppkey"),
         )
@@ -945,13 +946,13 @@ def tpch_q20(spark, sf_dir):
         dsum("l_quantity", "tq")
     )
     heavy = (
-        shipped.join(F.broadcast(part_tot), F.col("l_partkey") == F.col("pk"))
+        shipped.join(hint_if(part_tot, table_rows(sf_dir, "part") * 24), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("sq") > 0.15 * F.col("tq"))
         .select("l_suppkey")
         .distinct()
     )
     return s.join(
-        F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+        hint_if(heavy, table_rows(sf_dir, "supplier") * 16), s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_name", "s_nationkey")
 
 
@@ -1022,7 +1023,7 @@ def tpch_q21(spark, sf_dir):
         "left_anti",
     )
     return (
-        solo.join(F.broadcast(s), solo.l_suppkey == s.s_suppkey)
+        solo.join(hint_if(s, table_rows(sf_dir, "supplier") * 64), solo.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -599,3 +599,35 @@ def test_simhash_banding_is_equi_join(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan[:3000]
+
+
+def test_broadcast_hints_are_size_gated(spark, monkeypatch):
+    """Package-wide r12 rule: every explicit broadcast hint on a side that
+    SCALES (dimension tables, per-entity aggregates, token-derived vocab)
+    goes through io.hint_if with a static parquet-footer/file-size bound.
+    Forcing the budget to zero must strip those hints from the optimized
+    plans — leaving only the constant-bounded ones (nation/region,
+    scalars, enum keys) — while fixture-scale plans keep them (the gate
+    is a no-op below the budget, so bench plans are unchanged)."""
+    import recommend_spark.io as io
+
+    def hints(qid):
+        return (
+            QUERIES[qid](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .count("strategy=broadcast")
+        )
+
+    # (qid, number of gated hints expected to disappear)
+    cases = [
+        ("tpch_q9", 1),       # supplier (nation hint is constant-bounded)
+        ("tpch_q18", 1),      # orders-derived big-order set
+        ("text_tfidf_sql", 1),  # token-derived document-frequency table
+        ("er_name_match", 1),  # customer blocking side
+    ]
+    base = {q: hints(q) for q, _ in cases}
+    monkeypatch.setattr(io, "BROADCAST_HINT_BUDGET", 0)
+    for q, n_gated in cases:
+        assert hints(q) == base[q] - n_gated, q
