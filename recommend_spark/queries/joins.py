@@ -1021,10 +1021,16 @@ def join_set_similarity(spark, sf_dir):
         "doc_id",
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
     )
-    return _set_similarity_pairs(docs)
+    # the prefix path's vocab hint is gated on corpus file bytes (the
+    # vocab table is token-derived, unbounded at web scale)
+    return _set_similarity_pairs(
+        docs, vocab_est_bytes=table_file_bytes(sf_dir, "documents") * 8
+    )
 
 
-def _set_similarity_pairs(docs, force_prefix_path: bool = False):
+def _set_similarity_pairs(
+    docs, force_prefix_path: bool = False, vocab_est_bytes: int = 0
+):
     """join_set_similarity body; ``force_prefix_path`` pins the web-scale
     prefix pipeline for tests on corpora the GEMM kernel would take."""
     toks = docs.select(
@@ -1128,10 +1134,9 @@ def _set_similarity_pairs(docs, force_prefix_path: bool = False):
                 F.col("metric").alias("jaccard"),
             )
     # vocab is token-derived (unbounded at web scale): hint gated on
-    # the corpus file bytes x a decompression factor (io.hint_if rule)
-    ranked = toks.join(
-        hint_if(vocab, table_file_bytes(sf_dir, "documents") * 8), "tok"
-    ).select(
+    # the corpus file bytes x a decompression factor (io.hint_if rule);
+    # direct test callers pass 0 (always-hint, tiny corpora)
+    ranked = toks.join(hint_if(vocab, vocab_est_bytes), "tok").select(
         "doc_id",
         "nt",
         "tok",
