@@ -1159,8 +1159,18 @@ def rec_user_user(spark, sf_dir):
     exchange.  Scale profile (r12 perturbed-sf1 campaign,
     tools/scaleup_r12_cf_graph.json): Σ audience² — the inherent
     pair-expansion work the oracle also pays — scales 10.2x for 10x
-    input (max audience 53, guard untouched); wall tracks it linearly."""
-    b = _baskets_artifact(spark, sf_dir)
+    input (max audience 53, guard untouched); wall tracks it linearly.
+    The guard itself is exercised under INJECTED basket skew in
+    tests/test_skew_stress.py (a planted hyper-item past the cap is
+    dropped before the quadratic stage; measured volume/wall in
+    SCALE.md §10t)."""
+    return _user_user_pairs(_baskets_artifact(spark, sf_dir))
+
+
+def _user_user_pairs(b):
+    """rec_user_user body over an explicit (u, i) basket table — split
+    out so the skew gate can exercise MAX_AUDIENCE on an injected
+    hyper-popular item (the fixtures never cross the cap)."""
     hyper_items = (
         b.groupBy("i")
         .agg(F.count("*").alias("audience"))

@@ -259,3 +259,70 @@ def test_window_topk_prunes_hot_key_map_side(spark, skew_dir):
     want = set(map(tuple, pdf.groupby("key").head(3)[["key", "row_id"]].values))
     got = {(r["key"], r["row_id"]) for r in top3.collect()}
     assert got == want
+
+
+def test_max_audience_guard_under_basket_skew(spark, tmp_path):
+    """rec_user_user's MAX_AUDIENCE guard, exercised for real (r12): the
+    fixtures and even the perturbed-sf1 campaign corpus never cross the
+    cap (max audience 53), so this injects the pathology — one item
+    bought by EVERY user (audience 5,000 ≫ 1,000) over an otherwise
+    uniform basket table — and checks the two claims the guard makes:
+
+    1. the hyper item is dropped BEFORE the quadratic stage: the pair
+       expansion volume equals the guarded Σ C(audience, 2), not the
+       ~12.5M-pair explosion the hyper item alone would contribute;
+    2. the output equals the same pipeline run on the corpus with the
+       hyper item removed by hand (the guard IS the semantics)."""
+    import math
+
+    import numpy as np
+
+    from recommend_spark.queries.recommender import (
+        MAX_AUDIENCE,
+        _user_user_pairs,
+    )
+
+    n_users, n_items, per_user = 5_000, 4_000, 12
+    rng = np.random.default_rng(17)
+    rows = [
+        (u, int(i))
+        for u in range(n_users)
+        for i in rng.choice(n_items, size=per_user, replace=False)
+    ]
+    hyper = n_items + 1
+    rows += [(u, hyper) for u in range(n_users)]  # audience = n_users
+    b = spark.createDataFrame(rows, "u long, i long").repartition(16)
+    b.write.mode("overwrite").parquet(str(tmp_path / "baskets"))
+    b = spark.read.parquet(str(tmp_path / "baskets"))
+
+    assert n_users > MAX_AUDIENCE  # the planted item must cross the cap
+
+    # (1) expansion volume: guarded candidate join emits SUM C(aud, 2)
+    # over surviving items only
+    from pyspark.sql import functions as F
+
+    aud = b.groupBy("i").agg(F.count("*").alias("a"))
+    keep = aud.filter(F.col("a") <= MAX_AUDIENCE)
+    expect_pairs = (
+        keep.select(F.sum(F.col("a") * (F.col("a") - 1) / 2).alias("s"))
+        .first()["s"]
+    )
+    g = b.join(keep.select("i"), "i", "left_semi")
+    x, y = g.alias("x"), g.alias("y")
+    measured = (
+        x.join(
+            y,
+            (F.col("x.i") == F.col("y.i")) & (F.col("x.u") < F.col("y.u")),
+        ).count()
+    )
+    assert measured == int(expect_pairs), (measured, expect_pairs)
+    # the hyper item ALONE would have added C(n_users, 2) pairs on top
+    assert math.comb(n_users, 2) > 20 * measured
+
+    # (2) guard semantics: pipeline output == pipeline on hand-pruned corpus
+    got = {tuple(r) for r in _user_user_pairs(b).collect()}
+    pruned = {
+        tuple(r)
+        for r in _user_user_pairs(b.filter(F.col("i") != hyper)).collect()
+    }
+    assert got == pruned and got, (len(got), len(pruned))
