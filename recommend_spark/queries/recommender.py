@@ -50,7 +50,13 @@ def _guarded_baskets(spark, sf_dir):
     them.  THE single definition of the guard — the pair artifact builder
     and rec_item_item's audience counts both consume this, so the pair
     exclusion set and the cosine denominator can never drift apart."""
-    b = _baskets_artifact(spark, sf_dir)
+    return _guard_baskets(_baskets_artifact(spark, sf_dir))
+
+
+def _guard_baskets(b):
+    """The MAX_BASKET guard over an explicit (u, i) basket table — split
+    out so the skew gate can exercise it on an injected hyper-active
+    user (the fixtures never cross the cap)."""
     hyper = (
         b.groupBy("u")
         .agg(F.count("*").alias("basket_len"))
@@ -71,7 +77,10 @@ def _copurchase_pairs(spark, sf_dir):
     tests/test_properties.py), which keeps all oracles — none of which
     carry a cap — hash-identical.  Exposed unmaterialized so
     tests/test_plans.py can assert the guard is in the plan."""
-    g = _guarded_baskets(spark, sf_dir)
+    return _copurchase_pairs_from(_guarded_baskets(spark, sf_dir))
+
+
+def _copurchase_pairs_from(g):
     x, y = g.alias("x"), g.alias("y")
     return (
         x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))

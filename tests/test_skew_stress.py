@@ -326,3 +326,60 @@ def test_max_audience_guard_under_basket_skew(spark, tmp_path):
         for r in _user_user_pairs(b.filter(F.col("i") != hyper)).collect()
     }
     assert got == pruned and got, (len(got), len(pruned))
+
+
+def test_max_basket_guard_under_hyper_user_skew(spark, tmp_path):
+    """The item-side dual: MAX_BASKET drops hyper-ACTIVE users before the
+    co-purchase self-join (a user with B items contributes C(B, 2) item
+    pairs).  Same injection shape as the audience test — one user who
+    bought every item — pinning the guarded expansion volume exactly and
+    guard-equals-hand-pruning semantics."""
+    import numpy as np
+
+    from recommend_spark.queries.recommender import (
+        MAX_BASKET,
+        _copurchase_pairs_from,
+        _guard_baskets,
+    )
+
+    n_users, n_items, per_user = 3_000, 6_000, 10
+    rng = np.random.default_rng(23)
+    rows = [
+        (u, int(i))
+        for u in range(n_users)
+        for i in rng.choice(n_items, size=per_user, replace=False)
+    ]
+    hyper_u = n_users + 1
+    rows += [(hyper_u, i) for i in range(n_items)]  # basket = n_items
+    b = spark.createDataFrame(rows, "u long, i long").repartition(16)
+    b.write.mode("overwrite").parquet(str(tmp_path / "baskets"))
+    b = spark.read.parquet(str(tmp_path / "baskets"))
+
+    assert n_items > MAX_BASKET
+
+    g = _guard_baskets(b)
+    # the guard removes exactly the hyper user's rows
+    assert g.filter(F.col("u") == hyper_u).count() == 0
+    assert g.count() == n_users * per_user
+
+    # expansion volume equals SUM C(basket_len, 2) over surviving users
+    expect = (
+        g.groupBy("u")
+        .agg(F.count("*").alias("n"))
+        .select(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("s"))
+        .first()["s"]
+    )
+    x, y = g.alias("x"), g.alias("y")
+    measured = x.join(
+        y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i"))
+    ).count()
+    assert measured == int(expect), (measured, expect)
+
+    got = {tuple(r) for r in _copurchase_pairs_from(g).collect()}
+    pruned = {
+        tuple(r)
+        for r in _copurchase_pairs_from(
+            b.filter(F.col("u") != hyper_u)
+        ).collect()
+    }
+    assert got == pruned, (len(got), len(pruned))
