@@ -101,6 +101,30 @@ def memo_broadcast(sc, key, make_value):
     return bc
 
 
+def staged_embeddings_broadcast(sc, path: str):
+    """Memoized torrent broadcast of the staged embedding block:
+    (vec_id int64 array, N×dim float64 matrix) read from ``path``.
+
+    Keyed by FILE identity (path, mtime, size) — zero hashing of the
+    gated-size matrix.  ``dedup_embed_cosine`` and ``sim_knn_join``
+    stage the identical value from the same file, so they share ONE
+    executor-resident copy, and bench reps stop accumulating a fresh
+    corpus-matrix blob per invocation (r11 ADVICE, extended r12)."""
+    st = os.stat(path)
+    key = ("embstage", path, st.st_mtime_ns, st.st_size)
+
+    def make():
+        import numpy as np
+
+        t = pq.ParquetFile(path).read(columns=["vec_id", "embedding"])
+        return (
+            np.asarray(t["vec_id"]),
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+        )
+
+    return memo_broadcast(sc, key, make)
+
+
 def index_ordered_dot_block(a_mat, b_mat):
     """Dense dot-product block via an index-ordered left fold over the
     dimensions: acc[i,j] = (((0 + a[i,0]·b[j,0]) + a[i,1]·b[j,1]) + …) —

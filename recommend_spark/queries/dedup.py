@@ -871,20 +871,15 @@ def dedup_embed_cosine(spark, sf_dir):
     the same kernel cogrouped over a B×B bucket grid with nothing staged
     driver-side — hash-identical output."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    from ..blockkernel import block_kernel_fits
+    from ..blockkernel import block_kernel_fits, staged_embeddings_broadcast
 
     path = f"{sf_dir}/embeddings.parquet"
     if not block_kernel_fits(path, dim=64):
         return _embed_pairs_bucketed(spark, sf_dir, tau=0.4)
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    bc = spark.sparkContext.broadcast(
-        (
-            np.asarray(t["vec_id"]),
-            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
-        )
-    )
+    # file-identity-memoized: shares one executor-resident copy with
+    # sim_knn_join and across bench reps (r11 ADVICE, extended r12)
+    bc = staged_embeddings_broadcast(spark.sparkContext, path)
 
     def block_pairs(batches):
         import pandas as pd

