@@ -128,17 +128,79 @@ _ALS_PARAMS = dict(
 MAX_BASKET = 1000
 
 
+def _als_key_max(sf_dir) -> int:
+    """Largest o_custkey / l_partkey from parquet FOOTER column stats —
+    metadata only, no Spark job.  Missing stats count as unbounded."""
+    import pyarrow.parquet as pq
+
+    mx = 0
+    for table, col in (("orders", "o_custkey"), ("lineitem", "l_partkey")):
+        f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+        names = [
+            f.metadata.schema.column(i).path
+            for i in range(f.metadata.num_columns)
+        ]
+        ci = names.index(col)
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return 1 << 62
+            mx = max(mx, int(st.max))
+    return mx
+
+
+def _dense_codes(df, col):
+    """Deterministic dense int32 codes for a distinct key column:
+    sorted ``zipWithIndex`` (one shuffle + two passes, one-off per
+    corpus and dwarfed by the ALS fit it enables).  Returns
+    (``col`` long, ``code`` int)."""
+    rdd = (
+        df.select(col)
+        .distinct()
+        .rdd.map(lambda r: r[0])
+        .sortBy(lambda x: x)
+        .zipWithIndex()
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(rdd, f"{col} long, code long").select(
+        col, F.col("code").cast("int").alias("code")
+    )
+
+
 def _ratings(spark, sf_dir):
-    """Implicit ratings matrix: (customer, part, total quantity ordered)."""
+    """Implicit ratings matrix: (customer, part, total quantity ordered).
+
+    MLlib ALS hard-requires int32 ids (the Scala implementation's block
+    layout).  Fixture keys fit, so the direct cast is the default path —
+    but a 100 TB corpus's keys do not (the r12 perturbed campaign's
+    replica-shifted custkeys sit at 3e9+, and ANSI mode rightly threw
+    CAST_OVERFLOW).  When parquet-footer column stats show keys past
+    int32, each key space maps through DETERMINISTIC dense codes
+    (``_dense_codes``) and the whole ALS family trains/evaluates
+    self-consistently in code space; a production deployment keeps the
+    two code dimension tables for decode at the serving edge."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.col("o_custkey").cast("int").alias("user_id"),
-            F.col("l_partkey").cast("int").alias("item_id"),
+            F.col("o_custkey").alias("user_key"),
+            F.col("l_partkey").alias("item_key"),
         )
         .agg(dsum("l_quantity", "strength"))
+    )
+    if _als_key_max(sf_dir) <= (1 << 31) - 1:
+        return base.select(
+            F.col("user_key").cast("int").alias("user_id"),
+            F.col("item_key").cast("int").alias("item_id"),
+            "strength",
+        )
+    uc = _dense_codes(base, "user_key").withColumnRenamed("code", "user_id")
+    ic = _dense_codes(base, "item_key").withColumnRenamed("code", "item_id")
+    return (
+        base.join(uc, "user_key")
+        .join(ic, "item_key")
+        .select("user_id", "item_id", "strength")
     )
 
 

@@ -120,3 +120,54 @@ def test_guarded_op_parity_on_degenerate_fixture(
         group_col = df.columns[0]
         got = {r[group_col] for r in df.select(group_col).collect()}
         assert got == survivors, (qid, got)
+
+
+def test_als_ratings_dense_codes_past_int32(spark, tmp_path):
+    """MLlib ALS requires int32 ids; _ratings must survive key spaces
+    past int32 (r12: the perturbed campaign's replica-shifted custkeys
+    at 3e9+ threw CAST_OVERFLOW under ANSI).  With planted huge keys the
+    footer gate must route to deterministic dense codes — valid int ids,
+    bijective per key, strengths preserved — while the fixture path
+    (keys under int32) keeps the direct cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from recommend_spark.queries.recommender import _als_key_max, _ratings
+
+    base = 3_000_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([base + 7, base + 8, base + 7], pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_partkey": pa.array(
+                [base + 100, base + 200, base + 100, base + 200], pa.int64()
+            ),
+            "l_quantity": pa.array([2.0, 3.0, 5.0, 7.0], pa.float64()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+
+    assert _als_key_max(str(tmp_path)) > (1 << 31) - 1
+
+    r = _ratings(spark, str(tmp_path))
+    assert dict(r.dtypes)["user_id"] == "int"
+    assert dict(r.dtypes)["item_id"] == "int"
+    rows = {(x["user_id"], x["item_id"]): x["strength"] for x in r.collect()}
+    # cust base+7 (orders 1, 3): part100 qty 2, part200 qty 3+7;
+    # cust base+8 (order 2): part100 qty 5.  Dense codes are sorted:
+    # user base+7 -> 0, base+8 -> 1; items part100 -> 0, part200 -> 1
+    assert rows == {(0, 0): 2.0, (0, 1): 3.0 + 7.0, (1, 0): 5.0}, rows
+
+    # determinism: a rebuild yields identical codes
+    rows2 = {
+        (x["user_id"], x["item_id"]): x["strength"]
+        for x in _ratings(spark, str(tmp_path)).collect()
+    }
+    assert rows2 == rows
