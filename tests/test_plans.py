@@ -625,7 +625,9 @@ def test_broadcast_hints_are_size_gated(spark, monkeypatch):
         ("tpch_q9", 1),       # supplier (nation hint is constant-bounded)
         ("tpch_q18", 1),      # orders-derived big-order set
         ("text_tfidf_sql", 1),  # token-derived document-frequency table
-        ("er_name_match", 1),  # customer blocking side
+        # fixture names are low-entropy -> cost route picks the BLOCK
+        # path, whose probe side carries one gated hint
+        ("er_name_match", 1),
     ]
     base = {q: hints(q) for q, _ in cases}
     monkeypatch.setattr(io, "BROADCAST_HINT_BUDGET", 0)

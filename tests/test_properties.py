@@ -1130,3 +1130,93 @@ def test_minhash_banded_rescore_broadcast_gate(spark, monkeypatch):
     # top-bits vocab) are bounded-size and keep their hints
     assert hints(gated) == base_hints - 2
     assert sorted(tuple(r) for r in gated.collect()) == base_rows
+
+
+def test_er_prefix_filter_lossless_vs_brute_force(spark, tmp_path):
+    """Ed-Join positional q-gram prefix filter (er_name_match, r12): the
+    rare-gram candidate join + position/length alignment must lose NO
+    pair within edit distance 2 — including insert/delete edits that
+    SHIFT every later gram's position, the case the +-tau alignment
+    window exists for.  Randomized corpus with planted sub/ins/del
+    variants, verified against the quadratic brute force."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    names = []
+    for k in range(220):
+        base = "Cust#" + "".join(rng.choice(alpha) for _ in range(rng.randint(6, 14)))
+        names.append(base)
+        if k % 4 == 0:  # substitution
+            i = rng.randrange(len(base))
+            names.append(base[:i] + rng.choice(alpha) + base[i + 1:])
+        if k % 5 == 0:  # deletion (shifts all later grams)
+            i = rng.randrange(len(base))
+            names.append(base[:i] + base[i + 1:])
+        if k % 6 == 0:  # insertion (shifts all later grams)
+            i = rng.randrange(len(base) + 1)
+            names.append(base[:i] + rng.choice(alpha) + base[i:])
+        if k % 7 == 0:  # two edits: delete + substitute
+            i = rng.randrange(len(base) - 1)
+            t = base[:i] + base[i + 1:]
+            j = rng.randrange(len(t))
+            names.append(t[:j] + rng.choice(alpha) + t[j + 1:])
+    names.append("ab")  # short-name branch
+    names.append("ac")
+    rows = [(i + 1, n, i % 3) for i, n in enumerate(names)]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([r[1] for r in rows]),
+                "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+
+    from recommend_spark.queries import QUERIES as _Q
+    from recommend_spark.queries.text import _er_name_pairs
+
+    got = {
+        (r["cust_a"], r["cust_b"], r["edit_dist"])
+        for r in _Q["er_name_match"](spark, str(tmp_path)).collect()
+    }
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][2] != rows[j][2]:
+                continue
+            d = ed(rows[i][1], rows[j][1])
+            if d <= 2:
+                want.add((rows[i][0], rows[j][0], d))
+    assert want, "corpus must contain planted near-dup pairs"
+    assert got == want, (len(got), len(want), sorted(want - got)[:5])
+
+    # BOTH forced routes must be lossless — the cost gate picks between
+    # two equivalent plans, never between two answers
+    cdf = spark.read.parquet(str(tmp_path / "customer.parquet")).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.length("c_name").alias("ln"),
+    )
+    for path in ("block", "prefix"):
+        forced = {
+            (r["cust_a"], r["cust_b"], r["edit_dist"])
+            for r in _er_name_pairs(cdf, force_path=path).collect()
+        }
+        assert forced == want, (path, len(forced), len(want))
