@@ -51,3 +51,39 @@ def test_embed_cosine_fallback_hash_identical(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", "1")
     bucketed = _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR))
     assert broadcast == bucketed
+
+
+def test_kernel_broadcasts_memoized_across_rebuilds(spark):
+    """r11-ADVICE fix, pinned: rebuilding the same kernel query must
+    REUSE the content-memoized torrent broadcast instead of accumulating
+    a fresh driver+executor blob per bench rep, and the memo must stay
+    bounded (evicting, not growing) under distinct corpora."""
+    import recommend_spark.blockkernel as bk
+
+    sc = spark.sparkContext
+    calls = []
+
+    def make(tag):
+        def _make():
+            calls.append(tag)
+            return (tag,)
+
+        return _make
+
+    start = dict(bk._BC_MEMO)
+    try:
+        bk._BC_MEMO.clear()
+        a1 = bk.memo_broadcast(sc, ("t", 1), make("a"))
+        a2 = bk.memo_broadcast(sc, ("t", 1), make("a"))
+        assert a1 is a2 and calls == ["a"]  # rebuilt -> same blob, one make
+        for i in range(2, 2 + bk._BC_MEMO_MAX):
+            bk.memo_broadcast(sc, ("t", i), make(str(i)))
+        assert len(bk._BC_MEMO) == bk._BC_MEMO_MAX  # bounded
+        assert ("t", 1) not in bk._BC_MEMO  # oldest evicted
+        # evicted-then-requested: a fresh broadcast is built
+        calls.clear()
+        b = bk.memo_broadcast(sc, ("t", 1), make("a"))
+        assert calls == ["a"] and b is not a1
+    finally:
+        bk._BC_MEMO.clear()
+        bk._BC_MEMO.update(start)
