@@ -198,11 +198,15 @@ def main() -> None:
         # verdict item 6): round-over-round comparisons should chase
         # the engine, not the harness floor.  Clamped at 0 — a stream id
         # occasionally measures under the floor (both are min-of-reps).
+        # explicit membership, not `or`: a stream id whose min-of-reps
+        # wall rounds to 0.0 in `times` is falsy and would fall through
+        # to heavy_times (None - float → TypeError, or a wrong source)
         out["engine_seconds_stream"] = {
             q: round(
                 max(
                     0.0,
-                    (times.get(q) or heavy_times.get(q)) - replay_floor_s,
+                    (times[q] if q in times else heavy_times[q])
+                    - replay_floor_s,
                 ),
                 3,
             )

@@ -17,6 +17,7 @@ SCALE.md §"Block kernels".
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 
@@ -85,11 +86,35 @@ def collected_toks_bytes(n_rows: int, n_tokens: int) -> int:
 #: budget-gated (≤ max_staged_bytes each).
 _BC_MEMO: dict = {}
 _BC_MEMO_MAX = 4
+_BC_MEMO_APP: str | None = None
+
+
+def content_digest(data: bytes) -> str:
+    """Full-width content digest for memo keys.  Python ``hash()`` is only
+    64-bit: a collision between two equal-shaped matrices would silently
+    serve the wrong broadcast content — wrong results, no error (r12
+    ADVICE).  blake2b costs about the same as the ``tobytes()`` copy the
+    caller already pays and makes that failure mode cryptographically
+    impossible."""
+    return hashlib.blake2b(data, digest_size=32).hexdigest()
 
 
 def memo_broadcast(sc, key, make_value):
     """Return a (possibly cached) broadcast of ``make_value()`` under the
-    content ``key``; evicts oldest-inserted past ``_BC_MEMO_MAX``."""
+    content ``key``; evicts oldest-inserted past ``_BC_MEMO_MAX``.
+
+    Scoped to the calling SparkContext: broadcasts outlive ``spark.stop()``
+    as Python objects, so a process that cycles sessions (stop one, start
+    another) must never get a memo hit registered with the dead context —
+    tasks in the new context would fail to fetch it (r12 ADVICE).  On an
+    applicationId change the whole memo is dropped WITHOUT unpersist():
+    the old context is gone and its JVM-side blocks with it; calling into
+    a stopped context would raise."""
+    global _BC_MEMO_APP
+    app = sc.applicationId
+    if app != _BC_MEMO_APP:
+        _BC_MEMO.clear()
+        _BC_MEMO_APP = app
     bc = _BC_MEMO.get(key)
     if bc is not None:
         return bc
@@ -209,10 +234,10 @@ def bitset_gemm_pairs(
     key = (
         "bitset",
         idx_mat.shape,
-        hash(idx_ids.tobytes()),
-        hash(idx_nt.tobytes()),
-        hash(idx_mat.tobytes()),
-        hash(tuple(sorted(vocab_map.items()))),
+        content_digest(idx_ids.tobytes()),
+        content_digest(idx_nt.tobytes()),
+        content_digest(idx_mat.tobytes()),
+        content_digest(repr(sorted(vocab_map.items())).encode()),
     )
     bc = memo_broadcast(
         stream_df.sparkSession.sparkContext,

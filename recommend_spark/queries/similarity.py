@@ -1075,11 +1075,11 @@ def mm_embed_pq(spark, sf_dir):
     emb = _pq_emb(spark, sf_dir)
     cents = _pq_train(spark, sf_dir)
 
-    from ..blockkernel import memo_broadcast
+    from ..blockkernel import content_digest, memo_broadcast
 
     bc_final = memo_broadcast(
         spark.sparkContext,
-        ("pqcents", hash(cents.tobytes()), cents.shape),
+        ("pqcents", content_digest(cents.tobytes()), cents.shape),
         lambda: cents,
     )
 
@@ -1139,16 +1139,16 @@ def sim_ivf_pq(spark, sf_dir):
     cells = _cell_centroids(spark, sf_dir)  # (n_labels, 64)
 
     # (1) PQ-encode every vector's residual (map-only, reuses codebook)
-    from ..blockkernel import memo_broadcast
+    from ..blockkernel import content_digest, memo_broadcast
 
     bc = memo_broadcast(
         spark.sparkContext,
-        ("pqcents", hash(cents.tobytes()), cents.shape),
+        ("pqcents", content_digest(cents.tobytes()), cents.shape),
         lambda: cents,
     )
     bc_cells = memo_broadcast(
         spark.sparkContext,
-        ("pqcells", hash(cells.tobytes()), cells.shape),
+        ("pqcells", content_digest(cells.tobytes()), cells.shape),
         lambda: cells,
     )
 

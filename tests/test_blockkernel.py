@@ -87,3 +87,39 @@ def test_kernel_broadcasts_memoized_across_rebuilds(spark):
     finally:
         bk._BC_MEMO.clear()
         bk._BC_MEMO.update(start)
+
+
+def test_memo_dropped_on_context_change(spark):
+    """r12-ADVICE fix, pinned: the memo is scoped to the SparkContext.
+    A process that stops one session and starts another must never get
+    a memo hit whose broadcast was registered with the dead context —
+    on an applicationId change the memo is dropped (no unpersist: the
+    old JVM-side blocks died with their context)."""
+    import recommend_spark.blockkernel as bk
+
+    sc = spark.sparkContext
+    start = dict(bk._BC_MEMO)
+    start_app = bk._BC_MEMO_APP
+    try:
+        bk._BC_MEMO.clear()
+        bk._BC_MEMO_APP = None
+        a = bk.memo_broadcast(sc, ("ctx", 1), lambda: ("a",))
+        assert bk.memo_broadcast(sc, ("ctx", 1), lambda: ("a",)) is a
+
+        class _FakeSC:
+            applicationId = "some-other-app"
+
+            @staticmethod
+            def broadcast(v):
+                return sc.broadcast(v)
+
+        # same key, different context -> MISS (fresh broadcast), and the
+        # dead-context entry is gone from the memo entirely
+        b = bk.memo_broadcast(_FakeSC, ("ctx", 1), lambda: ("a",))
+        assert b is not a
+        assert bk._BC_MEMO[("ctx", 1)] is b
+        assert bk._BC_MEMO_APP == "some-other-app"
+    finally:
+        bk._BC_MEMO.clear()
+        bk._BC_MEMO.update(start)
+        bk._BC_MEMO_APP = start_app
