@@ -665,7 +665,27 @@ def er_name_match(spark, sf_dir):
 
 def _er_name_pairs(c, freq_hint_bytes: int = 0, force_path: str | None = None):
     """er_name_match body over an explicit (cust, name, nk, ln) table;
-    ``force_path`` ("block" | "prefix") pins a route for tests."""
+    ``force_path`` ("block" | "block_collapsed" | "prefix") pins a route
+    for tests.
+
+    Three lossless routes, cost-gated (r12 verdict item 1):
+
+    * ``prefix`` — Ed-Join positional rare-gram prefix filter; wins on
+      high-entropy names.
+    * ``block`` — within-nation pair join; wins when nation blocks are
+      small.  Carries the FREE length band ``|ln_a − ln_b| ≤ tau``
+      (edit distance ≥ length difference) so codegen short-circuits
+      before the O(L²) levenshtein — the prune the prefix path always
+      had.
+    * ``block_collapsed`` — the degenerate LOW-entropy regime (replica-
+      heavy name spaces, where both other routes go quadratic in ROWS):
+      collapse identical names to one representative per (nation, name),
+      run the banded levenshtein over DISTINCT names only (candidates
+      become distinct-names², not rows²), then re-expand to id pairs by
+      two equi-joins (each replica pair is emitted by join arithmetic,
+      never scored again) plus the exact-duplicate pairs (edit 0) from a
+      (nation, name) self-join that only duplicate groups survive.
+    """
     TAU, Q = 2, 3
     PFX = TAU * Q + 1
     long_names = c.filter(F.col("ln") >= Q)
@@ -697,36 +717,141 @@ def _er_name_pairs(c, freq_hint_bytes: int = 0, force_path: str | None = None):
             ).first()["s"]
             or 0
         )
-        n_block_cand = (
+        blk = (
             c.groupBy("nk")
-            .agg(F.count("*").alias("k"))
-            .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("s"))
-            .first()["s"]
-            or 0
+            .agg(
+                F.count("*").alias("k"),
+                # the gate is cost-only (all three routes are lossless),
+                # so an HLL estimate of distinct names is enough — exact
+                # count_distinct would pay an expand + second shuffle in
+                # a job that exists only to pick a plan
+                F.approx_count_distinct("name").alias("d"),
+            )
+            .agg(
+                F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("sk"),
+                # clamp: the HLL estimate can exceed the group's row
+                # count on near-unique groups; d > k would overstate the
+                # collapsed cost past the plain block cost it can never
+                # actually have
+                F.sum(
+                    F.least("d", "k") * (F.least("d", "k") - 1) / 2
+                ).alias("sd"),
+            )
+            .first()
         )
-        path = "block" if n_block_cand <= n_prefix_cand else "prefix"
+        n_block_cand = blk["sk"] or 0
+        # collapsed route scores DISTINCT-name pairs only; the ×2 charges
+        # its two expansion equi-joins, so on duplicate-free inputs
+        # (sd == sk) the plain block plan is kept bit-identical
+        collapsed_cost = 2 * (blk["sd"] or 0)
+        if n_prefix_cand < min(n_block_cand, collapsed_cost):
+            path = "prefix"
+        elif n_block_cand <= collapsed_cost:
+            path = "block"
+        else:
+            path = "block_collapsed"
 
     if path == "block":
         a = c.select(
             F.col("cust").alias("cust_a"),
             F.col("name").alias("name_a"),
             F.col("nk").alias("nk_a"),
+            F.col("ln").alias("ln_a"),
         ).repartition(64)
         b = c.select(
             F.col("cust").alias("cust_b"),
             F.col("name").alias("name_b"),
             F.col("nk").alias("nk_b"),
+            F.col("ln").alias("ln_b"),
         )
         return (
             a.join(
                 hint_if(b, freq_hint_bytes),
+                # the length band is FREE and lossless (edit distance >=
+                # length difference): codegen evaluates it before the
+                # O(L^2) levenshtein, so band-rejected pairs never pay it
                 (F.col("nk_a") == F.col("nk_b"))
-                & (F.col("cust_a") < F.col("cust_b")),
+                & (F.col("cust_a") < F.col("cust_b"))
+                & (F.abs(F.col("ln_a") - F.col("ln_b")) <= TAU),
             )
             .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
             .filter(F.col("edit_dist") <= TAU)
             .select("cust_a", "cust_b", "edit_dist")
         )
+
+    if path == "block_collapsed":
+        dn = c.select("nk", "name", "ln").distinct()
+        da = dn.select(
+            F.col("nk").alias("nk_a"),
+            F.col("name").alias("name_a"),
+            F.col("ln").alias("ln_a"),
+        ).repartition(64)
+        db = dn.select(
+            F.col("nk").alias("nk_b"),
+            F.col("name").alias("name_b"),
+            F.col("ln").alias("ln_b"),
+        )
+        # levenshtein runs ONCE per distinct unordered name pair (ordered
+        # lexically, so no post-hoc dedup); replicas never reach it
+        name_pairs = (
+            da.join(
+                hint_if(db, freq_hint_bytes),
+                (F.col("nk_a") == F.col("nk_b"))
+                & (F.col("name_a") < F.col("name_b"))
+                & (F.abs(F.col("ln_a") - F.col("ln_b")) <= TAU),
+            )
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("edit_dist") <= TAU)
+            .select(
+                F.col("nk_a").alias("nk"), "name_a", "name_b", "edit_dist"
+            )
+        )
+        ids = c.select("nk", "name", "cust")
+        # expansion is join arithmetic: every (id of name_a) x (id of
+        # name_b) replica pair materializes here, output-bound by
+        # construction — the true-pair volume, nothing extra.  name_a !=
+        # name_b guarantees distinct ids; orientation is re-fixed on id.
+        expanded = (
+            name_pairs.join(
+                ids.select(
+                    "nk",
+                    F.col("name").alias("name_a"),
+                    F.col("cust").alias("ca"),
+                ),
+                ["nk", "name_a"],
+            )
+            .join(
+                ids.select(
+                    "nk",
+                    F.col("name").alias("name_b"),
+                    F.col("cust").alias("cb"),
+                ),
+                ["nk", "name_b"],
+            )
+            .select(
+                F.least("ca", "cb").alias("cust_a"),
+                F.greatest("ca", "cb").alias("cust_b"),
+                "edit_dist",
+            )
+        )
+        # exact replicas (edit 0): the (nk, name) self-join matches only
+        # within duplicate groups — unique names contribute zero pairs
+        same = (
+            ids.select(
+                "nk", "name", F.col("cust").alias("ca")
+            )
+            .join(
+                ids.select("nk", "name", F.col("cust").alias("cb")),
+                ["nk", "name"],
+            )
+            .filter(F.col("ca") < F.col("cb"))
+            .select(
+                F.col("ca").alias("cust_a"),
+                F.col("cb").alias("cust_b"),
+                F.lit(0).cast("int").alias("edit_dist"),
+            )
+        )
+        return expanded.unionByName(same)
 
     ranked = grams.join(hint_if(freq, freq_hint_bytes), "gram").withColumn(
         "r",

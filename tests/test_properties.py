@@ -1206,17 +1206,91 @@ def test_er_prefix_filter_lossless_vs_brute_force(spark, tmp_path):
     assert want, "corpus must contain planted near-dup pairs"
     assert got == want, (len(got), len(want), sorted(want - got)[:5])
 
-    # BOTH forced routes must be lossless — the cost gate picks between
-    # two equivalent plans, never between two answers
+    # ALL forced routes must be lossless — the cost gate picks between
+    # equivalent plans, never between different answers
     cdf = spark.read.parquet(str(tmp_path / "customer.parquet")).select(
         F.col("c_custkey").alias("cust"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nk"),
         F.length("c_name").alias("ln"),
     )
-    for path in ("block", "prefix"):
+    for path in ("block", "block_collapsed", "prefix"):
         forced = {
             (r["cust_a"], r["cust_b"], r["edit_dist"])
             for r in _er_name_pairs(cdf, force_path=path).collect()
         }
         assert forced == want, (path, len(forced), len(want))
+
+
+def test_er_collapsed_route_on_duplicated_names(spark):
+    """The r13 third regime: a replica-heavy name space (each name
+    repeated many times — the perturbed-sf1 blowup driver) must (a) be
+    auto-routed to block_collapsed by the cost gate, and (b) produce
+    exactly the brute-force pair set, including the edit-0 replica
+    pairs and ins/del/sub near-dup pairs ACROSS replica groups."""
+    import random
+
+    rng = random.Random(13)
+    alpha = "abcdefghij"
+    bases = []
+    for _ in range(12):
+        bases.append("N#" + "".join(rng.choice(alpha) for _ in range(8)))
+    variants = []
+    for b in bases:
+        variants.append(b)
+        i = rng.randrange(len(b))
+        variants.append(b[:i] + rng.choice(alpha) + b[i + 1:])   # sub
+        i = rng.randrange(len(b))
+        variants.append(b[:i] + b[i + 1:])                        # del
+        i = rng.randrange(len(b) + 1)
+        variants.append(b[:i] + rng.choice(alpha) + b[i:])        # ins
+    rows = []
+    k = 0
+    for v in variants:
+        for _ in range(rng.randint(2, 6)):  # replicas — the degenerate regime
+            k += 1
+            rows.append((k, v, k % 2))
+    cdf = spark.createDataFrame(
+        rows, "cust long, name string, nk int"
+    ).withColumn("ln", F.length("name"))
+
+    from recommend_spark.queries.text import _er_name_pairs
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][2] != rows[j][2]:
+                continue
+            d = ed(rows[i][1], rows[j][1])
+            if d <= 2:
+                want.add((rows[i][0], rows[j][0], d))
+    assert want
+
+    got = {
+        (r["cust_a"], r["cust_b"], r["edit_dist"])
+        for r in _er_name_pairs(cdf).collect()  # auto gate
+    }
+    assert got == want, (len(got), len(want))
+    forced = {
+        (r["cust_a"], r["cust_b"], r["edit_dist"])
+        for r in _er_name_pairs(cdf, force_path="block_collapsed").collect()
+    }
+    assert forced == want
+    # the gate itself must pick the collapsed route here: distinct-name
+    # candidates are ~replication² smaller than row candidates
+    # (replication mean ~4 ⇒ sd ≪ sk/2)
+    n = cdf.groupBy("nk").count().agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+    d = (
+        cdf.select("nk", "name").distinct().groupBy("nk").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+    )
+    assert 2 * d < n, "fixture must make the collapsed route the cheap one"
