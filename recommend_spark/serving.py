@@ -60,6 +60,11 @@ class RecommendationService:
         from pyspark.ml.recommendation import ALS
 
         self.model = ALS(**_ALS_PARAMS).fit(self._ratings)
+        self._derive_serving_artifacts()
+
+    def _derive_serving_artifacts(self) -> None:
+        """Serving caches derived from (model, base ratings) — shared by
+        a fresh fit and a warm-start load."""
         self._item_factors = self.model.itemFactors.select(
             F.col("id").alias("item_id"),
             F.col("features").cast("array<double>").alias("y"),
@@ -71,6 +76,54 @@ class RecommendationService:
             .select("item_id")
             .cache()
         )
+
+    # -- persistence (warm-start) ------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the trained ALS model + the append log.
+
+        The upstream lifecycle refits at every boot (its engine holds the
+        model only in memory); a real deployment wants the nightly-retrain
+        artifact reloadable, so a restarted process answers its first
+        request in seconds, not after a full ALS fit.  Uses MLlib's own
+        ``ALSModel`` writer (factors as parquet + params as JSON) — the
+        factors are distributed DataFrames, so save/load never funnels
+        them through the driver.  The append log rides along as parquet
+        so pending fold-in state survives the restart too."""
+        base = path.rstrip("/")
+        self.model.write().overwrite().save(base + "/als_model")
+        with self._extra_lock:
+            extra = list(self._extra_rows)
+        self.spark.createDataFrame(
+            extra, "user_id int, item_id int, strength double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            base + "/extra_ratings.parquet"
+        )
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, sf_dir: str, path: str
+    ) -> "RecommendationService":
+        """Warm-start a service from ``save()`` output: no ALS refit —
+        the model's factor DataFrames load straight from parquet, and the
+        serving caches re-derive from them + the corpus ratings."""
+        from pyspark.ml.recommendation import ALSModel
+
+        base = path.rstrip("/")
+        svc = cls.__new__(cls)
+        svc.spark = spark
+        svc.sf_dir = sf_dir
+        svc._ratings = _ratings(spark, sf_dir).cache()
+        svc._extra_lock = threading.Lock()
+        svc.model = ALSModel.load(base + "/als_model")
+        svc._extra_rows = [
+            (r["user_id"], r["item_id"], r["strength"])
+            for r in spark.read.parquet(
+                base + "/extra_ratings.parquet"
+            ).collect()
+        ]
+        svc._derive_serving_artifacts()
+        return svc
 
     def retrain(self) -> None:
         """Full refit over base + appended ratings (the nightly path).

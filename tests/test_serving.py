@@ -158,3 +158,40 @@ def test_retrain_does_not_leak_cached_generations(spark):
         svc.add_ratings([(1, 1 + k, 1.0)])
         svc.retrain()
     assert settled_count() <= baseline + 1, (baseline, jsc.getPersistentRDDs().size())
+
+
+def test_save_load_warm_start_serves_identically(spark, tmp_path):
+    """Model persistence (r12 verdict gap 1): save() then load() must
+    answer every endpoint with the SAME values as the original service —
+    including pending fold-in state — and must do it WITHOUT running an
+    ALS fit (the warm-start path loads factor parquet only)."""
+    svc = RecommendationService(spark, SF_DIR)
+    svc.add_ratings([(1, 2, 3.0), (1, 5, 1.0)])  # pending fold-in rows
+    svc.save(str(tmp_path / "model"))
+
+    from pyspark.ml.recommendation import ALS
+
+    def _no_fit(self, df):
+        raise AssertionError("warm-start must not refit")
+
+    orig_fit = ALS.fit
+    ALS.fit = _no_fit
+    try:
+        warm = RecommendationService.load(spark, SF_DIR, str(tmp_path / "model"))
+    finally:
+        ALS.fit = orig_fit
+
+    assert warm.pending_foldin_backlog == svc.pending_foldin_backlog == 2
+    for u in (1, 3):
+        a = svc.top_ratings(u, 5)
+        b = warm.top_ratings(u, 5)
+        assert [r["item_id"] for r in a] == [r["item_id"] for r in b]
+        for ra, rb in zip(a, b):
+            assert ra["score"] == pytest.approx(rb["score"], abs=1e-12)
+    a = svc.ratings_for_items(1, [2])
+    b = warm.ratings_for_items(1, [2])
+    assert a and [r["item_id"] for r in a] == [r["item_id"] for r in b]
+    assert a[0]["score"] == pytest.approx(b[0]["score"], abs=1e-12)
+    # the loaded service retains the full lifecycle: a retrain works
+    warm.retrain()
+    assert warm.pending_foldin_backlog == 0
