@@ -633,3 +633,39 @@ def test_broadcast_hints_are_size_gated(spark, monkeypatch):
     monkeypatch.setattr(io, "BROADCAST_HINT_BUDGET", 0)
     for q, n_gated in cases:
         assert hints(q) == base[q] - n_gated, q
+
+
+def test_er_block_routes_carry_length_band(spark):
+    """r13: both block-family er routes must evaluate the free length band
+    INSIDE the join condition (codegen short-circuits before the O(L^2)
+    levenshtein), and the collapsed route must contain no cartesian —
+    the re-expansion is two equi-joins on (nation, name)."""
+    import pyspark.sql.functions as F
+
+    from recommend_spark.queries.text import _er_name_pairs
+
+    c = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nk"),
+            F.length("c_name").alias("ln"),
+        )
+    )
+    for path in ("block", "block_collapsed"):
+        plan = (
+            _er_name_pairs(c, force_path=path)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the band is a JOIN conjunct, not a post-join filter: the Join
+        # node's own condition line must carry the abs() band, so codegen
+        # rejects band-failing pairs before levenshtein ever runs
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "abs(" in ln
+        ]
+        assert join_lines, (path, plan[:2000])
+        assert "levenshtein" in plan, path
+        assert "Cartesian" not in plan, (path, plan[:2000])
