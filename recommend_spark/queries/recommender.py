@@ -1314,6 +1314,155 @@ def _user_user_pairs(b):
     )
 
 
+#: rec_user_user_sampled: per-item audience sample size.  With the cap
+#: FIXED, every inverse-inclusion pair weight is either 1 (audience <= cap,
+#: the pair was seen for sure) or a(a-1)/(CAP*(CAP-1)) — so scaling every
+#: weight by the constant denominator keeps the whole estimator in exact
+#: INTEGER arithmetic (order-independent sums, hash-stable, oracle-able).
+_UU_SAMPLE_CAP = 64
+_UU_DENOM = _UU_SAMPLE_CAP * (_UU_SAMPLE_CAP - 1)
+
+
+@register(
+    "rec_user_user_sampled",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), cnt AS (
+      SELECT i, count(*) AS a FROM b GROUP BY i
+    ), rk AS (
+      SELECT u, i, row_number() OVER (
+        PARTITION BY i
+        ORDER BY md5(CAST(i AS VARCHAR) || '#' || CAST(u AS VARCHAR)), u
+      ) AS r FROM b
+    ), wts AS (
+      SELECT rk.u, rk.i,
+             CASE WHEN cnt.a <= {_UU_SAMPLE_CAP}
+                  THEN {_UU_DENOM}
+                  ELSE cnt.a * (cnt.a - 1) END AS w
+      FROM rk JOIN cnt USING (i) WHERE rk.r <= {_UU_SAMPLE_CAP}
+    ), p AS (
+      SELECT x.u AS user_a, y.u AS user_b, SUM(x.w) AS est_scaled
+      FROM wts x JOIN wts y ON x.i = y.i AND x.u < y.u
+      GROUP BY 1, 2
+      HAVING SUM(x.w) >= 3 * {_UU_DENOM}
+    ), n AS (
+      SELECT u, count(*) AS n_items FROM b GROUP BY u
+    ), sym AS (
+      SELECT user_a, user_b, est_scaled FROM p
+      UNION ALL
+      SELECT user_b, user_a, est_scaled FROM p
+    ), scored AS (
+      SELECT s.user_a, s.user_b,
+             CAST(s.est_scaled AS DOUBLE) / {_UU_DENOM} AS est_cooc,
+             (CAST(s.est_scaled AS DOUBLE) / {_UU_DENOM})
+               / sqrt(CAST(na.n_items * nb.n_items AS DOUBLE)) AS cos_sim
+      FROM sym s
+      JOIN n na ON s.user_a = na.u
+      JOIN n nb ON s.user_b = nb.u
+    )
+    SELECT user_a, user_b, est_cooc, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY user_a ORDER BY cos_sim DESC, user_b) <= 3
+    """,
+)
+def rec_user_user_sampled(spark, sf_dir):
+    """User-user CF, DIMSUM-flavored sampled estimator — the SCALE PATH
+    twin of the exact `rec_user_user` (Zadeh & Carlsson 2013's insight,
+    deterministic variant): the exact op's pair expansion pays
+    Σ audience² — inherently quadratic in item popularity — while this op
+    pairs at most CAP=64 md5-ordered audience members per item and
+    re-weights each observed co-occurrence by the inverse inclusion
+    probability of an unordered pair, a(a-1)/(CAP·(CAP-1)).  Per-item
+    pair work is bounded by C(64,2) REGARDLESS of audience, so total work
+    is O(items · CAP²); no hyper-item guard is needed — popularity is
+    absorbed, not dropped.
+
+    The estimator is EXACT below the cap (weight 1: every pair is seen),
+    unbiased above it, and conserves total pair mass exactly:
+    Σ_pairs est = Σ_i C(a_i, 2) as an identity — C(s,2)·a(a-1)/(s(s-1))
+    = C(a,2) — pinned in tests/test_ml_quality.py on an injected
+    hyper-item corpus.  Determinism and a full DuckDB value-hash oracle
+    come from keeping everything integer: with CAP fixed, all weights
+    scale by the constant denominator CAP·(CAP-1)=4032, so `est_scaled`
+    is an exact long sum (no float accumulation order); the two final
+    divisions are identical per-row double ops in both engines.  The
+    md5-rank sample is the reproducible-fold primitive, and the
+    rank<=CAP filter sits directly on row_number so WindowGroupLimit
+    keeps per-task heaps of 64 — a hyper item's audience never sorts in
+    one task."""
+    b = _baskets_artifact(spark, sf_dir)
+    cnt = b.groupBy("i").agg(F.count("*").alias("a"))
+    wi = W.partitionBy("i").orderBy(
+        F.md5(
+            F.concat_ws(
+                "#", F.col("i").cast("string"), F.col("u").cast("string")
+            )
+        ),
+        "u",
+    )
+    samp = (
+        b.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= _UU_SAMPLE_CAP)
+        .drop("r")
+        .join(cnt, "i")
+    )
+    wts = samp.select(
+        "i",
+        "u",
+        F.when(F.col("a") <= _UU_SAMPLE_CAP, F.lit(_UU_DENOM))
+        .otherwise(F.col("a") * (F.col("a") - 1))
+        .cast("long")
+        .alias("w"),
+    )
+    x = wts.select(
+        F.col("i"), F.col("u").alias("user_a"), F.col("w")
+    )
+    y = wts.select(F.col("i").alias("i2"), F.col("u").alias("user_b"))
+    p = (
+        x.join(
+            y,
+            (F.col("i") == F.col("i2"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.sum("w").alias("est_scaled"))
+        .filter(F.col("est_scaled") >= 3 * _UU_DENOM)
+    )
+    sym = p.unionAll(
+        p.select(
+            F.col("user_b").alias("user_a"),
+            F.col("user_a").alias("user_b"),
+            "est_scaled",
+        )
+    )
+    n = b.groupBy("u").agg(F.count("*").alias("n_items"))
+    na = n.select(F.col("u").alias("user_a"), F.col("n_items").alias("na"))
+    nb = n.select(F.col("u").alias("user_b"), F.col("n_items").alias("nb"))
+    scored = (
+        sym.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            (F.col("est_scaled").cast("double") / F.lit(_UU_DENOM)).alias(
+                "est_cooc"
+            ),
+            (
+                (F.col("est_scaled").cast("double") / F.lit(_UU_DENOM))
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(F.col("cos_sim").desc(), "user_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_a", "user_b", "est_cooc", "cos_sim")
+    )
+
+
 @register(
     "graph_bfs_distances",
     oracle="""

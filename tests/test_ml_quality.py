@@ -1016,3 +1016,91 @@ def test_ivf_adaptive_probe_widths(spark, tmp_path):
     wide = math.ceil(_IVF_FLAT_FRAC * K)
     # noise can make the odd query look structured; the REGIME must widen
     assert flat and sum(v == wide for v in flat.values()) >= len(flat) - 2, flat
+
+
+def test_uu_sampled_equals_exact_below_cap(spark):
+    """rec_user_user_sampled (r13): below the 64-member audience cap every
+    pair weight is exactly 1, so the estimator must REPRODUCE the exact
+    twin bit-for-bit (est_cooc == cooc, same top-3, same cos)."""
+    exact = {
+        (r["user_a"], r["user_b"]): (r["cooc"], r["cos_sim"])
+        for r in QUERIES["rec_user_user"](spark, SF_DIR).collect()
+    }
+    sampled = {
+        (r["user_a"], r["user_b"]): (r["est_cooc"], r["cos_sim"])
+        for r in QUERIES["rec_user_user_sampled"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must produce neighbor pairs"
+    assert set(exact) == set(sampled)
+    for k, (cooc, cos) in exact.items():
+        est, cos2 = sampled[k]
+        assert est == float(cooc), (k, est, cooc)
+        assert cos2 == cos, k
+
+
+def test_uu_sampled_conserves_pair_mass_and_bounds_work(spark):
+    """Above the cap the estimator stays honest two ways, both EXACT
+    identities (integer arithmetic, no tolerance):
+
+    * mass conservation — summed est_scaled over all pairs equals
+      DENOM * Σ_i C(a_i, 2): per item, C(s,2) sampled pairs each weighted
+      a(a-1)/(s(s-1)) sum to exactly C(a,2);
+    * bounded work — the pair join emits at most C(64,2) rows per item,
+      regardless of audience (here a planted item with the FULL user
+      population as its audience)."""
+    from recommend_spark.queries.recommender import (
+        _UU_DENOM,
+        _UU_SAMPLE_CAP,
+        _baskets_artifact,
+    )
+
+    b = _baskets_artifact(spark, SF_DIR)
+    hyper = b.select("u").distinct().select(
+        "u", F.lit(-777).cast(b.schema["i"].dataType).alias("i")
+    )
+    bb = b.unionByName(hyper.select("u", "i"))
+
+    # inline re-derivation of the op's weighted pair stream over bb
+    from pyspark.sql import Window as W
+
+    cnt = bb.groupBy("i").agg(F.count("*").alias("a"))
+    wi = W.partitionBy("i").orderBy(
+        F.md5(F.concat_ws("#", F.col("i").cast("string"), F.col("u").cast("string"))),
+        "u",
+    )
+    samp = (
+        bb.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= _UU_SAMPLE_CAP)
+        .drop("r")
+        .join(cnt, "i")
+    )
+    wts = samp.select(
+        "i",
+        "u",
+        F.when(F.col("a") <= _UU_SAMPLE_CAP, F.lit(_UU_DENOM))
+        .otherwise(F.col("a") * (F.col("a") - 1))
+        .cast("long")
+        .alias("w"),
+    )
+    x = wts.select("i", F.col("u").alias("ua"), "w")
+    y = wts.select(F.col("i").alias("i2"), F.col("u").alias("ub"))
+    pairs = x.join(
+        y, (F.col("i") == F.col("i2")) & (F.col("ua") < F.col("ub"))
+    ).select("i", "w")
+
+    # bounded work: the hyper item contributes exactly C(cap, 2) pair rows
+    cap_pairs = _UU_SAMPLE_CAP * (_UU_SAMPLE_CAP - 1) // 2
+    n_hyper_pairs = pairs.filter(F.col("i") == -777).count()
+    n_users = hyper.count()
+    assert n_users > _UU_SAMPLE_CAP, "fixture population must exceed the cap"
+    assert n_hyper_pairs == cap_pairs
+
+    # exact mass conservation: DENOM * sum_i C(a_i, 2) == sum(w over pairs)
+    want = (
+        cnt.select(
+            F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("long").alias("m")
+        ).first()["m"]
+        * _UU_DENOM
+    )
+    got = pairs.agg(F.sum("w").alias("s")).first()["s"]
+    assert got == want, (got, want)
