@@ -1322,6 +1322,12 @@ def _user_user_pairs(b):
 _UU_SAMPLE_CAP = 64
 _UU_DENOM = _UU_SAMPLE_CAP * (_UU_SAMPLE_CAP - 1)
 
+#: rec_item_item_sampled: basket-side cap.  Baskets run larger than item
+#: audiences on this data model (sf0.001 already has 66-item baskets), so
+#: the item-item twin samples at 128 — below it the estimator is exact.
+_II_SAMPLE_CAP = 128
+_II_DENOM = _II_SAMPLE_CAP * (_II_SAMPLE_CAP - 1)
+
 
 @register(
     "rec_user_user_sampled",
@@ -1460,6 +1466,136 @@ def rec_user_user_sampled(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_a", "user_b", "est_cooc", "cos_sim")
+    )
+
+
+@register(
+    "rec_item_item_sampled",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), cnt AS (
+      SELECT u, count(*) AS a FROM b GROUP BY u
+    ), rk AS (
+      SELECT u, i, row_number() OVER (
+        PARTITION BY u
+        ORDER BY md5(CAST(u AS VARCHAR) || '#' || CAST(i AS VARCHAR)), i
+      ) AS r FROM b
+    ), wts AS (
+      SELECT rk.u, rk.i,
+             CASE WHEN cnt.a <= {_II_SAMPLE_CAP}
+                  THEN {_II_DENOM}
+                  ELSE cnt.a * (cnt.a - 1) END AS w
+      FROM rk JOIN cnt USING (u) WHERE rk.r <= {_II_SAMPLE_CAP}
+    ), p AS (
+      SELECT x.i AS item_a, y.i AS item_b, SUM(x.w) AS est_scaled
+      FROM wts x JOIN wts y ON x.u = y.u AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING SUM(x.w) >= 3 * {_II_DENOM}
+    ), n AS (
+      SELECT i, count(*) AS n_users FROM b GROUP BY i
+    ), sym AS (
+      SELECT item_a, item_b, est_scaled FROM p
+      UNION ALL
+      SELECT item_b, item_a, est_scaled FROM p
+    ), scored AS (
+      SELECT s.item_a, s.item_b,
+             CAST(s.est_scaled AS DOUBLE) / {_II_DENOM} AS est_cooc,
+             (CAST(s.est_scaled AS DOUBLE) / {_II_DENOM})
+               / sqrt(CAST(na.n_users * nb.n_users AS DOUBLE)) AS cos_sim
+      FROM sym s
+      JOIN n na ON s.item_a = na.i
+      JOIN n nb ON s.item_b = nb.i
+    )
+    SELECT item_a, item_b, est_cooc, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY item_a ORDER BY cos_sim DESC, item_b) <= 5
+    """,
+)
+def rec_item_item_sampled(spark, sf_dir):
+    """Item-item CF, sampled estimator — the scale twin of
+    `rec_item_item`, mirroring `rec_user_user_sampled` with the skew axis
+    flipped: the exact op's self-join keys on USER, so hyper-ACTIVE users
+    (basket size a) contribute C(a, 2) pairs and the MAX_BASKET guard
+    DROPS them.  Here each user's basket keeps at most 64 md5-rank
+    sampled items, every observed pair is re-weighted by the integer-
+    scaled inverse inclusion probability (w = 4032 below the cap — every
+    pair seen — else a(a-1)), and hyper-active users are absorbed at
+    C(64,2) pair rows instead of dropped.  Same exactness contract as the
+    user-user twin: integer est_scaled sums (order-independent,
+    hash-stable, full DuckDB oracle), bitwise equality to the UNGUARDED
+    exact expansion below the cap, exact pair-mass conservation above it
+    (shared gate in tests/test_ml_quality.py).  NOTE the semantic win
+    over the exact op at scale: rec_item_item's guard silently excludes
+    over-cap users' evidence; this estimator keeps an unbiased slice of
+    it."""
+    b = _baskets_artifact(spark, sf_dir)
+    cnt = b.groupBy("u").agg(F.count("*").alias("a"))
+    wi = W.partitionBy("u").orderBy(
+        F.md5(
+            F.concat_ws(
+                "#", F.col("u").cast("string"), F.col("i").cast("string")
+            )
+        ),
+        "i",
+    )
+    samp = (
+        b.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= _II_SAMPLE_CAP)
+        .drop("r")
+        .join(cnt, "u")
+    )
+    wts = samp.select(
+        "u",
+        "i",
+        F.when(F.col("a") <= _II_SAMPLE_CAP, F.lit(_II_DENOM))
+        .otherwise(F.col("a") * (F.col("a") - 1))
+        .cast("long")
+        .alias("w"),
+    )
+    x = wts.select(F.col("u"), F.col("i").alias("item_a"), F.col("w"))
+    y = wts.select(F.col("u").alias("u2"), F.col("i").alias("item_b"))
+    p = (
+        x.join(
+            y,
+            (F.col("u") == F.col("u2"))
+            & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("w").alias("est_scaled"))
+        .filter(F.col("est_scaled") >= 3 * _II_DENOM)
+    )
+    sym = p.unionAll(
+        p.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "est_scaled",
+        )
+    )
+    n = b.groupBy("i").agg(F.count("*").alias("n_users"))
+    na = n.select(F.col("i").alias("item_a"), F.col("n_users").alias("na"))
+    nb = n.select(F.col("i").alias("item_b"), F.col("n_users").alias("nb"))
+    scored = (
+        sym.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            (F.col("est_scaled").cast("double") / F.lit(_II_DENOM)).alias(
+                "est_cooc"
+            ),
+            (
+                (F.col("est_scaled").cast("double") / F.lit(_II_DENOM))
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("item_a").orderBy(F.col("cos_sim").desc(), "item_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("item_a", "item_b", "est_cooc", "cos_sim")
     )
 
 

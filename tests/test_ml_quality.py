@@ -1104,3 +1104,72 @@ def test_uu_sampled_conserves_pair_mass_and_bounds_work(spark):
     )
     got = pairs.agg(F.sum("w").alias("s")).first()["s"]
     assert got == want, (got, want)
+
+
+def test_ii_sampled_equals_exact_below_cap_and_conserves_mass(spark):
+    """rec_item_item_sampled (r13): below the 64-item basket cap it must
+    reproduce the exact twin bit-for-bit (the MAX_BASKET guard is a
+    fixture no-op, so the two ops see identical baskets); an injected
+    hyper-active user (the full item population in one basket) must
+    contribute exactly C(64,2) pair rows with exact mass conservation."""
+    exact = {
+        (r["item_a"], r["item_b"]): (r["cooc"], r["cos_sim"])
+        for r in QUERIES["rec_item_item"](spark, SF_DIR).collect()
+    }
+    sampled = {
+        (r["item_a"], r["item_b"]): (r["est_cooc"], r["cos_sim"])
+        for r in QUERIES["rec_item_item_sampled"](spark, SF_DIR).collect()
+    }
+    assert exact and set(exact) == set(sampled)
+    for k, (cooc, cos) in exact.items():
+        est, cos2 = sampled[k]
+        assert est == float(cooc) and cos2 == cos, k
+
+    from pyspark.sql import Window as W
+
+    from recommend_spark.queries.recommender import (
+        _II_DENOM,
+        _II_SAMPLE_CAP,
+        _baskets_artifact,
+    )
+
+    b = _baskets_artifact(spark, SF_DIR)
+    hyper = b.select("i").distinct().select(
+        F.lit(-888).cast(b.schema["u"].dataType).alias("u"), "i"
+    )
+    bb = b.unionByName(hyper)
+    cnt = bb.groupBy("u").agg(F.count("*").alias("a"))
+    wi = W.partitionBy("u").orderBy(
+        F.md5(F.concat_ws("#", F.col("u").cast("string"), F.col("i").cast("string"))),
+        "i",
+    )
+    wts = (
+        bb.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= _II_SAMPLE_CAP)
+        .drop("r")
+        .join(cnt, "u")
+        .select(
+            "u",
+            "i",
+            F.when(F.col("a") <= _II_SAMPLE_CAP, F.lit(_II_DENOM))
+            .otherwise(F.col("a") * (F.col("a") - 1))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    x = wts.select("u", F.col("i").alias("ia"), "w")
+    y = wts.select(F.col("u").alias("u2"), F.col("i").alias("ib"))
+    pairs = x.join(
+        y, (F.col("u") == F.col("u2")) & (F.col("ia") < F.col("ib"))
+    ).select("u", "w")
+    assert (
+        pairs.filter(F.col("u") == -888).count()
+        == _II_SAMPLE_CAP * (_II_SAMPLE_CAP - 1) // 2
+    )
+    want = (
+        cnt.select(
+            F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("long").alias("m")
+        ).first()["m"]
+        * _II_DENOM
+    )
+    assert pairs.agg(F.sum("w")).first()[0] == want
