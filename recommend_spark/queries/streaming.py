@@ -264,15 +264,17 @@ def stream_sink_parquet(spark, sf_dir):
     batch_id=... directory (re-delivery overwrites the same directory, the
     standard exactly-once file-sink recipe).  The re-read of the sink must
     aggregate to the batch truth — which the oracle checks."""
-    import shutil
+    from ..streaming.replay import (
+        EVENTS_SCHEMA,
+        materialize_chunks,
+        proc_scoped_dir,
+    )
 
-    from ..streaming.replay import ART, EVENTS_SCHEMA, materialize_chunks
-
-    out_dir = ART / "stream_sink_parquet"
-    chk = ART / "chk_stream_sink_parquet"
-    for p in (out_dir, chk):
-        if p.exists():
-            shutil.rmtree(p)
+    # per-process paths: concurrent test processes share ART (see
+    # proc_scoped_dir) — a fixed path lets one process rmtree mid-commit
+    # under the other
+    out_dir = proc_scoped_dir("stream_sink_parquet")
+    chk = proc_scoped_dir("chk_stream_sink_parquet")
     src = materialize_chunks(spark, sf_dir)
 
     def sink_batch(batch_df, batch_id: int):
@@ -327,13 +329,15 @@ def stream_upsert_latest(spark, sf_dir):
 
     from pyspark.sql import Window as W
 
-    from ..streaming.replay import ART, EVENTS_SCHEMA, materialize_chunks
+    from ..streaming.replay import (
+        EVENTS_SCHEMA,
+        materialize_chunks,
+        proc_scoped_dir,
+    )
 
-    state = ART / "stream_upsert_latest"
-    chk = ART / "chk_stream_upsert_latest"
-    for p in (state, chk):
-        if p.exists():
-            shutil.rmtree(p)
+    # per-process paths (see proc_scoped_dir)
+    state = proc_scoped_dir("stream_upsert_latest")
+    chk = proc_scoped_dir("chk_stream_upsert_latest")
     src = materialize_chunks(spark, sf_dir)
 
     cols = ["user_id", "event_id", "ts", "value"]

@@ -15,6 +15,7 @@ swap.
 
 from __future__ import annotations
 
+import os
 import shutil
 import threading
 from pathlib import Path
@@ -66,6 +67,28 @@ def materialize_chunks(spark: SparkSession, sf_dir: str, shuffled: bool = False)
     return str(root)
 
 
+def proc_scoped_dir(prefix: str) -> Path:
+    """Per-PROCESS artifact path under ART, pre-cleaned.
+
+    The replay lock serializes replays within one process, but two
+    concurrent pytest/driver processes on one repo share ART — a FIXED
+    checkpoint path lets process A rmtree the dir while process B's query
+    is mid-commit ("commits/.0.*.tmp does not exist", observed as a
+    concurrent-halves flake in r13).  Suffixing the live pid removes the
+    cross-process collision; same-process reruns still reuse (and clean)
+    one dir per name.  Siblings left by DEAD pids are swept here so ART
+    stays bounded across rounds — a sibling whose pid is still alive is
+    never touched (that IS the other process's live checkpoint)."""
+    for old in ART.glob(f"{prefix}_*"):
+        pid = old.name.rsplit("_", 1)[-1]
+        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+            shutil.rmtree(old, ignore_errors=True)
+    d = ART / f"{prefix}_{os.getpid()}"
+    if d.exists():
+        shutil.rmtree(d)
+    return d
+
+
 def run_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -89,9 +112,7 @@ def run_stream(
     supported mode.  On a shared multi-tenant session, run replays on a
     dedicated session instead."""
     src = materialize_chunks(spark, sf_dir, shuffled=shuffled)
-    chk = ART / f"chk_{name}"
-    if chk.exists():
-        shutil.rmtree(chk)
+    chk = proc_scoped_dir(f"chk_{name}")
     # State-store width is pinned at first checkpoint; at fixture scale each
     # micro-batch is small, so fewer state partitions means fewer
     # task-launch + state-commit overheads per batch (batches × width).
