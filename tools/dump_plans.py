@@ -55,6 +55,9 @@ HEADLINE = {
     "scan_time_travel": "two snapshot reads planning only log-live files; no joins, per-priority rollups union",
     "join_set_similarity": "prefix-filter candidates via token equi-join; rarity order lives in the per-doc window (no global-rank SinglePartition sort)",
     "agg_tdigest": "partial digests map-side (mapInPandas); the exchange carries |partitions|x|groups| centroid lists, never rows",
+    "agg_quantile_disc": "rows collapse to (group, value, count) via partial agg; the rank window runs over ~50 distinct values, never raw rows (r13)",
+    "rec_user_user_sampled": "md5-rank audience sample as WindowGroupLimit (per-task top-64 heaps); integer-weighted pair agg — per-item work bounded at C(64,2) (r13)",
+    "er_name_match": "cost-routed: fixture names pick the block path with the length band INSIDE the join condition — levenshtein runs only on band-surviving pairs (r13)",
 }
 
 
