@@ -75,15 +75,20 @@ def _pairs_artifact(spark, sf_dir, variant, build):
 
 
 def _word_pairs_cached(spark, sf_dir):
+    from ..io import table_fingerprint
+
     return _pairs_artifact(
         spark,
         sf_dir,
         "word",
-        lambda: _jaccard_pairs_exact(load_table(spark, sf_dir, "documents")),
+        lambda: _jaccard_pairs_exact(
+            load_table(spark, sf_dir, "documents"),
+            stats_key=f"corpus_words_v1_{table_fingerprint(sf_dir, 'documents')}",
+        ),
     )
 
 
-def _token_sigs(docs, toks_expr):
+def _token_sigs(docs, toks_expr, stats_key: str | None = None):
     """Tokenized corpus + compact rescore signatures, shared by the exact
     prefix pipeline (_jaccard_pairs_exact) and the banded rescore
     (dedup_minhash_banded).
@@ -99,7 +104,16 @@ def _token_sigs(docs, toks_expr):
     vocabulary (word tokens; shingles of a templated corpus) collapses
     ENTIRELY into the mask — rare arrays empty, rescore = pure popcount;
     a web-scale vocabulary keeps the top-1024 hybrid.  One tiny count()
-    job buys the right plan shape."""
+    job buys the right plan shape.
+
+    ``stats_key`` (a content fingerprint of the corpus + a toks-semantics
+    tag) routes that count — plus the corpus footprint (n_docs, n_toks)
+    the containment/banded consumers gate their broadcasts on — through
+    the io.stats_memo catalog: the first build over a given corpus file
+    runs the two tiny jobs, every later build plans JOB-FREE (r12
+    verdict item 5).  Keyless callers (tests over synthetic frames)
+    stay eager and get stats["n_docs"] = None, meaning "compute your
+    own if you need it"."""
     import math as _math
 
     # documents.parquet is a single file -> 1 input partition; spread before
@@ -114,7 +128,21 @@ def _token_sigs(docs, toks_expr):
     )
     tok = d.select("doc_id", "nt", F.explode("toks").alias("w"))
     freq = tok.groupBy("w").agg(F.count("*").alias("freq")).persist()
-    n_vocab = freq.count()
+    if stats_key:
+        from ..io import stats_memo
+
+        def _corpus_stats() -> dict:
+            row = d.agg(F.count("*"), F.sum("nt")).first()
+            return {
+                "n_vocab": freq.count(),
+                "n_docs": row[0],
+                "n_toks": row[1] or 0,
+            }
+
+        stats = stats_memo(stats_key, _corpus_stats)
+    else:
+        stats = {"n_vocab": freq.count(), "n_docs": None, "n_toks": None}
+    n_vocab = stats["n_vocab"]
     n_slots = min(16, max(1, _math.ceil(min(n_vocab, 1024) / 64)))
     top_bits = n_slots * 64
     # limit-then-rank keeps the window on <= 1024 rows (never a
@@ -159,10 +187,11 @@ def _token_sigs(docs, toks_expr):
         top_bits=top_bits,
         ranked=ranked,
         sig=sig,
+        stats=stats,
     )
 
 
-def _jaccard_pairs_exact(docs, toks_expr=None):
+def _jaccard_pairs_exact(docs, toks_expr=None, stats_key: str | None = None):
     """EXACT Jaccard-similar pairs (J >= tau): prefix-filtered candidates,
     bitmask-hybrid rescore.  ``toks_expr`` selects the set representation
     (default: distinct lowercase word tokens; dedup_ngram_jaccard passes
@@ -186,7 +215,7 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
     """
     if toks_expr is None:
         toks_expr = _TOKS()
-    parts = _token_sigs(docs, toks_expr)
+    parts = _token_sigs(docs, toks_expr, stats_key=stats_key)
     d, tok, freq = parts["d"], parts["tok"], parts["freq"]
     n_vocab, n_slots = parts["n_vocab"], parts["n_slots"]
     top_bits, ranked, sig = parts["top_bits"], parts["ranked"], parts["sig"]
@@ -199,7 +228,9 @@ def _jaccard_pairs_exact(docs, toks_expr=None):
     # ~5 codegen ops per pair.  Web-scale corpora (vocab > mask bits, or
     # too many docs to broadcast) always take the prefix path below.
     if n_vocab <= top_bits:
-        n_docs = d.count()
+        n_docs = parts["stats"]["n_docs"]
+        if n_docs is None:
+            n_docs = d.count()
         if n_docs <= 20_000:
             sa0 = sig.select(
                 F.col("doc_id").alias("doc_a"),
@@ -346,11 +377,21 @@ def dedup_containment(spark, sf_dir):
     (blockkernel.bitset_gemm_pairs; gated on max_staged_bytes).
     n_common and na are exact ints; the single division then one
     compare is bit-deterministic in both engines."""
+    from ..io import table_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    return _containment_pairs(docs)
+    return _containment_pairs(
+        docs,
+        stats_key=f"corpus_words_v1_{table_fingerprint(sf_dir, 'documents')}",
+    )
 
 
-def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
+def _containment_pairs(
+    docs,
+    toks_expr=None,
+    force_prefix_path: bool = False,
+    stats_key: str | None = None,
+):
     """Directional containment pairs; see dedup_containment.  The
     ``force_prefix_path`` hook lets tests exercise the web-scale prefix
     pipeline on corpora that would otherwise take the GEMM kernel
@@ -358,14 +399,17 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
 
     DELIBERATELY EAGER in the degenerate-vocabulary regime: the
     kernel-vs-prefix route is data-dependent (vocab size, corpus
-    footprint), so building the plan runs the gate's stats jobs and —
-    on the staged path — collects the gated-size corpus driver-side
-    before any action.  This is the same trade AQE makes at runtime;
-    the cost is that EXPLAIN/plan-dump tooling on this op executes
-    small Spark jobs (r11 ADVICE, accepted)."""
+    footprint), so the FIRST build over a given corpus file runs the
+    gate's stats jobs; with ``stats_key`` set they memoize into the
+    io.stats_memo catalog (ANALYZE-style) and later builds read the
+    scalars + the ≤1024-token kernel vocabulary job-free (r12 verdict
+    item 5).  The staged kernel path still collects the gated-size
+    corpus driver-side at build — that collect IS the broadcast
+    operand's materialization (a BroadcastExchange by hand), bounded
+    by max_staged_bytes, not a gate artifact."""
     if toks_expr is None:
         toks_expr = _TOKS()
-    parts = _token_sigs(docs, toks_expr)
+    parts = _token_sigs(docs, toks_expr, stats_key=stats_key)
     d, sig, ranked = parts["d"], parts["sig"], parts["ranked"]
     n_vocab, n_slots, top_bits = (
         parts["n_vocab"], parts["n_slots"], parts["top_bits"],
@@ -420,11 +464,25 @@ def _containment_pairs(docs, toks_expr=None, force_prefix_path: bool = False):
             max_staged_bytes,
         )
 
-        stats = d.agg(F.count("*"), F.sum("nt")).first()
-        n_docs, n_toks = stats[0], stats[1] or 0
-        vocab_map = {
-            r["w"]: i for i, r in enumerate(parts["freq"].collect())
-        }
+        if parts["stats"]["n_docs"] is not None:
+            n_docs, n_toks = parts["stats"]["n_docs"], parts["stats"]["n_toks"]
+        else:
+            stats = d.agg(F.count("*"), F.sum("nt")).first()
+            n_docs, n_toks = stats[0], stats[1] or 0
+        # kernel vocabulary is ≤ top_bits ≤ 1024 tokens on this route —
+        # small enough to live in the stats catalog, so warm builds skip
+        # the collect; the token→column assignment only has to be SOME
+        # fixed order, and memoizing pins it stable across builds
+        if stats_key:
+            from ..io import stats_memo
+
+            kv = stats_memo(
+                f"{stats_key}_kvocab",
+                lambda: {"words": [r["w"] for r in parts["freq"].collect()]},
+            )["words"]
+        else:
+            kv = [r["w"] for r in parts["freq"].collect()]
+        vocab_map = {w: i for i, w in enumerate(kv)}
         stream = d.filter(F.col("nt") >= min_n).select(
             F.col("doc_id").alias("id"), "nt", "toks"
         )
@@ -1016,7 +1074,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 lambda x, y: F.concat_ws(" ", x, y),
             )
         )
-        return _jaccard_pairs_exact(t, toks_expr=shingles)
+        from ..io import table_fingerprint
+
+        return _jaccard_pairs_exact(
+            t,
+            toks_expr=shingles,
+            stats_key=(
+                f"corpus_bigrams_v1_{table_fingerprint(sf_dir, 'documents')}"
+            ),
+        )
 
     return _pairs_artifact(spark, sf_dir, "bigram", build)
 
@@ -1357,15 +1423,20 @@ def dedup_minhash_banded(spark, sf_dir):
 
 
 def _minhash_banded_pairs(spark, sf_dir):
+    from ..io import table_fingerprint
+
     # th below is token-derived (unbounded vocab at web scale): its hint
     # is gated on corpus file bytes x decompression factor (io.hint_if)
     return _minhash_banded_pairs_from(
         load_table(spark, sf_dir, "documents"),
         th_est_bytes=table_file_bytes(sf_dir, "documents") * 8,
+        stats_key=f"corpus_words_v1_{table_fingerprint(sf_dir, 'documents')}",
     )
 
 
-def _minhash_banded_pairs_from(docs, th_est_bytes: int = 0):
+def _minhash_banded_pairs_from(
+    docs, th_est_bytes: int = 0, stats_key: str | None = None
+):
     spark = docs.sparkSession
     tok = docs.select("doc_id", F.explode(_TOKS()).alias("w")).distinct()
     th = tok.select("w").distinct().withColumn(
@@ -1409,7 +1480,7 @@ def _minhash_banded_pairs_from(docs, th_est_bytes: int = 0):
     # flight, and the J >= tau filter runs map-side BEFORE the one
     # distinct shuffle, so only true pairs (plus their <= 8x band
     # duplication) ever shuffle.
-    parts = _token_sigs(docs, _TOKS())
+    parts = _token_sigs(docs, _TOKS(), stats_key=stats_key)
     sig, n_slots = parts["sig"], parts["n_slots"]
     # SIZE-GATED broadcast (r11 verdict item 1): an unconditional hint
     # pins the FULL per-doc signature table into every executor — right
@@ -1420,12 +1491,16 @@ def _minhash_banded_pairs_from(docs, th_est_bytes: int = 0):
     # constant); past the budget the rescore joins run plain and AQE
     # picks the strategy — the same rule as dedup_cluster's contraction
     # broadcast and the GEMM kernels' max_staged_bytes gate.  The stats
-    # agg is one tiny job on the already-persisted tokenized corpus,
-    # matching _token_sigs' own n_vocab count.
+    # come from _token_sigs' memoized corpus footprint when a stats_key
+    # is set (job-free on a warm catalog); keyless callers pay the one
+    # tiny agg on the already-persisted tokenized corpus.
     from ..blockkernel import collected_toks_bytes, max_staged_bytes
 
-    stats = parts["d"].agg(F.count("*"), F.sum("nt")).first()
-    n_docs, n_toks = stats[0], stats[1] or 0
+    if parts["stats"]["n_docs"] is not None:
+        n_docs, n_toks = parts["stats"]["n_docs"], parts["stats"]["n_toks"]
+    else:
+        stats = parts["d"].agg(F.count("*"), F.sum("nt")).first()
+        n_docs, n_toks = stats[0], stats[1] or 0
     bc = collected_toks_bytes(n_docs, n_toks) <= max_staged_bytes()
 
     def _hint(df):

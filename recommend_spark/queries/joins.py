@@ -1021,18 +1021,30 @@ def join_set_similarity(spark, sf_dir):
         "doc_id",
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
     )
+    from ..io import table_fingerprint
+
     # the prefix path's vocab hint is gated on corpus file bytes (the
     # vocab table is token-derived, unbounded at web scale)
     return _set_similarity_pairs(
-        docs, vocab_est_bytes=table_file_bytes(sf_dir, "documents") * 8
+        docs,
+        vocab_est_bytes=table_file_bytes(sf_dir, "documents") * 8,
+        stats_key=f"ssj_v1_{table_fingerprint(sf_dir, 'documents')}",
     )
 
 
 def _set_similarity_pairs(
-    docs, force_prefix_path: bool = False, vocab_est_bytes: int = 0
+    docs,
+    force_prefix_path: bool = False,
+    vocab_est_bytes: int = 0,
+    stats_key: str | None = None,
 ):
     """join_set_similarity body; ``force_prefix_path`` pins the web-scale
-    prefix pipeline for tests on corpora the GEMM kernel would take."""
+    prefix pipeline for tests on corpora the GEMM kernel would take.
+    ``stats_key`` memoizes the route gate's scalars (vocabulary size,
+    probe footprint) and the ≤1024-token kernel vocabulary into the
+    io.stats_memo catalog, so only the FIRST build over a given corpus
+    file runs the gate jobs (r12 verdict item 5); keyless test callers
+    stay eager."""
     toks = docs.select(
         "doc_id", F.size("toks").alias("nt"), F.explode("toks").alias("tok")
     )
@@ -1056,16 +1068,37 @@ def _set_similarity_pairs(
             max_staged_bytes,
         )
 
-        n_vocab = vocab.count()
-        if n_vocab <= 1024:
-            probes = docs.filter(is_probe).select(
-                F.col("doc_id").alias("id"), F.size("toks").alias("nt"), "toks"
-            )
-            pstats = probes.agg(F.count("*"), F.sum("nt")).first()
-            n_probes, n_ptoks = pstats[0], pstats[1] or 0
-            vocab_map = {
-                r["tok"]: i for i, r in enumerate(vocab.collect())
+        probes = docs.filter(is_probe).select(
+            F.col("doc_id").alias("id"), F.size("toks").alias("nt"), "toks"
+        )
+
+        def _ssj_stats() -> dict:
+            nv = vocab.count()
+            out = {
+                "n_vocab": nv,
+                "n_probes": None,
+                "n_ptoks": None,
+                "toks": None,
             }
+            if nv <= 1024:
+                ps = probes.agg(F.count("*"), F.sum("nt")).first()
+                out["n_probes"], out["n_ptoks"] = ps[0], ps[1] or 0
+                # kernel vocabulary is bounded (≤1024) on this route; the
+                # token→column order just has to be SOME fixed order, and
+                # memoizing pins it stable across builds
+                out["toks"] = [r["tok"] for r in vocab.collect()]
+            return out
+
+        if stats_key:
+            from ..io import stats_memo
+
+            gs = stats_memo(stats_key, _ssj_stats)
+        else:
+            gs = _ssj_stats()
+        n_vocab = gs["n_vocab"]
+        if n_vocab <= 1024:
+            n_probes, n_ptoks = gs["n_probes"], gs["n_ptoks"]
+            vocab_map = {t: i for i, t in enumerate(gs["toks"])}
             # the kernel-path plan no longer references vocab (stream and
             # probes derive from docs) — release the cached table instead
             # of leaking it across bench reps (r11 ADVICE)

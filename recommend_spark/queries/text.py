@@ -15,7 +15,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
-from ..io import hint_if, load_table, table_file_bytes, table_rows
+from ..io import (
+    hint_if,
+    load_table,
+    stats_memo,
+    table_file_bytes,
+    table_fingerprint,
+    table_rows,
+)
 from ..registry import register
 
 _SQL_TOKS = "string_split(lower(text), ' ')"
@@ -650,8 +657,9 @@ def er_name_match(spark, sf_dir):
     only true pairs (x a bounded gram-collision duplication) shuffle.
     Names too short for a q-gram (< q chars) pair within nation
     against names of length <= q-1+tau — a bounded set — on the
-    prefix path.  The route decision is deliberately eager (two small
-    jobs at plan build), the _containment_pairs precedent."""
+    prefix path.  The route decision runs two small aggregate jobs on
+    the FIRST build over a given customer file and plans job-free from
+    the io.stats_memo catalog thereafter (r12 verdict item 5)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust"),
         F.col("c_name").alias("name"),
@@ -659,14 +667,24 @@ def er_name_match(spark, sf_dir):
         F.length("c_name").alias("ln"),
     )
     return _er_name_pairs(
-        c, freq_hint_bytes=table_file_bytes(sf_dir, "customer") * 8
+        c,
+        freq_hint_bytes=table_file_bytes(sf_dir, "customer") * 8,
+        stats_key=f"er_gate_v1_{table_fingerprint(sf_dir, 'customer')}",
     )
 
 
-def _er_name_pairs(c, freq_hint_bytes: int = 0, force_path: str | None = None):
+def _er_name_pairs(
+    c,
+    freq_hint_bytes: int = 0,
+    force_path: str | None = None,
+    stats_key: str | None = None,
+):
     """er_name_match body over an explicit (cust, name, nk, ln) table;
     ``force_path`` ("block" | "block_collapsed" | "prefix") pins a route
-    for tests.
+    for tests.  ``stats_key`` (a content fingerprint of the input) lets
+    the cost gate read its three candidate counts from the io.stats_memo
+    catalog instead of re-running the gate aggregates on every build;
+    direct test callers over synthetic frames pass None and stay eager.
 
     Three lossless routes, cost-gated (r12 verdict item 1):
 
@@ -705,45 +723,57 @@ def _er_name_pairs(c, freq_hint_bytes: int = 0, force_path: str | None = None):
     # q-gram vocab is corpus-derived: gated hint (io.hint_if rule)
     path = force_path
     if path is None:
-        # conservative proxy for the prefix path's candidate volume:
-        # pairs over FULL gram posting lists, Σ_g C(freq_g, 2) — needs
-        # only the freq aggregate (no window/self-join), overestimates
-        # the prefix-restricted volume by a bounded factor, so the gate
-        # errs toward the block path only near the boundary; both
-        # routes are lossless, so the decision is cost-only
-        n_prefix_cand = (
-            freq.agg(
-                F.sum(F.col("freq") * (F.col("freq") - 1) / 2).alias("s")
-            ).first()["s"]
-            or 0
-        )
-        blk = (
-            c.groupBy("nk")
-            .agg(
-                F.count("*").alias("k"),
-                # the gate is cost-only (all three routes are lossless),
-                # so an HLL estimate of distinct names is enough — exact
-                # count_distinct would pay an expand + second shuffle in
-                # a job that exists only to pick a plan
-                F.approx_count_distinct("name").alias("d"),
+
+        def _gate_stats() -> dict:
+            # conservative proxy for the prefix path's candidate volume:
+            # pairs over FULL gram posting lists, Σ_g C(freq_g, 2) —
+            # needs only the freq aggregate (no window/self-join),
+            # overestimates the prefix-restricted volume by a bounded
+            # factor, so the gate errs toward the block path only near
+            # the boundary; both routes are lossless, so the decision is
+            # cost-only
+            n_pfx = (
+                freq.agg(
+                    F.sum(F.col("freq") * (F.col("freq") - 1) / 2).alias("s")
+                ).first()["s"]
+                or 0
             )
-            .agg(
-                F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("sk"),
-                # clamp: the HLL estimate can exceed the group's row
-                # count on near-unique groups; d > k would overstate the
-                # collapsed cost past the plain block cost it can never
-                # actually have
-                F.sum(
-                    F.least("d", "k") * (F.least("d", "k") - 1) / 2
-                ).alias("sd"),
+            blk = (
+                c.groupBy("nk")
+                .agg(
+                    F.count("*").alias("k"),
+                    # the gate is cost-only (all three routes are
+                    # lossless), so an HLL estimate of distinct names is
+                    # enough — exact count_distinct would pay an expand
+                    # + second shuffle in a job that exists only to pick
+                    # a plan
+                    F.approx_count_distinct("name").alias("d"),
+                )
+                .agg(
+                    F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("sk"),
+                    # clamp: the HLL estimate can exceed the group's row
+                    # count on near-unique groups; d > k would overstate
+                    # the collapsed cost past the plain block cost it
+                    # can never actually have
+                    F.sum(
+                        F.least("d", "k") * (F.least("d", "k") - 1) / 2
+                    ).alias("sd"),
+                )
+                .first()
             )
-            .first()
-        )
-        n_block_cand = blk["sk"] or 0
+            return {
+                "n_prefix_cand": n_pfx,
+                "n_block_cand": blk["sk"] or 0,
+                "sum_distinct_pairs": blk["sd"] or 0,
+            }
+
+        gs = stats_memo(stats_key, _gate_stats) if stats_key else _gate_stats()
+        n_prefix_cand = gs["n_prefix_cand"]
+        n_block_cand = gs["n_block_cand"]
         # collapsed route scores DISTINCT-name pairs only; the ×2 charges
         # its two expansion equi-joins, so on duplicate-free inputs
         # (sd == sk) the plain block plan is kept bit-identical
-        collapsed_cost = 2 * (blk["sd"] or 0)
+        collapsed_cost = 2 * gs["sum_distinct_pairs"]
         if n_prefix_cand < min(n_block_cand, collapsed_cost):
             path = "prefix"
         elif n_block_cand <= collapsed_cost:

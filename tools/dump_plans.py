@@ -71,14 +71,29 @@ def main() -> None:
         "What to look for per plan is noted above each block; the same",
         "properties are asserted mechanically in `tests/test_plans.py`.",
         "",
+        "Each header notes `built with N Spark jobs`: jobs fired while",
+        "CONSTRUCTING the DataFrame (warm io.stats_memo catalog — the",
+        "cost-gate scalars plan job-free after the first build; r12",
+        "verdict item 5).  The floor is the parquet reader's one schema",
+        "job per distinct file; kernel ops add their broadcast-operand",
+        "staging collect, which IS the plan, not a gate.",
+        "",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    tracker = spark.sparkContext.statusTracker()
     for qid, note in HEADLINE.items():
+        # max-id delta, not len(): job ids are globally sequential and
+        # survive the status tracker's retainedJobs eviction
+        before = max(tracker.getJobIdsForGroup(), default=-1)
         df = QUERIES[qid](spark, SF)
+        built = max(tracker.getJobIdsForGroup(), default=-1) - before
         plan = df._jdf.queryExecution().explainString(mode)
-        out.append(f"## {qid}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+        out.append(
+            f"## {qid}\n\n*{note}*\n\n*built with {built} Spark jobs*"
+            f"\n\n```\n{plan.strip()}\n```\n"
+        )
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
         "\n".join(out)
     )
