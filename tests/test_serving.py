@@ -195,3 +195,21 @@ def test_save_load_warm_start_serves_identically(spark, tmp_path):
     # the loaded service retains the full lifecycle: a retrain works
     warm.retrain()
     assert warm.pending_foldin_backlog == 0
+
+
+def test_als_model_io_roundtrip_is_bit_exact(spark):
+    """The registered als_model_io op: MLlib writer round-trip must be
+    BIT-equal on both factor matrices — the determinism gate behind the
+    serving warm-start (any nonzero mismatch means the storage layer
+    would serve different scores after a restart)."""
+    from recommend_spark.queries import QUERIES
+
+    rows = {
+        r["matrix"]: r
+        for r in QUERIES["als_model_io"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"user_factors", "item_factors"}
+    for r in rows.values():
+        assert r["n_rows"] > 0
+        assert r["n_rows"] == r["n_reloaded"]
+        assert r["n_mismatch"] == 0
