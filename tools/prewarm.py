@@ -50,12 +50,24 @@ ARTIFACT_BUILDERS = [
 
 
 def main() -> None:
+    import os
+
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    # A targeted bench (SPARK_GRAFT_BENCH_ONLY) must stage only what it
+    # measures: a full builder pass at a synthesized 30x corpus costs
+    # HOURS for artifacts the measured set never reads (probed r13 — the
+    # decade campaign sat 2h in dedup_near_minhash's LSH pair build while
+    # measuring six ids that needed none of it).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    builders = ARTIFACT_BUILDERS
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        builders = [q for q in ARTIFACT_BUILDERS if q in wanted]
     spark = get_spark("prewarm")
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in dirs:
         t_sf = time.monotonic()
-        for qid in ARTIFACT_BUILDERS:
+        for qid in builders:
             t0 = time.monotonic()
             try:
                 QUERIES[qid](spark, sf_dir).write.format("noop").mode(
