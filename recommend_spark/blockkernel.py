@@ -150,6 +150,38 @@ def staged_embeddings_broadcast(sc, path: str):
     return memo_broadcast(sc, key, make)
 
 
+#: Per-task working-set bound for one dense score block (stream-tile rows ×
+#: N_candidates float64).  The kernel's flops follow the N² law, but its
+#: PEAK MEMORY grows with the full block: at the r13 sf1→sf3 decade the
+#: per-task accumulator went 95 MB → 858 MB and 32 concurrent tasks measured
+#: 19.6×/17.3× wall for 9× flops — allocator churn + bandwidth saturation,
+#: not compute.  Tiling the STREAM axis keeps every task in the regime that
+#: measures at law, and is free of semantic risk: each (stream, candidate)
+#: pair's k-fold runs intact inside exactly one tile, so output is
+#: bit-identical at any tile size.  Override: SPARK_GRAFT_STREAM_TILE_BYTES.
+DEFAULT_STREAM_TILE_BYTES = 64 << 20
+
+
+def stream_tile_budget() -> int:
+    """Read DRIVER-side at plan build and closed over into the kernel udf —
+    worker processes don't see env mutations made after session start, so
+    the env override must be resolved before the closure ships."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_TILE_BYTES", DEFAULT_STREAM_TILE_BYTES
+        )
+    )
+
+
+def iter_stream_tiles(ids, mat, n_candidates: int, budget_bytes: int):
+    """Row-slices of a stream batch sized so each tile's dense score block
+    (and its boolean masks / temporaries) stays within ``budget_bytes``.
+    Yields (ids_slice, mat_slice) views — no copies."""
+    step = max(1, budget_bytes // (max(1, n_candidates) * 8))
+    for s in range(0, len(ids), step):
+        yield ids[s : s + step], mat[s : s + step]
+
+
 def index_ordered_dot_block(a_mat, b_mat):
     """Dense dot-product block via an index-ordered left fold over the
     dimensions: acc[i,j] = (((0 + a[i,0]·b[j,0]) + a[i,1]·b[j,1]) + …) —
@@ -159,13 +191,20 @@ def index_ordered_dot_block(a_mat, b_mat):
     hash-match.  THE single definition: a BLAS matmul would be faster and
     WRONG here (blocked/FMA accumulation order varies with shape), and a
     second copy of this loop risks the two paths silently diverging.
-    Shared by sim_knn_join, dedup_embed_cosine and both their fallbacks.
-    """
+    Shared by sim_knn_join, dedup_embed_cosine and both their fallbacks,
+    each of which bounds a_mat via ``iter_stream_tiles``.
+
+    The per-k outer product writes into ONE reused buffer (``out=tmp``)
+    instead of allocating a fresh rows×N temporary 64 times — same IEEE
+    multiply and add per element, so bit-identical, without 64 large
+    allocations per block."""
     import numpy as np
 
     acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+    tmp = np.empty_like(acc)
     for k in range(b_mat.shape[1]):
-        acc += np.multiply.outer(a_mat[:, k], b_mat[:, k])
+        np.multiply(a_mat[:, k, None], b_mat[None, :, k], out=tmp)
+        acc += tmp
     return acc
 
 

@@ -18,7 +18,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
-from ..blockkernel import index_ordered_dot_block
+from ..blockkernel import (
+    index_ordered_dot_block,
+    iter_stream_tiles,
+    stream_tile_budget,
+)
 from ..io import hint_if, load_table, sf_key, table_file_bytes
 from ..registry import register
 
@@ -938,6 +942,7 @@ def dedup_embed_cosine(spark, sf_dir):
     # file-identity-memoized: shares one executor-resident copy with
     # sim_knn_join and across bench reps (r11 ADVICE, extended r12)
     bc = staged_embeddings_broadcast(spark.sparkContext, path)
+    tile_budget = stream_tile_budget()
 
     def block_pairs(batches):
         import pandas as pd
@@ -946,19 +951,25 @@ def dedup_embed_cosine(spark, sf_dir):
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
-            # left fold in index order, init 0.0 — bit-identical to the
-            # scalar fold ((0+p0)+p1)+... in both Spark and DuckDB.
-            acc = index_ordered_dot_block(a_mat, b_mat)
-            ia, ib = np.nonzero(
-                (a_ids[:, None] < b_ids[None, :]) & (acc >= 0.4)
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ia],
-                    "vec_b": b_ids[ib],
-                    "cosine": acc[ia, ib],
-                }
-            )
+            # stream-axis tiles bound the per-task score block (r13 decade
+            # triage — see blockkernel.DEFAULT_STREAM_TILE_BYTES); each
+            # pair's fold runs intact in one tile, so output is identical.
+            for t_ids, t_mat in iter_stream_tiles(
+                a_ids, a_mat, len(b_ids), tile_budget
+            ):
+                # left fold in index order, init 0.0 — bit-identical to the
+                # scalar fold ((0+p0)+p1)+... in both Spark and DuckDB.
+                acc = index_ordered_dot_block(t_mat, b_mat)
+                ia, ib = np.nonzero(
+                    (t_ids[:, None] < b_ids[None, :]) & (acc >= 0.4)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": t_ids[ia],
+                        "vec_b": b_ids[ib],
+                        "cosine": acc[ia, ib],
+                    }
+                )
 
     # single-file scan -> spread the streamed side across cores; the
     # broadcast candidate matrix is unaffected.
@@ -986,6 +997,7 @@ def _embed_pairs_bucketed(spark, sf_dir, tau):
     from ..blockkernel import fallback_buckets
 
     nb = fallback_buckets(f"{sf_dir}/embeddings.parquet", dim=64)
+    tile_budget = stream_tile_budget()
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
     left = e.withColumn("bi", F.pmod("vec_id", F.lit(nb)).cast("int")).withColumn(
@@ -1007,13 +1019,30 @@ def _embed_pairs_bucketed(spark, sf_dir, tau):
         a_mat = np.asarray(lpdf["embedding"].to_list(), dtype=np.float64)
         b_ids = rpdf["vec_id"].to_numpy()
         b_mat = np.asarray(rpdf["embedding"].to_list(), dtype=np.float64)
-        acc = index_ordered_dot_block(a_mat, b_mat)
-        ia, ib = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (acc >= tau))
-        if not len(ia):
+        # the candidate side of a cell is budget-gated; the stream side is
+        # a whole cogroup and needs the same tile bound as the broadcast
+        # path (blockkernel.DEFAULT_STREAM_TILE_BYTES).
+        frames = []
+        for t_ids, t_mat in iter_stream_tiles(
+            a_ids, a_mat, len(b_ids), tile_budget
+        ):
+            acc = index_ordered_dot_block(t_mat, b_mat)
+            ia, ib = np.nonzero(
+                (t_ids[:, None] < b_ids[None, :]) & (acc >= tau)
+            )
+            if len(ia):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": t_ids[ia],
+                            "vec_b": b_ids[ib],
+                            "cosine": acc[ia, ib],
+                        }
+                    )
+                )
+        if not frames:
             return empty
-        return pd.DataFrame(
-            {"vec_a": a_ids[ia], "vec_b": b_ids[ib], "cosine": acc[ia, ib]}
-        )
+        return pd.concat(frames, ignore_index=True)
 
     return (
         left.groupBy("bi", "bj")

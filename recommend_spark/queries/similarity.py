@@ -18,7 +18,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
-from ..blockkernel import index_ordered_dot_block
+from ..blockkernel import (
+    index_ordered_dot_block,
+    iter_stream_tiles,
+    stream_tile_budget,
+)
 from ..io import load_table, sf_key
 from ..registry import register
 
@@ -583,6 +587,7 @@ def sim_knn_join(spark, sf_dir):
     # file-identity-memoized: shares one executor-resident copy with
     # dedup_embed_cosine and across bench reps (r11 ADVICE, extended r12)
     bc = staged_embeddings_broadcast(spark.sparkContext, path)
+    tile_budget = stream_tile_budget()
 
     def knn_blocks(batches):
         import pandas as pd
@@ -591,24 +596,30 @@ def sim_knn_join(spark, sf_dir):
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
-            acc = index_ordered_dot_block(a_mat, b_mat)
-            # exclude self, then top-K by (cosine DESC, neighbor_id ASC):
-            # lexsort is stable, last key primary
-            self_mask = a_ids[:, None] == b_ids[None, :]
-            acc_m = np.where(self_mask, -np.inf, acc)
-            order = np.lexsort(
-                (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
-            )[:, :K]
-            rows_q = np.repeat(a_ids, K)
-            rows_n = b_ids[order].ravel()
-            rows_c = np.take_along_axis(acc_m, order, axis=1).ravel()
-            yield pd.DataFrame(
-                {
-                    "query_id": rows_q,
-                    "neighbor_id": rows_n,
-                    "cosine": rows_c,
-                }
-            )
+            # stream-axis tiles bound the per-task score block (r13 decade
+            # triage); each query row's FULL candidate axis stays inside
+            # its tile, so per-query top-K is exact and output identical.
+            for t_ids, t_mat in iter_stream_tiles(
+                a_ids, a_mat, len(b_ids), tile_budget
+            ):
+                acc = index_ordered_dot_block(t_mat, b_mat)
+                # exclude self, then top-K by (cosine DESC, neighbor_id
+                # ASC): lexsort is stable, last key primary
+                self_mask = t_ids[:, None] == b_ids[None, :]
+                acc_m = np.where(self_mask, -np.inf, acc)
+                order = np.lexsort(
+                    (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
+                )[:, :K]
+                rows_q = np.repeat(t_ids, K)
+                rows_n = b_ids[order].ravel()
+                rows_c = np.take_along_axis(acc_m, order, axis=1).ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": rows_q,
+                        "neighbor_id": rows_n,
+                        "cosine": rows_c,
+                    }
+                )
 
     # embeddings.parquet is a single file -> 1 input partition; spread the
     # query side so the per-batch block kernel runs on all cores instead of
@@ -639,6 +650,7 @@ def _knn_join_bucketed(spark, sf_dir, k):
     from ..blockkernel import fallback_buckets
 
     nb = fallback_buckets(f"{sf_dir}/embeddings.parquet", dim=64)
+    tile_budget = stream_tile_budget()
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cand = e.withColumn("bkt", F.pmod("vec_id", F.lit(nb)).cast("int"))
     q = e.withColumn("bkt", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
@@ -654,20 +666,33 @@ def _knn_join_bucketed(spark, sf_dir, k):
         a_mat = np.asarray(qpdf["embedding"].to_list(), dtype=np.float64)
         b_ids = cpdf["vec_id"].to_numpy()
         b_mat = np.asarray(cpdf["embedding"].to_list(), dtype=np.float64)
-        acc = index_ordered_dot_block(a_mat, b_mat)
-        self_mask = a_ids[:, None] == b_ids[None, :]
-        acc_m = np.where(self_mask, -np.inf, acc)
-        kk = min(k, acc_m.shape[1])
-        order = np.lexsort(
-            (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
-        )[:, :kk]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(a_ids, kk),
-                "neighbor_id": b_ids[order].ravel(),
-                "cosine": np.take_along_axis(acc_m, order, axis=1).ravel(),
-            }
-        )
+        # the query side of a cogroup cell is the WHOLE replicated query
+        # set — bound its score block with the same stream-axis tiles as
+        # the broadcast path; the bucket (candidate) axis stays whole per
+        # tile, so the bucket-local top-k is unchanged.
+        kk = min(k, len(b_ids))
+        frames = []
+        for t_ids, t_mat in iter_stream_tiles(
+            a_ids, a_mat, len(b_ids), tile_budget
+        ):
+            acc = index_ordered_dot_block(t_mat, b_mat)
+            self_mask = t_ids[:, None] == b_ids[None, :]
+            acc_m = np.where(self_mask, -np.inf, acc)
+            order = np.lexsort(
+                (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
+            )[:, :kk]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(t_ids, kk),
+                        "neighbor_id": b_ids[order].ravel(),
+                        "cosine": np.take_along_axis(
+                            acc_m, order, axis=1
+                        ).ravel(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     part = (
         q.groupBy("bkt")

@@ -123,3 +123,58 @@ def test_memo_dropped_on_context_change(spark):
         bk._BC_MEMO.clear()
         bk._BC_MEMO.update(start)
         bk._BC_MEMO_APP = start_app
+
+
+def test_iter_stream_tiles_bounds_and_covers():
+    """Tile rows × candidates × 8 never exceeds the budget (min 1 row), and
+    the tiles partition the stream in order with no overlap."""
+    import numpy as np
+
+    ids = np.arange(100)
+    mat = np.arange(100 * 4, dtype=np.float64).reshape(100, 4)
+    # budget 800 bytes at 25 candidates -> 4 rows per tile
+    tiles = list(blockkernel.iter_stream_tiles(ids, mat, 25, 800))
+    assert all(len(t_ids) <= 4 for t_ids, _ in tiles[:-1])
+    assert np.concatenate([t for t, _ in tiles]).tolist() == ids.tolist()
+    assert np.concatenate([m for _, m in tiles]).tolist() == mat.tolist()
+    # degenerate budget still makes progress one row at a time
+    tiles1 = list(blockkernel.iter_stream_tiles(ids, mat, 25, 1))
+    assert len(tiles1) == 100 and all(len(t) == 1 for t, _ in tiles1)
+
+
+def test_dot_block_tmp_reuse_bit_identical():
+    """The out=tmp rewrite must reproduce the naive per-k allocation fold
+    bit-for-bit (same IEEE multiply and add per element)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    a = rng.standard_normal((7, 64))
+    b = rng.standard_normal((11, 64))
+    naive = np.zeros((7, 11))
+    for k in range(64):
+        naive += np.multiply.outer(a[:, k], b[:, k])
+    got = blockkernel.index_ordered_dot_block(a, b)
+    assert got.tobytes() == naive.tobytes()
+
+
+def test_stream_tiling_identical_broadcast_paths(spark, monkeypatch):
+    """A tile budget small enough to split every Arrow batch into many
+    stream tiles must not change a single row of either broadcast kernel
+    (each pair's fold runs intact inside one tile)."""
+    knn = _rows(QUERIES["sim_knn_join"](spark, SF_DIR))
+    pairs = _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR))
+    # ~3 stream rows per tile at the sf0.001 candidate count
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TILE_BYTES", str(3 * 2000 * 8))
+    assert _rows(QUERIES["sim_knn_join"](spark, SF_DIR)) == knn
+    assert _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR)) == pairs
+
+
+def test_stream_tiling_identical_bucketed_paths(spark, monkeypatch):
+    """Same pin for the cogroup fallbacks: tiny staging budget forces the
+    bucketed route, tiny tile budget forces many stream tiles per cell."""
+    knn = _rows(QUERIES["sim_knn_join"](spark, SF_DIR))
+    pairs = _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_KERNEL_MAX_BYTES", str(1 << 18))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TILE_BYTES", "4096")
+    assert _rows(QUERIES["sim_knn_join"](spark, SF_DIR)) == knn
+    assert _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR)) == pairs
