@@ -208,6 +208,43 @@ def index_ordered_dot_block(a_mat, b_mat):
     return acc
 
 
+def topk_by_value_then_id(acc_m, b_ids, k):
+    """Exact per-row top-k selection over the candidate axis by
+    (value DESC, id ASC) — returns an r×k index array equal to
+    ``np.lexsort((broadcast(b_ids), -acc_m), axis=1)[:, :k]`` but O(N)
+    per row instead of O(N log N): ``argpartition`` isolates the k best
+    values, a k-element lexsort orders them, and only rows with a tie AT
+    the k-th value (where membership itself depends on the id tie-break
+    — real in replica-perturbed corpora, where duplicate embeddings give
+    exactly equal cosines) fall back to the full-axis lexsort.  THE
+    single selection definition shared by sim_knn_join's broadcast
+    kernel and its bucketed cogroup twin — same convention as
+    ``index_ordered_dot_block``: one implementation, or the two paths
+    silently diverge."""
+    import numpy as np
+
+    n = acc_m.shape[1]
+    if n <= k + 1:
+        return np.lexsort(
+            (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
+        )[:, :k]
+    neg = -acc_m
+    part = np.argpartition(neg, k - 1, axis=1)[:, :k]
+    sel_neg = np.take_along_axis(neg, part, axis=1)
+    kth = sel_neg.max(axis=1, keepdims=True)
+    # order the k selected by (value DESC, id ASC); lexsort is stable,
+    # last key primary
+    o = np.lexsort((b_ids[part], sel_neg), axis=1)
+    out = np.take_along_axis(part, o, axis=1)
+    ties = (neg <= kth).sum(axis=1) > k
+    if ties.any():
+        nt = int(ties.sum())
+        out[ties] = np.lexsort(
+            (np.broadcast_to(b_ids, (nt, n)), neg[ties]), axis=1
+        )[:, :k]
+    return out
+
+
 def bitset_gemm_pairs(
     stream_df,
     index_rows,

@@ -22,6 +22,7 @@ from ..blockkernel import (
     index_ordered_dot_block,
     iter_stream_tiles,
     stream_tile_budget,
+    topk_by_value_then_id,
 )
 from ..io import load_table, sf_key
 from ..registry import register
@@ -603,13 +604,11 @@ def sim_knn_join(spark, sf_dir):
                 a_ids, a_mat, len(b_ids), tile_budget
             ):
                 acc = index_ordered_dot_block(t_mat, b_mat)
-                # exclude self, then top-K by (cosine DESC, neighbor_id
-                # ASC): lexsort is stable, last key primary
+                # exclude self, then exact top-K by (cosine DESC,
+                # neighbor_id ASC) via the shared selection kernel
                 self_mask = t_ids[:, None] == b_ids[None, :]
                 acc_m = np.where(self_mask, -np.inf, acc)
-                order = np.lexsort(
-                    (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
-                )[:, :K]
+                order = topk_by_value_then_id(acc_m, b_ids, K)
                 rows_q = np.repeat(t_ids, K)
                 rows_n = b_ids[order].ravel()
                 rows_c = np.take_along_axis(acc_m, order, axis=1).ravel()
@@ -678,9 +677,7 @@ def _knn_join_bucketed(spark, sf_dir, k):
             acc = index_ordered_dot_block(t_mat, b_mat)
             self_mask = t_ids[:, None] == b_ids[None, :]
             acc_m = np.where(self_mask, -np.inf, acc)
-            order = np.lexsort(
-                (np.broadcast_to(b_ids, acc_m.shape), -acc_m), axis=1
-            )[:, :kk]
+            order = topk_by_value_then_id(acc_m, b_ids, kk)
             frames.append(
                 pd.DataFrame(
                     {

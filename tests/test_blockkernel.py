@@ -178,3 +178,22 @@ def test_stream_tiling_identical_bucketed_paths(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_TILE_BYTES", "4096")
     assert _rows(QUERIES["sim_knn_join"](spark, SF_DIR)) == knn
     assert _rows(QUERIES["dedup_embed_cosine"](spark, SF_DIR)) == pairs
+
+
+def test_topk_by_value_then_id_matches_lexsort_reference():
+    """The argpartition fast path must equal the full-lexsort definition
+    on tie-heavy data: values drawn from a tiny set so boundary ties
+    (membership decided by the id tie-break) occur in most rows, plus
+    -inf self-mask entries and an n<=k+1 degenerate."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for r, n, k in [(40, 200, 5), (8, 6, 5), (3, 5, 5), (17, 1000, 3)]:
+        acc = rng.integers(0, 4, size=(r, n)).astype(np.float64)
+        ids = rng.permutation(n * 3)[:n].astype(np.int64)
+        acc[np.arange(r), rng.integers(0, n, size=r)] = -np.inf
+        ref = np.lexsort((np.broadcast_to(ids, acc.shape), -acc), axis=1)[
+            :, : min(k, n)
+        ]
+        got = blockkernel.topk_by_value_then_id(acc, ids, min(k, n))
+        assert got.tolist() == ref.tolist(), (r, n, k)
