@@ -669,3 +669,13 @@ def test_er_block_routes_carry_length_band(spark):
         assert join_lines, (path, plan[:2000])
         assert "levenshtein" in plan, path
         assert "Cartesian" not in plan, (path, plan[:2000])
+
+
+def test_tpch_q21_single_pass_qualify(spark):
+    """r13 rewrite pin: the EXISTS/NOT-EXISTS qualify is ONE multi-distinct
+    aggregate over the order's lines (Expand), not semi/anti joins between
+    distinct pair sets — no fact-wide DISTINCT shuffles remain."""
+    plan = _plan(QUERIES["tpch_q21"](spark, SF_DIR))
+    assert "Expand" in plan, plan[:2000]
+    assert "LeftSemi" not in plan, plan[:2000]
+    assert "LeftAnti" not in plan, plan[:2000]
