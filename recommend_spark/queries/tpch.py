@@ -482,10 +482,16 @@ def tpch_q10(spark, sf_dir):
     """,
 )
 def tpch_q18(spark, sf_dir):
-    """TPC-H Q18 large-volume customer: semi-join against a grouped HAVING
-    subquery, then re-aggregate.  The subquery is a lineitem self-aggregate
-    — at 100 TB both aggregations shuffle on l_orderkey, so Spark reuses
-    the exchange; the filtered key set is small and broadcasts back."""
+    """TPC-H Q18 large-volume customer.  The textbook plan semi-joins the
+    HAVING subquery's keys back to lineitem and RE-aggregates — but the
+    outer query's group keys are all functionally determined by
+    o_orderkey, so its SUM(l_quantity) per group IS the subquery's
+    per-order sum.  One lineitem aggregation therefore serves as both the
+    filter and the result column (r13): no second fact join, no
+    re-aggregation — at 100 TB this halves the fact traffic.  The
+    qualifying order set (HAVING > 250) is tiny and broadcasts to
+    orders; DECIMAL summation keeps the hash bit-identical to the
+    oracle's re-aggregated formulation."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -493,18 +499,18 @@ def tpch_q18(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        o.join(hint_if(big, table_rows(sf_dir, "orders") * 16), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        o.join(
+            hint_if(big, table_rows(sf_dir, "orders") * 16),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             iso_date("o_orderdate", "o_orderdate"),
-            "o_totalprice", "sum_qty",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
