@@ -58,6 +58,8 @@ HEADLINE = {
     "agg_quantile_disc": "rows collapse to (group, value, count) via partial agg; the rank window runs over ~50 distinct values, never raw rows (r13)",
     "rec_user_user_sampled": "md5-rank audience sample as WindowGroupLimit (per-task top-64 heaps); integer-weighted pair agg — per-item work bounded at C(64,2) (r13)",
     "er_name_match": "cost-routed: fixture names pick the block path with the length band INSIDE the join condition — levenshtein runs only on band-surviving pairs (r13)",
+    "tpch_q21": "EXISTS/NOT-EXISTS qualify as ONE multi-distinct aggregate (Expand) — no fact-wide DISTINCT shuffles, no semi/anti joins (r13)",
+    "tpch_q18": "the HAVING subquery's per-order sum IS the result column: one lineitem aggregation, no re-join, no re-aggregate (r13)",
 }
 
 
