@@ -287,3 +287,52 @@ def test_corr_family_degenerate_groups_parity(spark, tmp_path_factory):
         for r in QUERIES["agg_stddev_exact"](spark, str(root)).collect()
     }
     assert sd["C"] == 0.0 and "S" not in sd and sd["N"] > 0
+
+
+def test_q21_qualify_counts_distinct_suppliers_not_lines(spark, tmp_path):
+    """r13 q21 rewrite pin: the qualify is per-order DISTINCT-supplier
+    arithmetic, not line counting.  Planted orders:
+      1: suppliers {10, 20}, supplier 10 late on THREE lines -> qualifies
+         exactly once for supplier 10 (countDistinct(late)=1 even though
+         late LINES = 3);
+      2: suppliers {10, 20}, both late -> excluded (two late suppliers);
+      3: single-supplier order, late -> excluded (no other supplier);
+      4: suppliers {10, 20}, none late -> excluded.
+    """
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recommend_spark.queries import QUERIES
+
+    d0 = datetime(1996, 1, 1)
+    late = datetime(1996, 6, 1)     # > 90 days after d0
+    ontime = datetime(1996, 1, 15)
+    ts = pa.timestamp("us")
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3, 4, 4], pa.int64()),
+            "l_suppkey": pa.array([10, 10, 10, 20, 10, 20, 10, 10, 20], pa.int64()),
+            "l_shipdate": pa.array(
+                [late, late, late, ontime, late, late, late, ontime, ontime], ts
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([d0] * 4, ts),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([10, 20], pa.int64()),
+            "s_name": pa.array(["Supplier#10", "Supplier#20"]),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(supplier, str(tmp_path / "supplier.parquet"))
+    rows = [tuple(r) for r in QUERIES["tpch_q21"](spark, str(tmp_path)).collect()]
+    assert rows == [("Supplier#10", 1)]
