@@ -336,3 +336,53 @@ def test_q21_qualify_counts_distinct_suppliers_not_lines(spark, tmp_path):
     pq.write_table(supplier, str(tmp_path / "supplier.parquet"))
     rows = [tuple(r) for r in QUERIES["tpch_q21"](spark, str(tmp_path)).collect()]
     assert rows == [("Supplier#10", 1)]
+
+
+def test_knn_tie_break_on_planted_duplicate_embeddings(spark, tmp_path):
+    """r13 top-k selection pin, end-to-end: EXACT duplicate vectors (the
+    replica-perturbed-corpus regime) give bit-equal cosines, so boundary
+    membership depends on the neighbor-id tie-break.  Reference computed
+    by the full-lexsort definition in the test."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from recommend_spark.queries import QUERIES
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((4, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 12 vectors from only 4 distinct directions -> ties everywhere,
+    # including AT the k=5 boundary for every query row
+    mat = np.vstack([base, base, base])
+    ids = np.arange(12, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [list(map(float, row)) for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    # reference: the same float32->float64 path + index-ordered fold +
+    # lexsort definition the kernels promise
+    m64 = mat.astype(np.float32).astype(np.float64)
+    acc = np.zeros((12, 12))
+    for k in range(64):
+        acc += np.multiply.outer(m64[:, k], m64[:, k])
+    acc[np.arange(12), np.arange(12)] = -np.inf
+    order = np.lexsort((np.broadcast_to(ids, acc.shape), -acc), axis=1)[:, :5]
+    expect = sorted(
+        (int(q), int(ids[j]), acc[q, j])
+        for q in range(12)
+        for j in order[q]
+    )
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["sim_knn_join"](spark, str(tmp_path)).collect()
+    )
+    assert got == expect
