@@ -119,9 +119,12 @@ def main() -> None:
             for q in rec.get("queries_heavy", {})
             if q in base.get("queries_heavy", {})
         }
-        rvals = sorted(per_q.values())
+        # a heavy-only SPARK_GRAFT_BENCH_ONLY set leaves the sql suite
+        # empty: fall back to the heavy per-query ratios for the medians
+        # and guard the zero base
+        rvals = sorted(per_q.values()) or sorted(heavy_q.values()) or [0.0]
         ratios[sf_dir] = {
-            "suite_ratio": round(rec["value"] / base["value"], 2),
+            "suite_ratio": round(rec["value"] / max(base["value"], 1e-9), 2),
             "heavy_ratio": round(
                 rec.get("heavy_seconds", 0) / max(base.get("heavy_seconds", 1e-9), 1e-9), 2
             ),
