@@ -314,7 +314,15 @@ def mm_image_pipeline(spark, sf_dir):  # not SQL-expressible
 
     from ..mm_codecs import decode_bmp
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single small parquet -> 1-5 input splits; the decode stages are
+    # CPU-heavy Python, so spread the doc stream across cores (r13: the
+    # heavy-decade measured FLAT walls because task count, not work,
+    # tracked the corpus — 2 of 32 cores busy at sf1)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
 
     def encode_stage(batches):
         for pdf in batches:
@@ -390,7 +398,15 @@ def mm_audio_pipeline(spark, sf_dir):  # not SQL-expressible
 
     from ..mm_codecs import decode_wav
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single small parquet -> 1-5 input splits; the decode stages are
+    # CPU-heavy Python, so spread the doc stream across cores (r13: the
+    # heavy-decade measured FLAT walls because task count, not work,
+    # tracked the corpus — 2 of 32 cores busy at sf1)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
     WIN = 1024
 
     def encode_stage(batches):
@@ -486,7 +502,15 @@ def mm_video_frames(spark, sf_dir):  # not SQL-expressible
 
     from ..mm_codecs import decode_y4m
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single small parquet -> 1-5 input splits; the decode stages are
+    # CPU-heavy Python, so spread the doc stream across cores (r13: the
+    # heavy-decade measured FLAT walls because task count, not work,
+    # tracked the corpus — 2 of 32 cores busy at sf1)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
     STRIDE = 5
 
     def encode_stage(batches):
