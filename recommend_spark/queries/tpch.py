@@ -999,33 +999,44 @@ def tpch_q21(spark, sf_dir):
     Spark-first decorrelation to ONE pass over the order's lines instead
     of semi-/anti-joins between distinct pair sets: a (order, supplier)
     pair qualifies  iff  its order has another supplier on ANY line
-    (countDistinct(suppkey) ≥ 2) and exactly ONE distinct supplier was
-    late (countDistinct(late suppkey) = 1) — and then the unique late
-    supplier IS min(late suppkey).  The multi-distinct aggregate plans
-    as Expand + two map-side-combined exchanges whose payload is the
-    PARTIALLY AGGREGATED (order, branch) space, replacing the textbook
-    plan's two fact-wide DISTINCT shuffles plus the semi- and anti-join
-    shuffles between them (measured sf0.1: 8.0 s → 4.5 s cold,
-    min-of-2).  orders broadcasts when the size gate allows; supplier
-    stays a size-gated broadcast."""
+    (distinct suppliers ≥ 2) and exactly ONE distinct supplier was late —
+    and then the unique late supplier IS min(late suppkey).  r14: the
+    r13 multi-distinct aggregate planned as a 3-way Expand (tripling the
+    fact rows through its first exchange) and measured 3.5-6 s at sf0.1
+    in a clean window vs the r12 textbook plan's 1.8 s — the r13 "win"
+    was an artifact of the 13.5%-steal measurement window.  Rewritten as
+    TWO-LEVEL aggregation sharing ONE exchange (guide §2.4): repartition
+    by l_orderkey, then groupBy(l_orderkey, l_suppkey) [bool-or late] and
+    groupBy(l_orderkey) both plan exchange-free on that partitioning —
+    one fact-width shuffle total, no Expand, no DISTINCT machinery
+    (measured sf0.1 interleaved min-of-4: current 3.52 / twolevel 1.55 s;
+    plan: 3 Exchange → 2, Expand removed; results bit-identical).
+    orders broadcasts when the size gate allows; supplier stays a
+    size-gated broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
-    late_supp = F.when(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
-        F.col("l_suppkey"),
+    is_late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     )
-    per_order = (
+    pairs = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(
             o.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late.cast("int")).alias("late"))
+    )
+    per_order = (
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late_supp).alias("n_late"),
-            F.min(late_supp).alias("late_suppkey"),
+            F.count("*").alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.min(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "late_suppkey"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )

@@ -672,10 +672,20 @@ def test_er_block_routes_carry_length_band(spark):
 
 
 def test_tpch_q21_single_pass_qualify(spark):
-    """r13 rewrite pin: the EXISTS/NOT-EXISTS qualify is ONE multi-distinct
-    aggregate over the order's lines (Expand), not semi/anti joins between
-    distinct pair sets — no fact-wide DISTINCT shuffles remain."""
+    """r14 rewrite pin: the EXISTS/NOT-EXISTS qualify is a TWO-LEVEL
+    aggregation sharing one l_orderkey exchange — no semi/anti joins
+    between distinct pair sets, and no Expand (the r13 multi-distinct
+    tripled fact rows through its first exchange; clean-window A/B
+    showed 3.5 s vs 1.55 s at sf0.1).  Both groupBys plan exchange-free
+    on the explicit repartition, so the fact shuffles exactly once."""
     plan = _plan(QUERIES["tpch_q21"](spark, SF_DIR))
-    assert "Expand" in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
     assert "LeftSemi" not in plan, plan[:2000]
     assert "LeftAnti" not in plan, plan[:2000]
+    # one hashpartitioning(l_orderkey) exchange feeds both aggregates
+    import re
+
+    n_orderkey_exch = len(
+        re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)
+    )
+    assert n_orderkey_exch == 1, (n_orderkey_exch, plan[:2000])
