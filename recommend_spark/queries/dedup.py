@@ -15,6 +15,8 @@ Five dedup families, each with the shape that survives 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
@@ -336,6 +338,15 @@ def _jaccard_pairs_exact(docs, toks_expr=None, stats_key: str | None = None):
 
 _CONTAIN_TAU = 0.95
 _CONTAIN_MIN_TOKENS = 10
+# Replica collapse fires only when distinct token SETS are at most this
+# fraction of the doc count: the re-expansion joins are output-bound, so
+# at a mild replica ratio they cost more than the (1 - ratio^2) kernel
+# reduction saves (measured sf0.1, ~0.8 ratio: collapse 2.78 s vs direct
+# 1.89 s noop min-of-3) while at heavy replication the kernel shrinks
+# quadratically.  Override for cluster corpora via env.
+_CONTAIN_COLLAPSE_RATIO = float(
+    os.environ.get("SPARK_GRAFT_CONTAIN_COLLAPSE_RATIO", "0.5")
+)
 
 
 @register(
@@ -380,14 +391,99 @@ def dedup_containment(spark, sf_dir):
     exact intersection is one integer-exact float32 GEMM cell
     (blockkernel.bitset_gemm_pairs; gated on max_staged_bytes).
     n_common and na are exact ints; the single division then one
-    compare is bit-deterministic in both engines."""
-    from ..io import table_fingerprint
+    compare is bit-deterministic in both engines.
+
+    r14 REPLICA COLLAPSE (er_name_match's block_collapsed recipe, r13
+    verdict item 3): containment depends ONLY on the distinct token
+    SETS, so docs with identical sets are interchangeable — on
+    replica-heavy corpora the pair OUTPUT is quadratic in replicas
+    (measured 102× pairs for 10× perturbed input, SCALE.md §10y) and so
+    was the rescore work.  When a memoized one-time stat shows
+    n_distinct_sets <= _CONTAIN_COLLAPSE_RATIO * n_docs, the op pairs
+    one representative per token-set group through the unchanged
+    kernel/prefix pipeline (rescore work falls from corpus² to
+    distinct-sets²), then re-expands to doc pairs by two equi-joins
+    (cross-group: identical n_common / containment by construction)
+    plus the intra-group self-join (set == set ⇒ containment exactly
+    1.0, n_common = nt) — output-bound join arithmetic, nothing
+    rescored twice.  The ratio gate exists because the expansion joins
+    are output-bound: at the fixtures' mild ~20% replication they cost
+    MORE than the kernel saves (sf0.1 noop min-of-3: collapse 2.78 s vs
+    direct 1.89 s), so mildly-replicated corpora take the direct path
+    with zero overhead beyond the memoized stat."""
+    from ..io import stats_memo, table_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    return _containment_pairs(
-        docs,
-        stats_key=f"corpus_words_v1_{table_fingerprint(sf_dir, 'documents')}",
+    fp = table_fingerprint(sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.sha2(F.concat_ws("\x1f", F.sort_array(_TOKS())), 256).alias("k"),
+        F.size(_TOKS()).alias("nt"),
     )
+    st = stats_memo(
+        f"contain_collapse_v1_{fp}",
+        lambda: {
+            "n_docs": keyed.count(),
+            "n_sets": keyed.select("k").distinct().count(),
+        },
+    )
+    if st["n_sets"] > _CONTAIN_COLLAPSE_RATIO * st["n_docs"]:
+        return _containment_pairs(
+            docs, stats_key=f"corpus_words_v1_{fp}"
+        )
+    return _containment_collapsed(
+        keyed, stats_key=f"corpus_words_collapsed_v1_{fp}"
+    )
+
+
+def _containment_collapsed(keyed, stats_key: str | None = None):
+    """Replica-collapsed containment: pair one representative per
+    distinct-token-set group, then re-expand to doc-level pairs (see
+    dedup_containment).  ``keyed`` must carry doc_id, text, k (token-set
+    digest) and nt (distinct-token count).  Exact: returns the same pair
+    set as _containment_pairs over the full corpus."""
+    reps = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    rep_pairs = _containment_pairs(
+        reps.select("doc_id", "text"), stats_key=stats_key
+    )
+    members = keyed.select("k", "doc_id").join(
+        reps.select("k", F.col("doc_id").alias("rep_id")), "k"
+    )
+    ma = members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_common",
+            "containment",
+        )
+    )
+    ka = keyed.select(
+        "k", F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta")
+    ).filter(F.col("nta") >= _CONTAIN_MIN_TOKENS)
+    kb = keyed.select("k", F.col("doc_id").alias("doc_b"))
+    intra = (
+        ka.join(kb, "k")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("nta").cast("int").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionAll(intra)
 
 
 def _containment_pairs(
@@ -1208,7 +1304,12 @@ def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
     past the budget the joins run as plain equi-joins and AQE picks the
     strategy.  ``checkpoint=False`` keeps the join plans inspectable for
     the plan tests; the operator always checkpoints (plan stays O(1) in
-    rounds).  Returns (rep', e')."""
+    rounds).  ``rep=None`` means the identity map (round 1): every node
+    appears as a src in the doubled edge set, so rep-after-round-1 IS
+    mapv — skipping the identity relabel join AND the separate
+    distinct() build of the initial rep (one shuffle of the full node
+    set plus two eager checkpoints, measured 2.83 → 2.16 s at sf0.1,
+    guide §2.4: remove shuffles outright).  Returns (rep', e')."""
     width = _cc_width(n_edges)
     mapv = (
         e.groupBy("src")
@@ -1226,11 +1327,17 @@ def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
     def _hint(df):
         return F.broadcast(df) if bc else df
 
-    rep2 = (
-        rep.join(_hint(mapv), rep.cur == mapv.v, "left")
-        .select("orig", F.coalesce("m", "cur").alias("cur"))
-        .coalesce(rep_width)
-    )
+    if rep is None:
+        # round 1: rep was the identity, so the rewrite is mapv itself
+        rep2 = mapv.select(
+            F.col("v").alias("orig"), F.col("m").alias("cur")
+        )
+    else:
+        rep2 = (
+            rep.join(_hint(mapv), rep.cur == mapv.v, "left")
+            .select("orig", F.coalesce("m", "cur").alias("cur"))
+            .coalesce(rep_width)
+        )
     ms = _hint(mapv.select(F.col("v").alias("sv"), F.col("m").alias("sm")))
     md = _hint(mapv.select(F.col("v").alias("dv"), F.col("m").alias("dm")))
     e2 = (
@@ -1242,7 +1349,11 @@ def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
         .coalesce(width)
     )
     if checkpoint:
-        rep2, e2 = rep2.localCheckpoint(), e2.localCheckpoint()
+        # rep=None round: rep2 is a projection over the already-
+        # checkpointed mapv — a second materialization buys nothing
+        if rep is not None:
+            rep2 = rep2.localCheckpoint()
+        e2 = e2.localCheckpoint()
     return rep2, e2
 
 
@@ -1315,15 +1426,14 @@ def dedup_cluster(spark, sf_dir):
     # enter; they are unioned back with their own id at the end).  rep
     # never contracts — one row per round-0 node forever — so its width
     # derives from the INITIAL edge count, not the shrinking residual.
+    # r14: rep is NOT built as a separate distinct() pass — round 1's
+    # node→min map already enumerates every node (each appears as a src
+    # in the doubled edge set), so _cc_round(rep=None) returns mapv AS
+    # the post-round-1 rep, saving one full-node-set shuffle plus two
+    # eager checkpoints (2.83 → 2.16 s at sf0.1, identical labels).
     rep_width = _cc_width(n)
     rep_broadcastable = _cc_map_broadcastable(n)
-    rep = (
-        edges.select(F.col("src").alias("orig"))
-        .distinct()
-        .select("orig", F.col("orig").alias("cur"))
-        .coalesce(rep_width)
-        .localCheckpoint()
-    )
+    rep = None
     # Post-contraction tables are a few thousand rows; AQE's partition
     # coalescing shrinks every loop shuffle to a handful of tasks on its
     # own, so no session-global shuffle.partitions mutation is needed
@@ -1356,6 +1466,13 @@ def dedup_cluster(spark, sf_dir):
             )
             break
     docs = load_table(spark, sf_dir, "documents")
+    if rep is None:
+        # zero pairs: every doc is its own singleton cluster
+        return docs.select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(True).alias("is_keeper"),
+        )
     # the final labeling join ships rep (|round-0 nodes| rows) to every
     # doc partition — hint it under the same row budget as the loop map
     rep_hinted = F.broadcast(rep) if rep_broadcastable else rep

@@ -293,6 +293,58 @@ def test_containment_prefix_path_matches_brute_force(spark):
     assert got == want
 
 
+def test_containment_replica_collapse_matches_direct(spark):
+    """The r14 replica-collapse route (pair one representative per
+    distinct-token-set group, re-expand by joins) must return EXACTLY the
+    direct pipeline's pairs on a replica-heavy corpus — including the
+    intra-group containment-1.0 pairs and cross-group pairs seen from
+    every replica."""
+    import random
+
+    from recommend_spark.queries.dedup import (
+        _TOKS,
+        _containment_collapsed,
+        _containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i:05d}" for i in range(1500)]
+    docs = []
+    base_texts = []
+    for doc_id in range(20):
+        toks = rng.sample(vocab, rng.randint(5, 30))
+        base_texts.append(" ".join(toks))
+        docs.append((doc_id, base_texts[-1]))
+    # heavy replication: 4 replicas of each base doc (distinct ids), some
+    # with shuffled token order (same SET, different text) — ~80% replicas
+    nid = 100
+    for k, txt in enumerate(base_texts):
+        for r in range(4):
+            toks = txt.split()
+            if r % 2:
+                rng.shuffle(toks)
+            docs.append((nid, " ".join(toks)))
+            nid += 1
+    # plus guaranteed near-subset cross-group pairs
+    for k in range(4):
+        docs.append((nid, base_texts[k] + " " + " ".join(rng.sample(vocab, 3))))
+        nid += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    keyed = df.select(
+        "doc_id",
+        "text",
+        F.sha2(F.concat_ws("\x1f", F.sort_array(_TOKS())), 256).alias("k"),
+        F.size(_TOKS()).alias("nt"),
+    )
+    cols = ["doc_a", "doc_b", "n_common", "containment"]
+    direct = {tuple(r) for r in _containment_pairs(df).select(cols).collect()}
+    collapsed = {
+        tuple(r) for r in _containment_collapsed(keyed).select(cols).collect()
+    }
+    assert direct, "fixture must produce qualifying pairs"
+    assert collapsed == direct
+
+
 @given(
     h=st.integers(min_value=1, max_value=40),
     w=st.integers(min_value=1, max_value=40),
