@@ -209,7 +209,14 @@ def stream_stateful_count(spark, sf_dir):
         )
 
     out = run_stream(
-        spark, sf_dir, "rs_stream_stateful", build, output_mode="update"
+        spark,
+        sf_dir,
+        "rs_stream_stateful",
+        build,
+        output_mode="update",
+        # Python-state replay: per-partition pandas workers want width 8
+        # (r14 A/B: 3.70 s vs 6.29 s at the JVM-state default of 2)
+        state_width=8,
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
@@ -680,5 +687,12 @@ def stream_session_ttl(spark, sf_dir):
         )
 
     return run_stream(
-        spark, sf_dir, "rs_stream_session_ttl", build, output_mode="append"
+        spark,
+        sf_dir,
+        "rs_stream_session_ttl",
+        build,
+        output_mode="append",
+        # Python-state replay: per-partition pandas workers want width 8
+        # (r14 A/B: 4.49 s vs 8.40 s at the JVM-state default of 2)
+        state_width=8,
     )

@@ -97,6 +97,7 @@ def run_stream(
     output_mode: str = "complete",
     shuffled: bool = False,
     files_per_trigger: int = 4,
+    state_width: int = 2,
 ) -> DataFrame:
     """Replay events through ``build(stream_df) -> DataFrame`` and return the
     final memory-sink table (a fresh checkpoint every run -> repeatable).
@@ -116,19 +117,26 @@ def run_stream(
     # State-store width is pinned at first checkpoint; at fixture scale each
     # micro-batch is small, so fewer state partitions means fewer
     # task-launch + state-commit overheads per batch (batches × width).
-    # On a real cluster size this to peak key cardinality instead.
-    # A/B-measured (idle machine, sf0.1): width 8 >= width 4 on every
-    # replay — the stream-stream joins and the Python state op want the
-    # extra parallelism more than the tiny aggs want fewer commits.
+    # On a real cluster size this to peak key cardinality instead
+    # (override: SPARK_GRAFT_STREAM_STATE_WIDTH).
+    # r14 interleaved A/B (min-of-3, results bit-identical across widths):
+    # JVM-state replays want width 2 — per-batch state commits scale with
+    # width and dominate these tiny micro-batches (stream_stream_join
+    # 3.90 → 2.65 s, outer 3.89 → 2.87, dedup 2.88 → 1.92, static
+    # 3.12 → 2.62, tumbling 1.84 → 1.37) — while the two
+    # applyInPandasWithState ops want width 8 (Python-worker parallelism
+    # beats commit savings: stateful_count 3.70 vs 6.29 at width 2,
+    # session_ttl 4.49 vs 8.40); those pass ``state_width=8`` explicitly.
     # acquire and set/restore are ALL inside one try/finally: an exception
     # while building the readStream must not leak the lock (every later
-    # replay would block forever) or the width-8 conf (every later batch
-    # query would shuffle at width 8)
+    # replay would block forever) or the width conf (every later batch
+    # query would shuffle at replay width)
+    width = os.environ.get("SPARK_GRAFT_STREAM_STATE_WIDTH") or state_width
     _REPLAY_LOCK.acquire()
     prev_parts = None
     try:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
     # 4 files per micro-batch: still a genuine multi-batch execution (2
     # batches over 8 chunks — state carried across the batch boundary,
     # watermark advances batch-to-batch) at a quarter of the per-batch
