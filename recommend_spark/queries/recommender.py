@@ -1811,12 +1811,18 @@ def rec_eval_hitrate(spark, sf_dir):
         F.col("l_linenumber").desc(),
         F.col("item").desc(),
     )
+    # one join+window pass shared by train/prev/last: the three consumers'
+    # different WindowGroupLimit pushdowns make their subtrees
+    # non-identical, so ReuseExchange never fires and the fact join +
+    # window ran THREE times (r14 plan audit); localCheckpoint
+    # materializes the ranked stream once (graph_bfs recipe) — values are
+    # deterministic, oracle hash unchanged
     s = seq.select(
         "u",
         "item",
         F.row_number().over(desc).alias("rd"),
         F.lead("item").over(asc).alias("next_item"),
-    )
+    ).localCheckpoint()
     train = (
         s.filter(F.col("next_item").isNotNull() & (F.col("rd") >= 3))
         .groupBy("item", "next_item")

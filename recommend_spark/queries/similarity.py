@@ -36,6 +36,17 @@ _SQL_DOT_QC = """
 """
 
 
+def _spread_width(spark):
+    """Task width for spreading a single-file scan across cores before a
+    CPU-heavy Python stage (the mm_* codecs, the block kernels' stream
+    side).  `defaultParallelism` instead of a literal 32 (r13 write-ups
+    used the local core count): on a bigger executor fleet the same code
+    uses every core, and a small `local[N]` stops over-splitting tiny
+    corpora into empty tasks.  Results are partition-invariant for every
+    caller (per-row codecs / per-query top-k against a broadcast side)."""
+    return spark.sparkContext.defaultParallelism
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -321,7 +332,7 @@ def mm_image_pipeline(spark, sf_dir):  # not SQL-expressible
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32)
+        .repartition(_spread_width(spark))
     )
 
     def encode_stage(batches):
@@ -405,7 +416,7 @@ def mm_audio_pipeline(spark, sf_dir):  # not SQL-expressible
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32)
+        .repartition(_spread_width(spark))
     )
     WIN = 1024
 
@@ -509,7 +520,7 @@ def mm_video_frames(spark, sf_dir):  # not SQL-expressible
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32)
+        .repartition(_spread_width(spark))
     )
     STRIDE = 5
 
@@ -650,7 +661,7 @@ def sim_knn_join(spark, sf_dir):
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .repartition(32)
+        .repartition(_spread_width(spark))
     )
     return e.mapInPandas(
         knn_blocks, "query_id long, neighbor_id long, cosine double"
@@ -895,7 +906,7 @@ def _pq_emb(spark, sf_dir):
             "label",
             F.col("embedding").cast("array<double>").alias("x"),
         )
-        .repartition(32)
+        .repartition(_spread_width(spark))
     )
 
 
