@@ -590,15 +590,59 @@ def join_bloom_filter(spark, sf_dir):
             ).alias("bits")
         )
     )
-    probe = o.crossJoin(F.broadcast(jj)).select(
-        "o_orderkey", "o_custkey", bitpos(F.col("o_custkey")).alias("bitpos")
+    # The whole filter is 128 BIGINT slots — fold it into ONE map row and
+    # broadcast that, so the fact side stays MAP-ONLY: each order computes
+    # its k bit positions as columns (no k-way row expansion) and tests
+    # them against the broadcast map (no per-hit aggregation shuffle).
+    # Semantics are unchanged vs the probe-join formulation: each hash
+    # function is tested independently, so same-bitpos collisions between
+    # two j's count twice in both shapes.
+    bloom = slots.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("slot", "bits"))
+        ).alias("bm")
+    )
+
+    def bit_set(key_col, j):
+        bp = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+        # slot = bitpos DIV 32 and bit = bitpos % 32, in pure integer ops
+        # (shiftright/AND) so the map key is exactly the slots build's LONG;
+        # try_element_at because ANSI mode makes element_at THROW on a
+        # missing map key
+        word = F.try_element_at(F.col("bm"), F.shiftright(bp, 5))
+        # a slot absent from the map has no bits set: NULL -> 0 keeps the
+        # test a plain false, not a NULL filter
+        return (
+            F.call_function(
+                "shiftright",
+                F.coalesce(word, F.lit(0).cast("long")),
+                (bp % 32).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    from functools import reduce as _reduce
+
+    all_bits = _reduce(
+        lambda a, b: a & b,
+        [bit_set(F.col("o_custkey"), j) for j in range(_BLOOM_K)],
     )
     hit = (
-        probe.join(F.broadcast(slots), F.expr("bitpos DIV 32") == F.col("slot"))
-        .filter(F.expr("(shiftright(bits, CAST(bitpos % 32 AS INT)) & 1) = 1"))
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.count("*").alias("nhit"))
-        .filter(F.col("nhit") == _BLOOM_K)
+        o.select("o_orderkey", "o_custkey")
+        .crossJoin(F.broadcast(bloom))
+        .filter(all_bits)
+        .select("o_orderkey", "o_custkey")
     )
     kk = keys.distinct().withColumnRenamed("k", "kk")
     return (

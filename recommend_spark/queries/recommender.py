@@ -1068,25 +1068,24 @@ def rec_sequential_markov(spark, sf_dir):
         seq.select("item", F.lead("item").over(ws).alias("next_item"))
         .filter(F.col("next_item").isNotNull())
     )
-    # localCheckpoint: c feeds both the per-item totals and the ranked
-    # output, and Spark does not share a self-referenced subplan — without
-    # the cut the corpus scan + sequence window run TWICE (verified in the
-    # plan).  c is <= |items|^2 rows, so the materialization is trivial.
-    c = (
-        pairs.groupBy("item", "next_item")
-        .agg(F.count("*").alias("n_trans"))
-        .localCheckpoint(eager=False)
-    )
-    tot = c.groupBy("item").agg(F.sum("n_trans").alias("n_from"))
+    c = pairs.groupBy("item", "next_item").agg(F.count("*").alias("n_trans"))
+    # Per-item totals as a WINDOW sum over the same partitioning the
+    # successor ranking already needs: both windows share ONE
+    # Exchange(item) + Sort, replacing the former groupBy(item) + join-back
+    # (two extra exchanges and a self-referenced subplan that needed a
+    # localCheckpoint cut).  n_from is the same exact integer sum, prob the
+    # same single IEEE division — bit-identical output.
+    wt = W.partitionBy("item")
     wr = W.partitionBy("item").orderBy(F.col("n_trans").desc(), "next_item")
     return (
-        # tot is per-ITEM (unbounded) — unhinted, AQE picks the strategy
-        c.join(tot, "item")
-        .select(
+        c.select(
             "item",
             "next_item",
             "n_trans",
-            (F.col("n_trans").cast("double") / F.col("n_from")).alias("prob"),
+            (
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(wt)
+            ).alias("prob"),
             F.row_number().over(wr).alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
@@ -1720,21 +1719,31 @@ def graph_bfs_distances(spark, sf_dir):
 
 def bfs_distances(adj, seed, max_hops: int):
     """The bounded-frontier BFS kernel (see graph_bfs_distances): given a
-    directed adjacency (src, dst) and seed rows (node, dist), returns
-    (node, dist) with the minimum hop distance <= max_hops.  Module-level
-    so tests can drive it with planted graphs of known distances
-    (tests/test_properties.py)."""
+    directed adjacency (src, dst) and seed rows (node, 0), returns
+    (node, dist) with the minimum hop distance <= max_hops.  Seeds are at
+    dist 0 (level-synchronous BFS: the frontier after round t is exactly
+    the dist==t layer).  Module-level so tests can drive it with planted
+    graphs of known distances (tests/test_properties.py)."""
+    # Frontier BFS: only the nodes DISCOVERED last round expand through
+    # the adjacency (a node's first discovery round IS its min distance,
+    # so re-expanding settled nodes can never improve anything — the
+    # fold-everything formulation re-joined the whole reachable set
+    # against adj every round).  The union+min fold is unchanged, so the
+    # output is identical; the frontier falls out of it as the dist==hop
+    # layer — a free filter, no anti-join, no extra shuffle.
     dists = seed.localCheckpoint()
-    for _ in range(max_hops):
-        frontier = dists.join(
-            adj, dists["node"] == adj["src"]
-        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    frontier = dists
+    for hop in range(1, max_hops + 1):
+        expand = frontier.join(adj, frontier["node"] == adj["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
         dists = (
-            dists.unionByName(frontier)
+            dists.unionByName(expand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+        frontier = dists.filter(F.col("dist") == hop)
     return dists
 
 

@@ -349,14 +349,30 @@ def test_asof_forward_single_user_shuffle(spark):
 
 
 def test_transition_ops_single_corpus_pass(spark):
-    """Both Markov-transition ops checkpoint the tiny pair-count table so
-    the totals branch never re-runs the corpus window: the final plan must
-    reference only the materialized RDD (zero file scans — the one corpus
-    scan happened eagerly at checkpoint time)."""
-    for qid in ("rec_sequential_markov", "events_transition_matrix"):
-        plan = _plan(QUERIES[qid](spark, SF_DIR))
-        assert plan.count("FileScan") == 0, (qid, plan[:2000])
-        assert "Scan ExistingRDD" in plan, (qid, plan[:2000])
+    """The Markov-transition ops run the corpus exactly once.
+
+    events_transition_matrix checkpoints the tiny pair-count table so the
+    totals branch never re-runs the corpus window: its final plan must
+    reference only the materialized RDD (zero file scans).
+
+    rec_sequential_markov (r14) needs no checkpoint at all: per-item
+    totals are a window SUM over the same partitioning the successor
+    ranking needs, so the whole op is ONE linear pipeline — each corpus
+    table scanned once, a single hashpartitioning(item) exchange feeding
+    both windows, and the rank filter still prunes via WindowGroupLimit."""
+    plan = _plan(QUERIES["events_transition_matrix"](spark, SF_DIR))
+    assert plan.count("FileScan") == 0, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+
+    plan = _plan(QUERIES["rec_sequential_markov"](spark, SF_DIR))
+    assert "Scan ExistingRDD" not in plan, plan[:2000]
+    assert plan.count("FileScan") == 2, plan[:2000]
+    # the only shuffles: sequence window (u), pair aggregate, shared item
+    # window — the former groupBy(item)+join-back pair is gone
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle == 3, (n_shuffle, plan[:3000])
+    assert plan.count("hashpartitioning(item#") == 2, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
 
 
 def test_quality_filter_zero_shuffle(spark):
