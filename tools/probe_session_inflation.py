@@ -91,10 +91,22 @@ def main():
             print("LOAD-ERR", qid, repr(e)[:200], flush=True)
         if i % 20 == 19:
             spark.sparkContext._jvm.System.gc()
-        if i % 40 == 39:
+        if i % 60 == 59:
             probe(spark, f"after_{i + 1}", res)
     res["load_wall_s"] = round(time.perf_counter() - t0, 1)
-    probe(spark, "final", res)
+    probe(spark, "after_sql", res)
+    # heavy suite in bench order up to (not including) mm_audio_pipeline
+    heavy_set = sorted(set(QUERIES) - set(ORACLES) | heavy)
+    heavy_set = heavy_set[: heavy_set.index("mm_audio_pipeline")]
+    for i, qid in enumerate(heavy_set):
+        try:
+            run_one(spark, qid)
+        except Exception as e:
+            print("LOAD-ERR", qid, repr(e)[:200], flush=True)
+        if i % 4 == 3:
+            spark.sparkContext._jvm.System.gc()
+    res["heavy_wall_s"] = round(time.perf_counter() - t0, 1)
+    probe(spark, "after_heavy_prefix", res)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "probe_inflation.json")
