@@ -81,8 +81,9 @@ def main() -> None:
     # codebook, sink/stream fixtures) so per-query numbers measure QUERY
     # latency on a staged warehouse, not one-time staging builds.  The
     # staging cost is measured honestly and reported as its own field;
-    # idempotent (~30 s when already built).  SCALE.md §10h documents the
-    # build-once-read-many rationale.
+    # idempotent — a verified-warm corpus (prewarm manifest, r14) returns
+    # in <1 s instead of re-executing every builder query (~48 s at
+    # sf0.1).  SCALE.md §10h documents the build-once-read-many rationale.
     #
     # Staging runs in a SUBPROCESS — its own JVM — for measurement
     # hygiene: a cold stage build (~200 s of LSH/ALS jobs at sf0.1)

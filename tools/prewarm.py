@@ -15,14 +15,14 @@ minutes per corpus instead of a full sweep.
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from recommend_spark.queries import QUERIES  # noqa: E402
-from recommend_spark.session import get_spark  # noqa: E402
+from recommend_spark.io import ART_ROOT, sf_key  # noqa: E402
 
 # Each entry's first run materializes at least one artifact (see the
 # disk_memo / _pq_train / _fit_als call sites it reaches).
@@ -49,6 +49,40 @@ ARTIFACT_BUILDERS = [
 ]
 
 
+def _manifest_path(sf_dir: str) -> Path:
+    return Path(ART_ROOT) / f"prewarm_manifest_{sf_key(sf_dir)}.json"
+
+
+def _art_entries(sf_dir: str) -> list[str]:
+    """ART entries belonging to this corpus (keyed by its sf_key tag),
+    excluding per-process checkpoint scratch and the manifest itself."""
+    key = sf_key(sf_dir)
+    root = Path(ART_ROOT)
+    if not root.exists():
+        return []
+    return sorted(
+        p.name
+        for p in root.iterdir()
+        if key in p.name and not p.name.startswith(("chk_", "prewarm_manifest_"))
+    )
+
+
+def _is_warm(sf_dir: str) -> bool:
+    """True iff a prior FULL builder pass recorded its artifact snapshot
+    and every snapshot entry still exists.  Any deleted artifact (or a
+    wiped ART_ROOT, which removes the manifest too) re-runs the builders,
+    which rebuild exactly what is missing via their disk memos."""
+    mp = _manifest_path(sf_dir)
+    if not mp.exists():
+        return False
+    try:
+        entries = json.loads(mp.read_text())
+    except (OSError, ValueError):
+        return False
+    root = Path(ART_ROOT)
+    return bool(entries) and all((root / e).exists() for e in entries)
+
+
 def main() -> None:
     import os
 
@@ -63,10 +97,26 @@ def main() -> None:
     if only:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         builders = [q for q in ARTIFACT_BUILDERS if q in wanted]
+    # Warm fast-path (r14): a builder whose artifacts already exist still
+    # EXECUTES its full query through the noop sink — ~48 s of query work
+    # at sf0.1 just to touch _DONE markers.  A prior full pass snapshots
+    # the corpus's ART entries; when every entry is still present there
+    # is nothing to build, so skip the pass (no SparkSession at all).
+    cold = [d for d in dirs if not _is_warm(d)]
+    for d in dirs:
+        if d not in cold:
+            print(f"{d}: warm (manifest verified), skipped", flush=True)
+    if not cold:
+        return
+
+    from recommend_spark.queries import QUERIES  # noqa: PLC0415
+    from recommend_spark.session import get_spark  # noqa: PLC0415
+
     spark = get_spark("prewarm")
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in dirs:
+    for sf_dir in cold:
         t_sf = time.monotonic()
+        n_err = 0
         for qid in builders:
             t0 = time.monotonic()
             try:
@@ -75,9 +125,14 @@ def main() -> None:
                 ).save()
                 status = f"{time.monotonic() - t0:6.1f}s"
             except Exception as e:  # noqa: BLE001 — warm what we can
+                n_err += 1
                 status = f"ERR {type(e).__name__}: {e}"[:120]
             print(f"  {sf_dir.rsplit('/', 1)[-1]:8s} {qid:24s} {status}", flush=True)
         print(f"{sf_dir}: {time.monotonic() - t_sf:.1f}s", flush=True)
+        # Snapshot only after a clean FULL pass (a SPARK_GRAFT_BENCH_ONLY
+        # subset stages a subset, so it must not certify the corpus warm).
+        if n_err == 0 and builders == ARTIFACT_BUILDERS:
+            _manifest_path(sf_dir).write_text(json.dumps(_art_entries(sf_dir)))
     spark.stop()
 
 
