@@ -159,7 +159,14 @@ def staged_embeddings_broadcast(sc, path: str):
 #: measures at law, and is free of semantic risk: each (stream, candidate)
 #: pair's k-fold runs intact inside exactly one tile, so output is
 #: bit-identical at any tile size.  Override: SPARK_GRAFT_STREAM_TILE_BYTES.
-DEFAULT_STREAM_TILE_BYTES = 64 << 20
+#: The budget bounds the PEAK live set, not one buffer: a kernel invocation
+#: concurrently holds the acc block, the reused tmp block
+#: (``index_ordered_dot_block``) and up to two consumer temporaries
+#: (np.where / negation copies, boolean masks), so the tile step divides the
+#: budget by LIVE_BUFFERS_PER_TILE.  The default keeps the effective step
+#: identical to the r13-measured 64 MB-per-buffer tiling (256 MB / 4).
+LIVE_BUFFERS_PER_TILE = 4
+DEFAULT_STREAM_TILE_BYTES = 256 << 20
 
 
 def stream_tile_budget() -> int:
@@ -174,10 +181,12 @@ def stream_tile_budget() -> int:
 
 
 def iter_stream_tiles(ids, mat, n_candidates: int, budget_bytes: int):
-    """Row-slices of a stream batch sized so each tile's dense score block
-    (and its boolean masks / temporaries) stays within ``budget_bytes``.
-    Yields (ids_slice, mat_slice) views — no copies."""
-    step = max(1, budget_bytes // (max(1, n_candidates) * 8))
+    """Row-slices of a stream batch sized so the PEAK live set of one tile
+    — the rows×N score block plus its kernel/consumer temporaries,
+    ``LIVE_BUFFERS_PER_TILE`` buffers in all — stays within
+    ``budget_bytes``.  Yields (ids_slice, mat_slice) views — no copies."""
+    per_buffer = budget_bytes // LIVE_BUFFERS_PER_TILE
+    step = max(1, per_buffer // (max(1, n_candidates) * 8))
     for s in range(0, len(ids), step):
         yield ids[s : s + step], mat[s : s + step]
 

@@ -125,10 +125,20 @@ def hint_if(df: DataFrame, est_bytes: int) -> DataFrame:
 def table_fingerprint(sf_dir: str, name: str) -> str:
     """Content fingerprint of one fixture table, cheap enough to compute
     at every plan build: resolved path (via ``sf_key``) + file size +
-    mtime.  Any rewrite of the parquet file invalidates every stats-memo
-    entry keyed by it."""
-    st = os.stat(f"{sf_dir}/{name}.parquet")
-    return f"{sf_key(sf_dir)}_{name}_{st.st_size}_{st.st_mtime_ns}"
+    mtime + a CRC of the parquet FOOTER bytes.  Size+mtime alone can be
+    spoofed by a regenerated fixture restored with preserved timestamps
+    (cp -p / rsync -t); the footer carries the row-group metadata and
+    column statistics, so any content change that matters to a stats
+    memo changes the CRC.  Reading the trailing 64 KB of a local file is
+    microseconds — far cheaper than the jobs the memo avoids."""
+    import zlib
+
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    with open(path, "rb") as fh:
+        fh.seek(max(0, st.st_size - 65536))
+        crc = zlib.crc32(fh.read(65536))
+    return f"{sf_key(sf_dir)}_{name}_{st.st_size}_{st.st_mtime_ns}_{crc:08x}"
 
 
 def stats_memo(key: str, compute) -> dict:

@@ -496,10 +496,16 @@ def als_model_io(spark, sf_dir):
         )
         b = back.select(F.col("id"), F.col("features").alias("f_back"))
         j = o.join(b, "id", "full")
-        # exact float equality elementwise; NULL side = missing row
+        # exact float equality elementwise; NULL side = missing row.  The
+        # explicit size check closes the zip_with blind spot: a truncated
+        # or padded reloaded vector whose shared prefix matches would pad
+        # with nulls, a==null yields null, and F.filter drops null
+        # predicates — exactly the storage-drift mode this gate exists
+        # to catch.
         mismatch = F.when(
             F.col("f_orig").isNull()
             | F.col("f_back").isNull()
+            | (F.size("f_orig") != F.size("f_back"))
             | (
                 F.size(
                     F.filter(
