@@ -122,6 +122,21 @@ def hint_if(df: DataFrame, est_bytes: int) -> DataFrame:
     return F.broadcast(df) if est_bytes <= BROADCAST_HINT_BUDGET else df
 
 
+def spread_width(spark, factor: int = 1) -> int:
+    """Task width for spreading a single-file scan (or a low-cardinality
+    join side) across cores before a CPU-heavy stage — the mm_* codecs,
+    the block kernels' stream side, the MLlib text pipeline, the banded
+    levenshtein.  ``defaultParallelism`` instead of a literal 32/64 (the
+    r13 write-ups used the local core count): on a bigger executor fleet
+    the same code uses every core, and a small ``local[N]`` stops
+    over-splitting tiny corpora into empty tasks.  ``factor=2`` preserves
+    the 2×-cores width the skew-absorbing join spreads were measured at.
+    Every caller is partition-invariant (per-row codecs / per-query
+    top-k against a broadcast side / equi-join sides), so the width
+    never changes a value, only the task layout."""
+    return factor * spark.sparkContext.defaultParallelism
+
+
 def table_fingerprint(sf_dir: str, name: str) -> str:
     """Content fingerprint of one fixture table, cheap enough to compute
     at every plan build: resolved path (via ``sf_key``) + file size +

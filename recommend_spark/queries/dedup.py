@@ -1069,10 +1069,12 @@ def dedup_embed_cosine(spark, sf_dir):
 
     # single-file scan -> spread the streamed side across cores; the
     # broadcast candidate matrix is unaffected.
+    from ..io import spread_width
+
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .repartition(32)
+        .repartition(spread_width(spark))
     )
     return e.mapInPandas(
         block_pairs, "vec_a long, vec_b long, cosine double"

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import r4
-from ..io import hint_if, load_table, sf_key, table_file_bytes, table_rows
+from ..io import hint_if, load_table, sf_key, spread_width, table_file_bytes, table_rows
 from ..registry import register
 
 
@@ -678,7 +678,7 @@ def join_null_safe(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     a = c.select(
         "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
-    ).repartition(64)
+    ).repartition(spread_width(spark, 2))
     b = s.select(
         "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("grp_b")
     )
@@ -1156,7 +1156,7 @@ def _set_similarity_pairs(
                     F.size("toks").alias("nt"),
                     "toks",
                 )
-                .repartition(32)
+                .repartition(spread_width(docs.sparkSession))
             )
             # bound the f32 probe matrix AND the Python-object cost of
             # the probes collect (the matrix alone under-measures it)

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window as W
 
 from ..canon import md5_int, sql_md5_int
-from ..io import hint_if, load_table, table_rows
+from ..io import hint_if, load_table, spread_width, table_rows
 from ..registry import register
 
 
@@ -461,7 +461,7 @@ def sample_bootstrap_ci(spark, sf_dir):
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .repartition(32)
+        .repartition(spread_width(spark))
     )
     reps = o.select(
         "o_orderkey",

@@ -37,14 +37,11 @@ _SQL_DOT_QC = """
 
 
 def _spread_width(spark):
-    """Task width for spreading a single-file scan across cores before a
-    CPU-heavy Python stage (the mm_* codecs, the block kernels' stream
-    side).  `defaultParallelism` instead of a literal 32 (r13 write-ups
-    used the local core count): on a bigger executor fleet the same code
-    uses every core, and a small `local[N]` stops over-splitting tiny
-    corpora into empty tasks.  Results are partition-invariant for every
-    caller (per-row codecs / per-query top-k against a broadcast side)."""
-    return spark.sparkContext.defaultParallelism
+    """Session-derived task width — see ``io.spread_width`` (hoisted there
+    in r14 so every spread site in the package shares one definition)."""
+    from ..io import spread_width
+
+    return spread_width(spark)
 
 
 def _dot(a, b):

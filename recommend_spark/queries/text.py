@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from ..io import (
     hint_if,
     load_table,
+    spread_width,
     stats_memo,
     table_file_bytes,
     table_fingerprint,
@@ -179,7 +180,7 @@ def text_tfidf_ml(spark, sf_dir):
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.lower("text").alias("text"))
-        .repartition(32)
+        .repartition(spread_width(spark))
     )
     tok = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     # localCheckpoint: the hashed-TF table is consumed TWICE (the IDF fit
@@ -787,7 +788,7 @@ def _er_name_pairs(
             F.col("name").alias("name_a"),
             F.col("nk").alias("nk_a"),
             F.col("ln").alias("ln_a"),
-        ).repartition(64)
+        ).repartition(spread_width(c.sparkSession, 2))
         b = c.select(
             F.col("cust").alias("cust_b"),
             F.col("name").alias("name_b"),
@@ -815,7 +816,7 @@ def _er_name_pairs(
             F.col("nk").alias("nk_a"),
             F.col("name").alias("name_a"),
             F.col("ln").alias("ln_a"),
-        ).repartition(64)
+        ).repartition(spread_width(dn.sparkSession, 2))
         db = dn.select(
             F.col("nk").alias("nk_b"),
             F.col("name").alias("name_b"),
