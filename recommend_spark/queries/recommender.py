@@ -890,10 +890,18 @@ def graph_pagerank(spark, sf_dir):
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    # rank state CARRIES deg (r14): out-degree is loop-invariant, so
+    # re-joining the node-sized deg table onto ranks every round paid a
+    # join per iteration for a value the checkpoint can keep — 6 node-
+    # sized joins removed for +8 bytes/row of checkpointed state.  The
+    # state itself enumerates all nodes (the left join below never drops
+    # one), so it also replaces deg as the rebuild's left base.  Values
+    # are bit-identical: same per-row rank/deg division and decimal cast,
+    # order-free DECIMAL sums.
+    ranks = deg.select("src", "deg", F.lit(1.0).alias("rank"))
     for _ in range(6):
         contrib = (
-            edges.join(ranks.join(deg, "src"), "src")
+            edges.join(ranks, "src")
             .select(
                 "dst",
                 (F.col("rank") / F.col("deg") * F.lit(0.85))
@@ -904,10 +912,11 @@ def graph_pagerank(spark, sf_dir):
             .agg(F.sum("c").cast("double").alias("inflow"))
         )
         ranks = (
-            deg.select("src")
+            ranks.select("src", "deg")
             .join(contrib.withColumnRenamed("dst", "src"), "src", "left")
             .select(
                 "src",
+                "deg",
                 (F.lit(0.15) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint()
