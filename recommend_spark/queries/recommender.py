@@ -1122,16 +1122,32 @@ def label_propagation(edges, rounds: int = 5):
     bit-identical on any partitioning.  Module-level so the quality gate
     can drive it on a planted-partition graph where ground truth is
     known (the fixture's co-purchase graph is TPC-H-random and has no
-    planted communities to recover)."""
-    lbl = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    planted communities to recover).
+
+    REQUIRES a symmetrized edge list (every dst also appears as a src —
+    both callers union the swapped pairs): round 1's labeling is then
+    the identity, so the initial distinct() node build and round 1's
+    edges-to-labels join are skipped outright — the neighbor's label IS
+    ``dst`` (the dedup_cluster identity-round recipe).  On a
+    non-symmetrized list the old join would DROP edges whose dst never
+    appears as a node, so the substitution would not be equivalent
+    there."""
+    assert rounds >= 1, "label_propagation needs at least one round"
+    lbl = None
     for _ in range(rounds):
-        nbr = (
-            edges.join(lbl.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src", "label")
-            .agg(F.sum("w").alias("s"))
-        )
+        if lbl is None:
+            # round 1: every neighbor still carries its own id as label
+            nbr = (
+                edges.select("src", F.col("dst").alias("label"), "w")
+                .groupBy("src", "label")
+                .agg(F.sum("w").alias("s"))
+            )
+        else:
+            nbr = (
+                edges.join(lbl.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src", "label")
+                .agg(F.sum("w").alias("s"))
+            )
         lbl = (
             nbr.groupBy(F.col("src").alias("node"))
             .agg(
