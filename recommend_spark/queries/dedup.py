@@ -1274,6 +1274,20 @@ _CC_BROADCAST_MAX_MAP_ROWS = 8_000_000
 #: Target rows per partition for the contraction loop's checkpointed
 #: tables (labels/edges are 2-3 longs/row; 2M rows ≈ tens of MB a task).
 _CC_ROWS_PER_PARTITION = 2_000_000
+#: Residual edge count below which the contraction loop finishes the
+#: closure in ONE vectorized task (_cc_min_local) instead of paying 3
+#: checkpointed jobs per remaining distributed round.  Env-overridable so
+#: tests and scale surrogates can force the deep-distributed path that
+#: the fixture (residual ≈ 3.6k edges after round 1) never reaches.
+_CC_LOCAL_THRESHOLD = 5_000_000
+
+
+def _cc_local_threshold() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_CC_LOCAL_THRESHOLD", _CC_LOCAL_THRESHOLD)
+    )
 
 
 def _cc_map_broadcastable(n_edges: int) -> bool:
@@ -1293,6 +1307,39 @@ def _cc_width(n_rows: int) -> int:
     thousands of rows but serializes a billion-row round-1 map on 4
     tasks.  Clamped to [4, 256]."""
     return max(4, min(256, -(-n_rows // _CC_ROWS_PER_PARTITION)))
+
+
+def _cc_checkpoint(df):
+    """localCheckpoint WITHOUT Catalyst-statistics inheritance, for
+    unbounded iterative loops.
+
+    ``Dataset.localCheckpoint`` copies the source plan's ESTIMATED stats
+    into the resulting ``LogicalRDD``, so each contraction round's join
+    estimates multiply on top of the previous round's product: measured
+    on a planted chain, ``sizeInBytes`` grows ~3x in DIGITS per round
+    (27 → 80 → 238 → 713 → 2136 → …) until ``java.math.BigInteger``
+    overflows its supported range around round 16 and the query CRASHES
+    — and the rounds before that grind in million-digit bignum
+    arithmetic inside every stats visit.  The fixture path (1 round +
+    local endgame) never sees this; any deep distributed run does.
+    Rebuilding the Dataset on its own checkpointed InternalRow RDD
+    (``internalCreateDataFrame`` — package-private Scala, public in
+    bytecode, same RDD so zero data movement) drops the inherited stats
+    back to the flat per-table default; with stats reset per round the
+    same loop holds 19 digits forever at ~0.55 s/round.  No partitioning
+    metadata is lost: every call site checkpoints behind a
+    ``coalesce``, which already erases output-partitioning info.  All
+    loop joins that matter are explicitly hinted, so planner choices do
+    not depend on the dropped estimates (pinned by tests/test_r11/r15)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    ck = df.localCheckpoint()
+    jdf = ck._jdf
+    spark = ck.sparkSession
+    j = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return _CDF(j, spark)
 
 
 def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
@@ -1323,7 +1370,7 @@ def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
         .coalesce(width)
     )
     if checkpoint:
-        mapv = mapv.localCheckpoint()
+        mapv = _cc_checkpoint(mapv)
     bc = _cc_map_broadcastable(n_edges)
 
     def _hint(df):
@@ -1354,9 +1401,141 @@ def _cc_round(e, rep, n_edges: int, rep_width: int, checkpoint: bool = True):
         # rep=None round: rep2 is a projection over the already-
         # checkpointed mapv — a second materialization buys nothing
         if rep is not None:
-            rep2 = rep2.localCheckpoint()
-        e2 = e2.localCheckpoint()
+            rep2 = _cc_checkpoint(rep2)
+        e2 = _cc_checkpoint(e2)
     return rep2, e2
+
+
+def _cc_star_pair(e, width: int):
+    """One large-star + small-star rewiring round (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") over the DOUBLED
+    residual edge set; returns the rewired set, still doubled.
+
+    Why: plain min-contraction shrinks a PATH component by one node per
+    round — O(diameter) rounds, which on a high-diameter 100 TB near-dup
+    graph is the killer (the per-round cost is fine; the round COUNT is
+    not).  Each star pair instead rewires every node toward its
+    neighborhood minimum, collapsing component height geometrically:
+    measured on planted chains, a 4096-node path needs 4095
+    contraction-only rounds vs 12 with the pair interleaved, with
+    identical labels (tools/scaleup_r15_cc.py).
+
+    Both ops preserve component structure exactly (paper lemmas 1-2):
+    large-star links every above-self neighbor v > u to
+    m = min(N(u) ∪ {u}); small-star then links the below-self neighbors
+    (and self) of each node to that node's minimum.  Every emitted edge
+    points high→low, so each star's output is canonically oriented and
+    self-loop-free by construction; the final union re-doubles it into
+    the symmetric form _cc_round expects.  Each star costs one exchange
+    (a window min over the grouping key) plus the distinct that bounds
+    the edge set — emission is at most one edge per input edge, so the
+    count never grows and the caller's edge count stays a valid upper
+    bound for the broadcast gate.  Checkpointed because the caller's
+    next contraction round consumes it twice (mapv groupBy + relabel
+    joins)."""
+    w = W.partitionBy("src")
+    # large-star over the doubled set: every neighbor above u links to
+    # m = min(N(u) ∪ {u}); output rows all have src > dst (v > u >= m)
+    ls = (
+        e.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    # small-star over the canonical high→low set: group by the larger
+    # endpoint u (= src); link u and each smaller neighbor to
+    # m = min(N_below(u)); the (m → m) self-row the explode emits when
+    # dst == m is dropped by the filter
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src").alias("s"), F.col("m").alias("d")),
+            F.struct(F.col("dst").alias("s"), F.col("m").alias("d")),
+        )
+    )
+    ss = (
+        ls.withColumn("m", F.min("dst").over(w))
+        .select(both.alias("e"))
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = ss.union(ss.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _cc_checkpoint(out.coalesce(width))
+
+
+def _cc_components(pairs):
+    """Min-label connected components of an undirected pair graph
+    (columns ``doc_a``, ``doc_b``), shared loop of ``dedup_cluster`` and
+    the planted-graph tests.  Returns ``(rep, rep_broadcastable)``:
+    ``rep`` maps every node that appears in a pair (``orig``) to its
+    component's min id (``cur``), or ``None`` when the pair set is
+    empty; ``rep_broadcastable`` tells the caller whether ``rep`` is
+    under the broadcast row budget for its final labeling join."""
+    # no checkpoint here: edges re-derive from the parquet pair artifact in
+    # one cheap scan wherever referenced (a checkpoint of the doubled edge
+    # set would cost more to materialize than every re-scan combined)
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
+    )
+    # One cheap count of the (cached) pair artifact seeds the loop's
+    # broadcast gate and partition widths: the round-1 node→label map is
+    # as big as the NODE SET of the uncontracted pair graph (the "tiny
+    # after contraction" premise only holds from round 2), so the
+    # broadcast hint must be size-gated from the very first round —
+    # _cc_round hints only when the current edge count (an upper bound
+    # on map rows) is under _CC_BROADCAST_MAX_MAP_ROWS, else plain
+    # equi-joins with AQE picking the strategy.  Later rounds reuse the
+    # count the loop takes anyway.
+    n = 2 * pairs.count()
+    # rep: original node -> current contracted label (isolated docs never
+    # enter; they are unioned back with their own id at the end).  rep
+    # never contracts — one row per round-0 node forever — so its width
+    # derives from the INITIAL edge count, not the shrinking residual.
+    # r14: rep is NOT built as a separate distinct() pass — round 1's
+    # node→min map already enumerates every node (each appears as a src
+    # in the doubled edge set), so _cc_round(rep=None) returns mapv AS
+    # the post-round-1 rep, saving one full-node-set shuffle plus two
+    # eager checkpoints (2.83 → 2.16 s at sf0.1, identical labels).
+    rep_width = _cc_width(n)
+    rep_broadcastable = _cc_map_broadcastable(n)
+    rep = None
+    # Post-contraction tables are a few thousand rows; AQE's partition
+    # coalescing shrinks every loop shuffle to a handful of tasks on its
+    # own, so no session-global shuffle.partitions mutation is needed
+    # (the old set/restore raced under concurrent queries on one session).
+    e = edges
+    local_threshold = _cc_local_threshold()
+    while n > 0:
+        rep, e = _cc_round(e, rep, n, rep_width)
+        n = e.count()
+        if n == 0:
+            break
+        if n <= local_threshold:
+            # residual fits one task: finish the closure exactly with
+            # union-find (min-id roots) instead of paying 3 checkpointed
+            # jobs per remaining round (measured: rounds 2-4 moved 3,618
+            # -> 90 -> 6 -> 0 edges at sf0.1, ~0.5 s of fixed cost each).
+            # A residual above the threshold keeps contracting
+            # distributed — the same contract as kcore_peel.  fm holds
+            # up to 2×|edges| rows, which can EXCEED the map-broadcast
+            # row budget (2×5M > 8M default), so the hint obeys the same
+            # gate as every other broadcast in this loop instead of the
+            # old unconditional hint the budget couldn't reach.
+            fm = _cc_min_local(e)
+            fm_hinted = F.broadcast(fm) if _cc_map_broadcastable(2 * n) else fm
+            rep = _cc_checkpoint(
+                rep.join(fm_hinted, rep.cur == fm.v, "left")
+                .select("orig", F.coalesce("m", "cur").alias("cur"))
+                .coalesce(rep_width)
+            )
+            break
+        # deep residual (never reached at fixture scale): crush component
+        # height with one large-star/small-star pair before the next
+        # contraction — min-contraction alone removes one node per round
+        # on a path, so a high-diameter residual would otherwise pay
+        # O(diameter) rounds (r14 VERDICT item 2; see _cc_star_pair)
+        e = _cc_star_pair(e, _cc_width(n))
+    return rep, rep_broadcastable
 
 
 @register(
@@ -1395,9 +1574,13 @@ def dedup_cluster(spark, sf_dir):
     round every node relabels to min(self, neighbors), then the graph is
     contracted to the distinct label-label edges.  Near-dup components are
     near-cliques, so round one collapses almost everything (measured at
-    sf0.1: 3M edges -> a few hundred) and later rounds run on the residue —
-    O(log n) rounds worst case (the Kiveris et al. MapReduce-CC recipe),
-    each a groupBy + two map joins + distinct (the node→label map joins
+    sf0.1: 3M edges -> a few hundred) and later rounds run on the residue.
+    A deep residual (above the local-endgame threshold) additionally gets
+    one large-star/small-star rewiring pair per round (_cc_star_pair; the
+    Kiveris et al. MapReduce-CC recipe), which bounds the round count
+    polylogarithmically even on high-diameter components where plain
+    min-contraction would pay O(diameter) rounds.  Each contraction round
+    is a groupBy + two map joins + distinct (the node→label map joins
     with a SIZE-GATED broadcast hint — see _cc_round; round 1's map is as
     big as the raw node set, so the hint engages only under the row
     budget and a 100× corpus falls back to AQE-planned equi-joins with
@@ -1408,65 +1591,7 @@ def dedup_cluster(spark, sf_dir):
     plus every prior round, and the driver OOMs just printing it.
     The DuckDB oracle computes the same closure with a recursive CTE."""
     pairs = _word_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    # no checkpoint here: edges re-derive from the parquet pair artifact in
-    # one cheap scan wherever referenced (a checkpoint of the doubled edge
-    # set would cost more to materialize than every re-scan combined)
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
-        "src", "dst"
-    )
-    # One cheap count of the (cached) pair artifact seeds the loop's
-    # broadcast gate and partition widths: the round-1 node→label map is
-    # as big as the NODE SET of the uncontracted pair graph (the "tiny
-    # after contraction" premise only holds from round 2), so the
-    # broadcast hint must be size-gated from the very first round —
-    # _cc_round hints only when the current edge count (an upper bound
-    # on map rows) is under _CC_BROADCAST_MAX_MAP_ROWS, else plain
-    # equi-joins with AQE picking the strategy.  Later rounds reuse the
-    # count the loop takes anyway.
-    n = 2 * pairs.count()
-    # rep: original node -> current contracted label (isolated docs never
-    # enter; they are unioned back with their own id at the end).  rep
-    # never contracts — one row per round-0 node forever — so its width
-    # derives from the INITIAL edge count, not the shrinking residual.
-    # r14: rep is NOT built as a separate distinct() pass — round 1's
-    # node→min map already enumerates every node (each appears as a src
-    # in the doubled edge set), so _cc_round(rep=None) returns mapv AS
-    # the post-round-1 rep, saving one full-node-set shuffle plus two
-    # eager checkpoints (2.83 → 2.16 s at sf0.1, identical labels).
-    rep_width = _cc_width(n)
-    rep_broadcastable = _cc_map_broadcastable(n)
-    rep = None
-    # Post-contraction tables are a few thousand rows; AQE's partition
-    # coalescing shrinks every loop shuffle to a handful of tasks on its
-    # own, so no session-global shuffle.partitions mutation is needed
-    # (the old set/restore raced under concurrent queries on one session).
-    e = edges
-    LOCAL_THRESHOLD = 5_000_000
-    while n > 0:
-        rep, e = _cc_round(e, rep, n, rep_width)
-        n = e.count()
-        if n == 0:
-            break
-        if n <= LOCAL_THRESHOLD:
-            # residual fits one task: finish the closure exactly with
-            # union-find (min-id roots) instead of paying 3 checkpointed
-            # jobs per remaining round (measured: rounds 2-4 moved 3,618
-            # -> 90 -> 6 -> 0 edges at sf0.1, ~0.5 s of fixed cost each).
-            # A residual above the threshold keeps contracting
-            # distributed — the same contract as kcore_peel.  fm holds
-            # up to 2×|edges| rows, which can EXCEED the map-broadcast
-            # row budget (2×5M > 8M default), so the hint obeys the same
-            # gate as every other broadcast in this loop instead of the
-            # old unconditional hint the budget couldn't reach.
-            fm = _cc_min_local(e)
-            fm_hinted = F.broadcast(fm) if _cc_map_broadcastable(2 * n) else fm
-            rep = (
-                rep.join(fm_hinted, rep.cur == fm.v, "left")
-                .select("orig", F.coalesce("m", "cur").alias("cur"))
-                .coalesce(rep_width)
-                .localCheckpoint()
-            )
-            break
+    rep, rep_broadcastable = _cc_components(pairs)
     docs = load_table(spark, sf_dir, "documents")
     if rep is None:
         # zero pairs: every doc is its own singleton cluster
