@@ -1107,9 +1107,9 @@ def rec_sequential_markov(spark, sf_dir):
     )
 
 
-def label_propagation(edges, rounds: int = 5):
-    """Synchronous weighted label propagation over a directed edge list
-    ``(src, dst, w)`` with integer weights: every node starts as its own
+def label_propagation(symmetric_edges, rounds: int = 5):
+    """Synchronous weighted label propagation over a SYMMETRIZED directed
+    edge list ``(src, dst, w)`` with integer weights: every node starts as its own
     label and per round adopts the label carrying the most incoming weight
     among its neighbors, ties broken by smallest label.
 
@@ -1138,13 +1138,13 @@ def label_propagation(edges, rounds: int = 5):
         if lbl is None:
             # round 1: every neighbor still carries its own id as label
             nbr = (
-                edges.select("src", F.col("dst").alias("label"), "w")
+                symmetric_edges.select("src", F.col("dst").alias("label"), "w")
                 .groupBy("src", "label")
                 .agg(F.sum("w").alias("s"))
             )
         else:
             nbr = (
-                edges.join(lbl.withColumnRenamed("node", "dst"), "dst")
+                symmetric_edges.join(lbl.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src", "label")
                 .agg(F.sum("w").alias("s"))
             )

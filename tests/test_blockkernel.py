@@ -132,9 +132,11 @@ def test_iter_stream_tiles_bounds_and_covers():
 
     ids = np.arange(100)
     mat = np.arange(100 * 4, dtype=np.float64).reshape(100, 4)
-    # budget 800 bytes at 25 candidates -> 4 rows per tile
-    tiles = list(blockkernel.iter_stream_tiles(ids, mat, 25, 800))
-    assert all(len(t_ids) <= 4 for t_ids, _ in tiles[:-1])
+    # peak-live-set budget 3200 bytes / LIVE_BUFFERS_PER_TILE(4) ->
+    # 800 bytes per buffer, at 25 candidates x 8 B -> exactly 4 rows/tile
+    assert blockkernel.LIVE_BUFFERS_PER_TILE == 4
+    tiles = list(blockkernel.iter_stream_tiles(ids, mat, 25, 3200))
+    assert all(len(t_ids) == 4 for t_ids, _ in tiles)
     assert np.concatenate([t for t, _ in tiles]).tolist() == ids.tolist()
     assert np.concatenate([m for _, m in tiles]).tolist() == mat.tolist()
     # degenerate budget still makes progress one row at a time
