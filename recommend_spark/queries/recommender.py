@@ -1736,9 +1736,14 @@ def graph_bfs_distances(spark, sf_dir):
     regardless of graph size.  Edge set reads from the shared disk-memoized
     artifact."""
     und = _copurchase_edges_artifact(spark, sf_dir).select("p", "q")
+    # hash-partition the adjacency by the expansion key ONCE, inside the
+    # checkpoint: every BFS round's frontier join then reuses this layout
+    # (checkpoint preserves output partitioning) instead of re-shuffling
+    # the full edge set per hop when the frontier outgrows a broadcast
+    # (guide §2.4 — persist a partitioning that repeated joins reuse)
     adj = und.select(F.col("p").alias("src"), F.col("q").alias("dst")).unionAll(
         und.select(F.col("q").alias("src"), F.col("p").alias("dst"))
-    ).localCheckpoint()
+    ).repartition(F.col("src")).localCheckpoint()
     deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     seed = (
         deg.orderBy(F.col("d").desc(), "node")
@@ -1755,27 +1760,50 @@ def bfs_distances(adj, seed, max_hops: int):
     dist 0 (level-synchronous BFS: the frontier after round t is exactly
     the dist==t layer).  Module-level so tests can drive it with planted
     graphs of known distances (tests/test_properties.py)."""
-    # Frontier BFS: only the nodes DISCOVERED last round expand through
-    # the adjacency (a node's first discovery round IS its min distance,
-    # so re-expanding settled nodes can never improve anything — the
-    # fold-everything formulation re-joined the whole reachable set
-    # against adj every round).  The union+min fold is unchanged, so the
-    # output is identical; the frontier falls out of it as the dist==hop
-    # layer — a free filter, no anti-join, no extra shuffle.
-    dists = seed.localCheckpoint()
-    frontier = dists
+    # LAYERED frontier BFS (r15): the settled set is kept as per-hop
+    # LAYERS instead of one folded table.  The r14 union+min fold
+    # re-shuffled the ENTIRE settled set (O(reachable nodes)) through the
+    # groupBy exchange every round even though settled rows can never
+    # change; and the expand join re-shuffled the full adjacency every
+    # round whenever the frontier outgrew a broadcast.  Now:
+    #   - the caller pre-partitions adj by src ONCE (graph_bfs_distances
+    #     repartitions before its checkpoint), so each round's expand
+    #     join leaves adj in place and moves only the frontier;
+    #   - this round's discoveries dedup through ONE exchange
+    #     (distinct on the expansion rows only);
+    #   - already-settled nodes drop via left_anti joins against the
+    #     previous layers — layers and the distinct output are all
+    #     hash-partitioned on `node` at session width, so these anti
+    #     joins are co-partitioned (zero exchange; at fixture scale AQE
+    #     broadcasts the small layers instead, same zero-fact-shuffle
+    #     effect).
+    # Net per round: ONE exchange carrying only newly-expanded rows —
+    # the level-synchronous minimum.  Bit-identity with the fold: in
+    # level-synchronous BFS a node's min distance IS its first discovery
+    # round, every expansion this round carries dist = hop exactly, and
+    # the layers are disjoint by construction, so the union of layers
+    # equals the folded min table row-for-row (planted path/star/island
+    # tests pin it; the operator's DuckDB oracle hash-matches).
+    # A round with no new discoveries ends the loop: every later frontier
+    # is empty too, so the early exit is exact and skips the remaining
+    # fixed per-round costs.
+    layers = [seed.localCheckpoint()]
+    frontier = layers[0]
     for hop in range(1, max_hops + 1):
         expand = frontier.join(adj, frontier["node"] == adj["src"]).select(
-            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+            F.col("dst").alias("node"), F.lit(hop).alias("dist")
         )
-        dists = (
-            dists.unionByName(expand)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
-        frontier = dists.filter(F.col("dist") == hop)
-    return dists
+        fresh = expand.distinct()
+        for prev in layers:
+            fresh = fresh.join(prev, "node", "left_anti")
+        frontier = fresh.localCheckpoint()
+        if frontier.isEmpty():
+            break
+        layers.append(frontier)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out
 
 
 @register(
